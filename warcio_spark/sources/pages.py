@@ -1,0 +1,187 @@
+"""Deterministic synthetic ``pages`` table (the north-rule input shape).
+
+pages(url string, warc_ts timestamp, html binary, text string, lang string)
+— BASELINE.json:15. Generated fully distributed (spark.range -> mapInPandas;
+no driver-side loops), deterministic per row id (seeded arithmetic, no RNG
+state), so the same (n, seed) yields identical tables at any parallelism.
+
+Per FIXTURES.md §1 the rows exercise every payload-decode path of the
+engine: plain / gzip / deflate / raw-deflate / chunked / chunked+gzip /
+unknown-encoding / iso-8859-1, plus URL edge cases (uppercase scheme+host,
+default :80 port, dot-segments, spaces, wrapped '<uri>', dns: scheme) and a
+Zipf-ish host skew (one mega-host holding ~30% of urls) to exercise salted
+politeness partitioning. ``text`` is the byte-exact expected extraction
+(what warcio's content_stream().read() decodes to) by construction.
+"""
+
+from __future__ import annotations
+
+import zlib
+from datetime import datetime, timedelta
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from warcio_spark.schema import PAGES_SCHEMA
+
+_LANGS = ("en", "de", "fr", "es", "it", "pt", "nl", "pl")
+_EPOCH = datetime(2024, 1, 1, 0, 0, 0)
+
+_WORDS = (
+    "the quick brown fox jumps over lazy dog archive crawl frontier spark "
+    "record header payload digest politeness budget queue shard merge scan"
+).split()
+
+
+def _mix(i: int, salt: int = 0) -> int:
+    """Deterministic 64-bit mix (splitmix64-style)."""
+    x = (i * 0x9E3779B97F4A7C15 + salt * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def _host_for(i: int, n_hosts: int) -> str:
+    """Zipf-ish skew: host0 ~30%, host1 ~15%, rest uniform."""
+    r = _mix(i, 1) % 100
+    if r < 30:
+        h = 0
+    elif r < 45:
+        h = 1
+    else:
+        h = 2 + (_mix(i, 2) % max(1, n_hosts - 2))
+    return "host{0}.example{1}.com".format(h, h % 7)
+
+
+def _body_text(i: int) -> str:
+    k = _mix(i, 3)
+    words = [_WORDS[(k >> (j * 5)) % len(_WORDS)] for j in range(10)]
+    return "Page {0} from a synthetic crawl. {1}.\n".format(i, " ".join(words)) * (
+        1 + (k % 4)
+    )
+
+
+def _chunked(data: bytes, i: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    size = 1 + (_mix(i, 4) % 97)
+    while pos < len(data):
+        part = data[pos : pos + size]
+        out += b"%x\r\n%s\r\n" % (len(part), part)
+        pos += len(part)
+    out += b"0\r\n\r\n"
+    return bytes(out)
+
+
+def _raw_deflate(data: bytes) -> bytes:
+    c = zlib.compressobj(6, zlib.DEFLATED, -zlib.MAX_WBITS)
+    return c.compress(data) + c.flush()
+
+
+def _gzip(data: bytes) -> bytes:
+    c = zlib.compressobj(9, zlib.DEFLATED, zlib.MAX_WBITS + 16)
+    return c.compress(data) + c.flush()
+
+
+def make_page(i: int, n_hosts: int = 1000):
+    """One deterministic page row; pure function of (i, n_hosts)."""
+    host = _host_for(i, n_hosts)
+    text = _body_text(i)
+    variant = _mix(i, 5) % 8
+    lang = _LANGS[_mix(i, 6) % len(_LANGS)]
+
+    # URL edge cases on a deterministic minority of rows
+    path = "/section{0}/page{1}.html".format(_mix(i, 7) % 20, i)
+    q = "?q={0}".format(_mix(i, 8) % 50) if _mix(i, 9) % 3 == 0 else ""
+    edge = _mix(i, 10) % 23
+    if edge == 0:
+        url = "HTTP://{0}{1}{2}".format(host.upper(), path, q)
+    elif edge == 1:
+        url = "http://{0}:80{1}{2}".format(host, path, q)
+    elif edge == 2:
+        url = "http://{0}/a/../{1}{2}".format(host, path.lstrip("/"), q)
+    elif edge == 3:
+        url = "http://{0}{1}/with space{2}".format(host, path[: -len(".html")], q)
+    else:
+        url = "http://{0}{1}{2}".format(host, path, q)
+    # duplicate urls for dedup/revisit flows
+    if i >= 37 and _mix(i, 11) % 37 == 0:
+        return make_page(i - 37, n_hosts) | {
+            "warc_ts": _EPOCH + timedelta(seconds=i, microseconds=_mix(i, 12) % 1000000)
+        }
+
+    if variant == 7:
+        body = text.encode("iso-8859-1", "replace")
+        charset = "iso-8859-1"
+        # fallback text is what iso-8859-1-decode yields from those bytes
+        text = body.decode("iso-8859-1")
+    else:
+        body = text.encode("utf-8")
+        charset = "utf-8"
+
+    headers = [("Content-Type", "text/html; charset={0}".format(charset))]
+    if variant == 1:
+        payload, enc = _gzip(body), "gzip"
+    elif variant == 2:
+        payload, enc = zlib.compress(body), "deflate"
+    elif variant == 3:
+        payload, enc = _raw_deflate(body), "deflate"  # raw-deflate fallback path
+    elif variant == 4:
+        payload, enc = _chunked(body, i), None
+        headers.append(("Transfer-Encoding", "chunked"))
+    elif variant == 5:
+        payload, enc = _chunked(_gzip(body), i), "gzip"
+        headers.append(("Transfer-Encoding", "chunked"))
+    elif variant == 6:
+        payload, enc = body, "x-unknown"  # unsupported encoding passes through
+    else:
+        payload, enc = body, None
+    if enc:
+        headers.append(("Content-Encoding", enc))
+    headers.append(("Content-Length", str(len(payload))))
+
+    html = (
+        "HTTP/1.1 200 OK\r\n"
+        + "".join("{0}: {1}\r\n".format(n, v) for n, v in headers)
+        + "\r\n"
+    ).encode("ascii") + payload
+
+    if not url.startswith(("http:", "https:")):
+        # the loader's scheme gate is case-sensitive
+        # (warcio/recordloader.py:59,183-185): an uppercase scheme means
+        # http headers are never parsed and "content" is the raw block —
+        # the text oracle column must say so
+        from warcio_spark.kernels.textcodec import decode_fallback
+
+        text = decode_fallback(html)
+
+    return {
+        "url": url,
+        "warc_ts": _EPOCH + timedelta(seconds=i, microseconds=_mix(i, 12) % 1000000),
+        "html": html,
+        "text": text,
+        "lang": lang,
+    }
+
+
+def synth_pages(spark: SparkSession, n: int, n_hosts: int = 1000,
+                partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic pages table: same output at any parallelism."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n, 1, parts)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [make_page(int(i), n_hosts) for i in pdf["id"]]
+            out = pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA.fields])
+            out["warc_ts"] = pd.to_datetime(out["warc_ts"])
+            yield out
+
+    return base.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def write_pages(spark: SparkSession, n: int, path: str, **kwargs) -> None:
+    synth_pages(spark, n, **kwargs).write.mode("overwrite").parquet(path)

@@ -1,0 +1,130 @@
+"""WARC/ARC file source: .warc(.gz)/.arc(.gz) files -> warc_records DataFrame.
+
+Spark-first design (SURVEY.md §2.1 S1-S6):
+- ``spark.read.format("binaryFile")`` lists + reads files distributed; one
+  task per file (Common-Crawl WARCs are ~1 GB — the file is the natural
+  split unit, and per-record gzip members keep finer splitting possible).
+- a ``mapInPandas`` stage runs the parse kernel per file and emits one row
+  per record with member offset/length — after this hop everything is
+  columnar and all further queries are pure DataFrame ops.
+- at 100 TB: ~100k files fan out over executors; no shuffle is involved in
+  ingest, and the natural next step is writing the records table
+  partitioned by crawl/filename prefix so downstream scans prune.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warcio_spark.kernels.chrono import iso_to_datetime, ts14_to_datetime
+from warcio_spark.kernels.parse import parse_warc_bytes
+from warcio_spark.schema import WARC_RECORDS_SCHEMA
+
+
+def _records_to_pdf(result, include_payload, include_content):
+    rows = []
+    err_count = result["err_count"]
+    error = result["error"]
+    for r in result["records"]:
+        warc_ts = None
+        raw_date = r.get("warc_date")
+        if raw_date:
+            try:
+                warc_ts = (
+                    iso_to_datetime(raw_date)
+                    if "-" in raw_date
+                    else ts14_to_datetime(raw_date)
+                )
+            except (ValueError, TypeError):
+                warc_ts = None
+        rows.append(
+            {
+                "record_id": r["record_id"],
+                "rec_type": r["rec_type"],
+                "format": r["format"],
+                "url": r["url"],
+                "warc_ts": warc_ts,
+                "rec_headers": [
+                    {"name": n, "value": v} for n, v in (r["rec_headers"] or [])
+                ],
+                "http_protocol": r["http_protocol"],
+                "http_statusline": r["http_statusline"],
+                "http_headers": None
+                if r["http_headers"] is None
+                else [{"name": n, "value": v} for n, v in r["http_headers"]],
+                "content_type": r["content_type"],
+                "length": r["length"],
+                "payload_length": r["payload_length"],
+                "payload": r["payload"] if include_payload else None,
+                "content": r["content"] if include_content else None,
+                "digest_ok": r["digest_ok"],
+                "offset": r["offset"],
+                "rec_length": r["rec_length"],
+                "filename": r["filename"],
+                "file_err_count": err_count,
+                "file_error": error,
+            }
+        )
+    return pd.DataFrame(rows, columns=[f.name for f in WARC_RECORDS_SCHEMA.fields])
+
+
+def read_warc(
+    spark: SparkSession,
+    paths,
+    known_format=None,
+    arc2warc: bool = False,
+    parse_http: bool = True,
+    verify_http: bool = False,
+    check_digests=False,
+    include_payload: bool = True,
+    include_content: bool = True,
+    ensure_http_headers: bool = False,
+) -> DataFrame:
+    """Read WARC/ARC archives into the canonical warc_records DataFrame.
+
+    ``include_payload/include_content=False`` is the engine's
+    ``no_record_parse``-style pruning (warcio/indexer.py:19): indexing jobs
+    that only project headers skip materializing body bytes entirely.
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .load(paths if isinstance(paths, str) else list(paths))
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                result = parse_warc_bytes(
+                    bytes(blob),
+                    filename=path.rsplit("/", 1)[-1],
+                    known_format=known_format,
+                    arc2warc=arc2warc,
+                    parse_http=parse_http,
+                    verify_http=verify_http,
+                    check_digests=check_digests,
+                    ensure_http_headers=ensure_http_headers,
+                )
+                yield _records_to_pdf(result, include_payload, include_content)
+
+    return files.mapInPandas(run, WARC_RECORDS_SCHEMA)
+
+
+def pages_from_records(records: DataFrame, lang_default: str = "") -> DataFrame:
+    """Project a warc_records DataFrame to the north-rule ``pages`` shape
+    (url, warc_ts, html, text, lang): response records only, text = the
+    byte-identical extracted content decoded with the reference fallback."""
+    from warcio_spark import functions as WF
+
+    resp = records.filter(F.col("rec_type") == "response")
+    return resp.select(
+        F.col("url"),
+        F.col("warc_ts"),
+        F.col("payload").alias("html"),
+        WF.decode_text(F.col("content")).alias("text"),
+        F.lit(lang_default).alias("lang"),
+    )
