@@ -1,38 +1,534 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps SURVEY.md §2 operators + the training-data-pipeline
+operators to runnable DataFrame callables over the sf testdata tables;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each (omitted only for
+genuinely non-SQL-expressible ops, which get the weaker rows-only check).
+Column names are aliased identically on both sides; float aggregates are
+rounded so value-hashes are stable across engines.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(os.path.join(sf_dir, name + ".parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one crawl-frontier scheduling round over a deterministic
+    pages universe derived from sf0.001 documents — canonicalize, hash,
+    dedup against seen, per-host politeness top-k."""
+    from warcio_spark.plans.frontier import demo_round
+
+    docs = _t(spark, SF_DEFAULT, "documents")
+    return demo_round(spark, docs)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_index_projection(spark, sf):
+    """P1/P2: computed-field projection + digest column (indexer analog)."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.filter(F.col("n_chars") > 120)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.md5("text").alias("digest"),
+            "n_chars",
+        )
+    )
+
+
+def q_rec_type_census(spark, sf):
+    """A1: record-type census as groupBy/count."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: wide aggregation with map-side partial agg."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf):
+    """J1/J4 shape: fact⋈dim⋈dim with broadcast dims."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    n = _t(spark, sf, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_anti_join_unseen(spark, sf):
+    """J3: frontier-minus-seen as a left_anti join."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    seen = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    return (
+        o.join(seen, o.o_custkey == seen.k, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_windowed_topk(spark, sf):
+    """W4: per-key priority top-k via row_number window (the politeness
+    queue shape)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank",
+                F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+def q_running_offset(spark, sf):
+    """W1: running offset (cumulative sum over preceding rows)."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.coalesce(F.sum("value").over(w), F.lit(0.0)), 2).alias("offset_val"),
+    )
+
+
+def q_seen_census(spark, sf):
+    """A6: distinct-membership census."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_json_field(spark, sf):
+    """P1 http:<header> analog: lazy field extraction from a serialized map."""
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k_str")
+    ).filter(F.col("k_str").isNotNull())
+
+
+def q_token_stats(spark, sf):
+    """Token counting (whitespace) via pure string math, engine-portable."""
+    docs = _t(spark, sf, "documents")
+    toks = F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")))
+    return docs.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        F.length("text").alias("n_chars_live"),
+    )
+
+
+def q_quality_scores(spark, sf):
+    """Quality scoring: length/punct/stopword terms."""
+    from warcio_spark.operators.textstats import punct_ratio, quality_score, stopword_ratio
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text").alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def q_lang_markers(spark, sf):
+    """Language-ID heuristic: marker-token hit counts."""
+    docs = _t(spark, sf, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    def score(markers):
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(markers)))
+    return docs.select(
+        "doc_id",
+        score(["the", "and", "of"]).alias("score_en"),
+        score(["der", "und", "die"]).alias("score_de"),
+        score(["le", "et", "les"]).alias("score_fr"),
+    )
+
+
+def q_exact_dup_groups(spark, sf):
+    """Exact dedup: hash-groupBy on md5(text) (J2/revisit analog)."""
+    from warcio_spark.operators.dedup import exact_dedup_groups
+
+    docs = _t(spark, sf, "documents")
+    return exact_dedup_groups(docs)
+
+
+def q_ngram_jaccard_adjacent(spark, sf):
+    """n-gram Jaccard near-dup scoring for adjacent-id candidate pairs."""
+    docs = _t(spark, sf, "documents")
+    toks = F.array_distinct(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    )
+    d = docs.select("doc_id", toks.alias("tokset"))
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
+    union = F.size(F.array_union(F.col("a.tokset"), F.col("b.tokset")))
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
+        )
+    )
+
+
+def q_embedding_topk(spark, sf):
+    """Similarity search: brute-force cosine top-10 for vec_id=0's vector."""
+    from warcio_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+def q_tumbling_window(spark, sf):
+    """Windowed agg (streaming shape, batch-executed): hourly tumbling."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "total")
+    )
+
+
+def q_sessionize(spark, sf):
+    """Stateful sessionization (15-min gap) per user, batch-equivalent."""
+    ev = _t(spark, sf, "events")
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", "15 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n_ev").alias("n_events")
+    )
+
+
+def q_set_except(spark, sf):
+    """W6 set ops: users who clicked but never errored."""
+    ev = _t(spark, sf, "events")
+    click = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    err = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return click.exceptAll(err).select(F.col("user_id"))
+
+
+def q_revisit_pointers(spark, sf):
+    """J2: duplicate-content rows pointing at their original capture."""
+    docs = _t(spark, sf, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("refers_to", F.first("doc_id").over(w))
+        .filter(F.col("doc_id") > F.col("refers_to"))
+        .select("doc_id", "refers_to")
+    )
+
+
+def q_per_host_budget(spark, sf):
+    """A7: per-host stats + token-bucket budget (politeness shape)."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("first_doc"))
+        .select(
+            "source", "n_docs", "first_doc",
+            F.least(F.ceil(F.col("n_docs") / 10), F.lit(50)).alias("budget"),
+        )
+    )
+
+
+# --- non-SQL-expressible ops: rows-only checks --------------------------------
+
+
+def q_simhash(spark, sf):
+    from warcio_spark.operators.dedup import simhash_deterministic
+
+    docs = _t(spark, sf, "documents")
+    return simhash_deterministic(docs)
+
+
+def q_minhash_dedup(spark, sf):
+    from warcio_spark.operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf, "documents").limit(2000)
+    return minhash_dedup(docs, threshold=0.8, num_perm=32, bands=8)
+
+
+def q_fingerprint(spark, sf):
+    from warcio_spark.operators.textstats import rolling_fingerprint
+
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
+
+
+def q_lsh_topk(spark, sf):
+    from warcio_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10, planes=6)
+
+
+def q_warc_parse_corpus(spark, sf):
+    """S1-S6: the WARC ingest source over the reference's own corpus —
+    record census by file and type (rows-only; no SQL equivalent)."""
+    from warcio_spark.operators.checker import rec_type_census
+    from warcio_spark.sources import read_warc
+
+    recs = read_warc(spark, "/root/reference/test/data/example*.warc*",
+                     include_payload=False, include_content=False)
+    return rec_type_census(recs).orderBy("filename", "rec_type")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "index_projection": q_index_projection,
+        "rec_type_census": q_rec_type_census,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "anti_join_unseen": q_anti_join_unseen,
+        "windowed_topk": q_windowed_topk,
+        "running_offset": q_running_offset,
+        "seen_census": q_seen_census,
+        "json_field": q_json_field,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_markers": q_lang_markers,
+        "exact_dup_groups": q_exact_dup_groups,
+        "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
+        "embedding_topk": q_embedding_topk,
+        "tumbling_window": q_tumbling_window,
+        "sessionize": q_sessionize,
+        "set_except": q_set_except,
+        "revisit_pointers": q_revisit_pointers,
+        "per_host_budget": q_per_host_budget,
+        "simhash": q_simhash,
+        "minhash_dedup": q_minhash_dedup,
+        "fingerprint": q_fingerprint,
+        "lsh_topk": q_lsh_topk,
+        "warc_parse_corpus": q_warc_parse_corpus,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "index_projection": """
+            SELECT doc_id, source, lang, md5(text) AS digest, n_chars
+            FROM documents WHERE n_chars > 120
+        """,
+        "rec_type_census": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "anti_join_unseen": """
+            SELECT o_orderpriority, COUNT(*) AS n
+            FROM orders
+            WHERE NOT EXISTS (
+              SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+            GROUP BY o_orderpriority
+        """,
+        "windowed_topk": """
+            SELECT o_custkey, o_orderkey, rank, ROUND(o_totalprice, 2) AS price
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders) t
+            WHERE rank <= 3
+        """,
+        "running_offset": """
+            SELECT event_id, user_id,
+                   ROUND(COALESCE(SUM(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 2)
+                   AS offset_val
+            FROM events
+        """,
+        "seen_census": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "json_field": """
+            SELECT event_id, json_extract_string(props, '$.k') AS k_str
+            FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '')) AS n_tokens,
+                   length(text) AS n_chars_live
+            FROM documents
+        """,
+        "quality_scores": """
+            SELECT doc_id,
+              ROUND(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                    / GREATEST(length(text), 1), 4) AS punct_ratio,
+              ROUND(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> lower(x) IN ('the','a','and','of','to','in')))
+                    / GREATEST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '')), 1), 4) AS stopword_ratio,
+              ROUND((
+                LEAST(length(text) / 500.0, 1.0)
+                + (1.0 - LEAST(ROUND(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                        / GREATEST(length(text), 1), 4) * 5, 1.0))
+                + LEAST(ROUND(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                        x -> lower(x) IN ('the','a','and','of','to','in')))
+                        / GREATEST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                        x -> x <> '')), 1), 4) * 4, 1.0)
+              ) / 3.0, 4) AS quality
+            FROM documents
+        """,
+        "lang_markers": """
+            SELECT doc_id,
+              len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  x -> lower(x) IN ('the','and','of'))) AS score_en,
+              len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  x -> lower(x) IN ('der','und','die'))) AS score_de,
+              len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  x -> lower(x) IN ('le','et','les'))) AS score_fr
+            FROM documents
+        """,
+        "exact_dup_groups": """
+            SELECT md5(text) AS digest, COUNT(*) AS n_dups,
+                   MIN(doc_id) AS keep_id
+            FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+        """,
+        "ngram_jaccard_adjacent": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS tokset
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(len(list_intersect(a.tokset, b.tokset))::DOUBLE
+                         / GREATEST(len(list_distinct(list_concat(a.tokset, b.tokset))), 1), 4)
+                   AS jaccard
+            FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        """,
+        "embedding_topk": """
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                     CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+                   ), 6) AS cosine
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "tumbling_window": """
+            SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH gaps AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 15 MINUTE
+                          OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events)
+            SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM gaps GROUP BY user_id
+        """,
+        "set_except": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'error'
+        """,
+        "revisit_pointers": """
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS refers_to
+            FROM documents
+            QUALIFY doc_id > refers_to
+        """,
+        "per_host_budget": """
+            SELECT source, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
+                   LEAST(CAST(CEIL(COUNT(*) / 10.0) AS BIGINT), 50) AS budget
+            FROM documents GROUP BY source
+        """,
+        # simhash / minhash_dedup / fingerprint / lsh_topk / warc_parse_corpus:
+        # non-SQL-expressible (custom hashing / LSH / external corpus) —
+        # rows-only checks by design.
+    }

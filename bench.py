@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Each query is forced end-to-end with a noop sink (full materialization, no
+driver collect). The frontier round additionally reports URLs/sec — the
+north-rule headline metric. Run with SPARK_GRAFT_BENCH_SCALING=1 to also
+measure local[8] vs local[32] scaling efficiency (separate sessions).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+BENCH_QUERIES = [
+    "index_projection",
+    "pricing_summary",
+    "revenue_by_nation",
+    "anti_join_unseen",
+    "windowed_topk",
+    "running_offset",
+    "tumbling_window",
+    "sessionize",
+    "token_stats",
+    "quality_scores",
+    "lang_markers",
+    "exact_dup_groups",
+    "ngram_jaccard_adjacent",
+    "simhash",
+    "minhash_dedup",
+    "fingerprint",
+    "embedding_topk",
+    "lsh_topk",
+]
+
+
+def make_spark(cpus: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("warcio_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(8, int(cpus))))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_suite(spark, sf_dir: str):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # frontier round: schedule over a candidate universe derived from the
+    # documents table; report URLs/sec through canonicalize->hash->dedup->
+    # politeness-schedule
+    from pyspark.sql import functions as F
+
+    from warcio_spark.plans.frontier import demo_round
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_urls = docs.count()
+    t0 = time.perf_counter()
+    force(demo_round(spark, docs))
+    frontier_sec = time.perf_counter() - t0
+    timings["frontier_round"] = round(frontier_sec, 3)
+    urls_per_sec = round(n_urls / frontier_sec, 1)
+    return timings, urls_per_sec, n_urls
+
+
+def main():
+    sf_label = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    # one warmup action so JVM/codegen startup isn't billed to the first query
+    spark.range(1000).count()
+    t0 = time.perf_counter()
+    timings, urls_per_sec, n_urls = run_suite(spark, SF_DIR)
+    total = round(time.perf_counter() - t0, 3)
+    spark.stop()
+
+    out = {
+        "metric": "bench_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_label,
+        "frontier_urls_per_sec": urls_per_sec,
+        "frontier_urls": n_urls,
+        "cpus": int(CPUS),
+    }
+
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING"):
+        scaling = {}
+        for cpus in ("8", "32"):
+            s = make_spark(cpus)
+            s.sparkContext.setLogLevel("ERROR")
+            s.range(1000).count()
+            t0 = time.perf_counter()
+            _, ups, _ = run_suite(s, SF_DIR)
+            scaling[cpus] = {
+                "suite_sec": round(time.perf_counter() - t0, 3),
+                "frontier_urls_per_sec": ups,
+            }
+            s.stop()
+        eff = (scaling["32"]["frontier_urls_per_sec"]
+               / scaling["8"]["frontier_urls_per_sec"]) / 4.0
+        out["scaling"] = scaling
+        out["scaling_efficiency_8_to_32"] = round(eff, 3)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Emulate the driver's correctness gate: every queries() entry runs at
+sf0.001 and matches its oracle_sql() DuckDB result on row count, schema
+(column names) and exact values (order-insensitive)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_CONTRACT_SF", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].astype("float64").round(9)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+ORACLED = sorted(entrymod.oracle_sql().keys())
+ROWS_ONLY = sorted(set(entrymod.queries().keys()) - set(ORACLED))
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_vs_oracle(spark, ddb, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    mine = normalize(q(spark, SF).toPandas())
+    oracle = normalize(ddb.sql(sql).df())
+    assert list(mine.columns) == list(oracle.columns), (
+        f"{name}: columns {list(mine.columns)} vs {list(oracle.columns)}"
+    )
+    assert len(mine) == len(oracle), f"{name}: rows {len(mine)} vs {len(oracle)}"
+    if not mine.equals(oracle):
+        diff_cols = [
+            c for c in mine.columns if not mine[c].equals(oracle[c])
+        ]
+        detail = {}
+        for c in diff_cols[:3]:
+            neq = mine[c] != oracle[c]
+            detail[c] = (mine[c][neq].head(3).tolist(), oracle[c][neq].head(3).tolist())
+        raise AssertionError(f"{name}: value mismatch in {diff_cols}: {detail}")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    q = entrymod.queries()[name]
+    df = q(spark, SF)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.limit(5).collect()
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+    assert rows[0].fetch_order is not None

@@ -1,0 +1,180 @@
+"""Frontier/crawl parity: the Spark engine must reproduce the single-process
+oracle crawler's fetch ordering + URL-seen set exactly, at any partitioning
+(BASELINE.json:2,6 correctness gate)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from warcio_spark.plans import crawl as crawlmod
+from warcio_spark.plans import reference_crawler as oracle
+from warcio_spark.plans.frontier import (
+    PolitenessConfig,
+    fetch_order,
+    prepare_candidates,
+    schedule_round,
+)
+
+CFG = PolitenessConfig(slot_seconds=60, default_crawl_delay=5.0,
+                       max_host_budget=100, salt_buckets=4)
+OCFG = oracle.OracleConfig(slot_seconds=60, default_crawl_delay=5.0,
+                           max_host_budget=100)
+
+
+def make_candidates(n=800):
+    """Deterministic candidates with dup urls, Zipf hosts, URL edge cases."""
+    cands = []
+    for i in range(n):
+        h = 0 if i % 10 < 3 else (1 if i % 10 < 5 else 2 + (i * 7) % 37)
+        host = f"host{h}.example.com"
+        variant = i % 11
+        if variant == 0:
+            url = f"HTTP://{host.upper()}/p/{i}"
+        elif variant == 1:
+            url = f"http://{host}:80/p/{i}"
+        elif variant == 2:
+            url = f"http://{host}/a/../p/{i}"
+        elif variant == 3:
+            url = f"http://{host}/p/{i - 3 if i >= 3 else i}"  # dup of i-3
+        else:
+            url = f"http://{host}/p/{i}?q={i % 5}"
+        cands.append(
+            {"url": url, "priority": float((i * 13) % 100) / 2, "seq": i}
+        )
+    return cands
+
+
+def make_robots():
+    robots = {}
+    for h in list(range(40)):
+        host = f"host{h}.example.com"
+        robots[host] = {
+            "allowed": h % 13 != 1,
+            "crawl_delay": 2.0 + (h % 4) * 3.0,
+        }
+    return robots
+
+
+def robots_df(spark, robots):
+    rows = [
+        (host, r["allowed"], r["crawl_delay"]) for host, r in robots.items()
+    ]
+    return spark.createDataFrame(
+        rows, "host string, allowed boolean, crawl_delay double"
+    )
+
+
+def spark_schedule(spark, cands, seen_canon, robots, partitions):
+    raw = spark.createDataFrame(
+        [(c["url"], c["priority"], c["seq"]) for c in cands],
+        "url string, priority double, seq long",
+    ).repartition(partitions)
+    seen = (
+        spark.createDataFrame([(u,) for u in seen_canon], "url_canon string")
+        .select(F.xxhash64("url_canon").alias("url_hash"))
+        if seen_canon
+        else None
+    )
+    prepped = prepare_candidates(raw, seen, robots_df(spark, robots), CFG)
+    out = fetch_order(schedule_round(prepped, CFG))
+    return [
+        (r.fetch_order, r.url_canon, r.host_rank, r.fetch_ts_offset)
+        for r in out.orderBy("fetch_order").collect()
+    ]
+
+
+@pytest.mark.parametrize("partitions", [1, 7])
+def test_schedule_round_matches_oracle(spark, partitions):
+    cands = make_candidates()
+    robots = make_robots()
+    seen = {oracle.canonicalize_url(c["url"]) for c in cands[::9]}
+
+    want = [
+        (c["fetch_order"], c["url_canon"], c["host_rank"], c["fetch_ts_offset"])
+        for c in oracle.schedule(cands, seen, robots, OCFG)
+    ]
+    got = spark_schedule(spark, cands, seen, robots, partitions)
+    assert got == want
+    assert len(got) > 50
+
+
+def test_schedule_respects_budget_and_politeness(spark):
+    cands = make_candidates()
+    robots = make_robots()
+    picked = oracle.schedule(cands, set(), robots, OCFG)
+    per_host = {}
+    for c in picked:
+        per_host.setdefault(c["host"], []).append(c)
+    for host, items in per_host.items():
+        budget = OCFG.budget(items[0]["crawl_delay"])
+        assert len(items) <= budget
+        # token-bucket offsets strictly increase per host
+        offs = [c["fetch_ts_offset"] for c in sorted(items, key=lambda x: x["host_rank"])]
+        assert offs == sorted(offs)
+    # denied hosts never scheduled
+    for c in picked:
+        assert robots[c["host"]]["allowed"]
+
+
+@pytest.mark.parametrize("partitions", [2, 9])
+def test_multi_round_crawl_matches_oracle(spark, partitions, tmp_path):
+    cands = make_candidates(300)
+    robots = make_robots()
+
+    want_log, want_seen = oracle.crawl(
+        cands, robots, crawlmod.oracle_outlinks, rounds=3, cfg=OCFG
+    )
+
+    seeds = spark.createDataFrame(
+        [(c["url"], c["priority"], c["seq"]) for c in cands],
+        "url string, priority double, seq long",
+    ).repartition(partitions)
+    state_dir = str(tmp_path / f"crawl_{partitions}")
+    crawlmod.crawl(spark, seeds, robots_df(spark, robots), state_dir,
+                   rounds=3, cfg=CFG)
+
+    got = [
+        (r.round, r.fetch_order, r.url_canon)
+        for r in crawlmod.fetch_log(spark, state_dir)
+        .orderBy("round", "fetch_order")
+        .collect()
+    ]
+    assert got == sorted(want_log, key=lambda t: (t[0], t[1]))
+
+    state = crawlmod.RoundState(state_dir)
+    got_seen = {
+        r.url_canon
+        for r in state.read(spark, state.last_round(), "seen").collect()
+    }
+    assert got_seen == want_seen
+
+
+def test_crawl_resume_is_exact(spark, tmp_path):
+    """Stop after round 2, resume for 2 more — identical to 4 straight."""
+    cands = make_candidates(300)
+    robots = make_robots()
+    seeds = spark.createDataFrame(
+        [(c["url"], c["priority"], c["seq"]) for c in cands],
+        "url string, priority double, seq long",
+    )
+    rdf = robots_df(spark, robots)
+
+    d_full = str(tmp_path / "full")
+    crawlmod.crawl(spark, seeds, rdf, d_full, rounds=4, cfg=CFG)
+
+    d_resume = str(tmp_path / "resume")
+    crawlmod.crawl(spark, seeds, rdf, d_resume, rounds=2, cfg=CFG)
+    crawlmod.crawl(spark, seeds, rdf, d_resume, rounds=2, cfg=CFG, resume=True)
+
+    a = [
+        (r.round, r.fetch_order, r.url_canon)
+        for r in crawlmod.fetch_log(spark, d_full).orderBy("round", "fetch_order").collect()
+    ]
+    b = [
+        (r.round, r.fetch_order, r.url_canon)
+        for r in crawlmod.fetch_log(spark, d_resume).orderBy("round", "fetch_order").collect()
+    ]
+    assert a == b
+    assert len({r for r, _, _ in a}) == 4

@@ -1,0 +1,317 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five strategies, cheapest-first, all shuffle-conscious:
+
+- exact_dedup          hash-groupBy on md5(text); one shuffle on the digest
+- ngram_jaccard_pairs  exact n-gram Jaccard for candidate pairs
+- minhash_lsh_pairs    MinHash signatures + LSH banding: near-dup candidates
+                       found with b small shuffles on band buckets instead of
+                       an O(n^2) cross join — the 100 TB path
+- simhash              64-bit SimHash per doc + hamming-ball bucketing
+- embedding_near_dup   cosine-over-threshold pairs via LSH-ish bucketing
+
+The revisit-record emit of the reference (same payload digest => revisit,
+warcio/recordbuilder.py:62-80) is exactly exact_dedup on the payload digest:
+see ``revisit_candidates``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from warcio_spark.operators.textstats import tokens
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical docs: one shuffle on the md5 digest.
+    Map-side partial aggregation kicks in automatically (hash agg)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup_keep_first(df: DataFrame, text_col: str = "text",
+                           order_col: str = "doc_id") -> DataFrame:
+    """Keep the first doc per digest — windowed, not distinct, so the kept
+    row is deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(order_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def revisit_candidates(records: DataFrame, digest_col: str = "payload_digest",
+                       order_col: str = "warc_ts") -> DataFrame:
+    """The reference's revisit semantics as a dedup join: every record whose
+    payload digest matches an earlier capture points at the original
+    (J2, warcio/recordbuilder.py:62-80)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(digest_col).orderBy(order_col)
+    return (
+        records.withColumn("_rn", F.row_number().over(w))
+        .withColumn("refers_to_url", F.first("url").over(w))
+        .withColumn("refers_to_ts", F.first(order_col).over(w))
+        .filter(F.col("_rn") > 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact similarity for candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(text, n: int = 3) -> Column:
+    """Word n-gram shingles as an array of strings."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def jaccard(a: Column, b: Column, decimals: int = 4) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.round(inter / F.greatest(union, F.lit(1)), decimals)
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, n: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact n-gram Jaccard for given (id_a, id_b) candidate pairs.
+    Two broadcast-or-shuffle hash joins; no cross join ever."""
+    shingled = df.select(
+        F.col(id_col).alias("_id"), word_ngrams(text_col, n).alias("_sh")
+    )
+    return (
+        pairs.join(shingled.withColumnRenamed("_id", "id_a")
+                   .withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(shingled.withColumnRenamed("_id", "id_b")
+              .withColumnRenamed("_sh", "sh_b"), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text, num_perm: int = 64, shingle_n: int = 3) -> Column:
+    """num_perm-wide MinHash signature: per permutation p, the min xxhash64
+    of (shingle, p) — all JVM-side, no Python."""
+    sh = word_ngrams(text, shingle_n)
+
+    def perm_min(p):
+        # closure factory (a default-arg lambda would receive the array
+        # index as p — pyspark's 2-arg transform form)
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(p))))
+
+    return F.array(*[perm_min(p) for p in range(num_perm)])
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_perm: int = 64,
+                      bands: int = 16, shingle_n: int = 3) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    Scale shape: one narrow map producing (band, band_hash, id), one
+    shuffle per groupBy on (band, band_hash) — skew-safe because identical
+    band hashes ARE the candidates; self-join within buckets only. At
+    10^10 docs the bucket join replaces an impossible O(n^2) cross join.
+    """
+    rows = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(text_col, num_perm, shingle_n).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.element_at("_sig", b * rows + r + 1)
+                                       for r in range(rows)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(df: DataFrame, threshold: float = 0.8, id_col: str = "doc_id",
+                  text_col: str = "text", num_perm: int = 64, bands: int = 16,
+                  shingle_n: int = 3) -> DataFrame:
+    """Candidates via LSH, verified with exact n-gram Jaccard >= threshold."""
+    cands = minhash_lsh_pairs(df, id_col, text_col, num_perm, bands, shingle_n)
+    verified = ngram_jaccard_pairs(df, cands, shingle_n, id_col, text_col)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64(token_arrays: pd.Series) -> pd.Series:
+    """64-bit SimHash over token arrays (numpy-vectorized bit voting)."""
+
+    def sim(toks) -> int:
+        if toks is None or len(toks) == 0:
+            return 0
+        hashes = np.array(
+            [hash(t) & 0xFFFFFFFFFFFFFFFF for t in toks], dtype=np.uint64
+        )
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        out = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            out |= np.uint64(1) << np.uint64(b)
+        return int(out.astype(np.int64))
+
+    return token_arrays.map(sim)
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Note: python hash() of str is salted per-process — use the
+    deterministic JVM variant below for cross-run stability."""
+    return df.select(F.col(id_col), _simhash64(tokens(text_col)).alias("simhash"))
+
+
+def simhash_deterministic(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Deterministic 64-bit SimHash built entirely from JVM expressions:
+    per-bit vote = sum over tokens of (bit(xxhash64(token))*2-1), sign bits
+    assembled into one long — single narrow projection, no shuffle."""
+    toks = tokens(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    df2 = df.select(F.col(id_col), hashes.alias("_h"))
+    sim = F.expr(
+        """
+        aggregate(
+          zip_with(
+            transform(sequence(0, 63), b ->
+              aggregate(_h, CAST(0 AS BIGINT),
+                        (acc, h) -> acc + (shiftright(h, CAST(b AS INT)) & 1) * 2 - 1)),
+            sequence(0, 63),
+            (v, b) -> IF(v > 0,
+                         shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)),
+                         CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT), (acc, x) -> acc | x)
+        """
+    )
+    return df2.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(sim_df: DataFrame, prefix_bits: int = 16) -> DataFrame:
+    """Candidate pairs whose simhash shares a high-bit prefix (bucketed
+    self-join; refine with hamming distance via bit_count(xor))."""
+    b = sim_df.withColumn("bucket", F.shiftright("simhash", 64 - prefix_bits))
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_similarity(a: Column, b: Column, decimals: int = 6) -> Column:
+    """Cosine over array<float/double> — F.aggregate/zip_with, JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return F.round(dot / F.greatest(na * nb, F.lit(1e-12)), decimals)
+
+
+def embedding_near_dup(emb: DataFrame, threshold: float = 0.95,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       planes: int = 12) -> DataFrame:
+    """Near-duplicate embedding pairs: random-hyperplane LSH bucket (sign
+    sketch from deterministic pseudo-planes) then exact cosine verify within
+    buckets. One shuffle on the sketch bucket."""
+    dim_idx = F.sequence(F.lit(0), F.size(vec_col) - 1)
+
+    # deterministic pseudo-hyperplanes: plane p's weight for dim d is a
+    # +-1 sign derived from xxhash64(d, p) — JVM-only, reproducible
+    def plane_sign(p):
+        def weigh(v, d):
+            sign = (F.pmod(F.xxhash64(d.cast("string"), F.lit(p)), F.lit(2)) * 2 - 1)
+            return v.cast("double") * sign.cast("double")
+
+        contrib = F.zip_with(F.col(vec_col), dim_idx, weigh)
+        return (
+            F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x) > 0
+        ).cast("int")
+
+    bucket = F.concat_ws("", *[plane_sign(p) for p in range(planes)])
+    sk = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                    bucket.alias("_bucket"))
+    l, r = sk.alias("l"), sk.alias("r")
+    return (
+        l.join(r, (F.col("l._bucket") == F.col("r._bucket"))
+               & (F.col("l._id") < F.col("r._id")))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            cosine_similarity(F.col("l._v"), F.col("r._v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,63 @@
+"""Indexing job: the reference CLI's ``warcio index -f fields`` as a
+DataFrame projection (warcio/indexer.py:15-87, warcio/cli.py:30-34).
+
+Field mini-DSL -> Column expressions; ``http:``-prefixed fields resolve
+against the http headers array, everything else against the WARC headers;
+``offset``/``length``/``filename`` come from the member columns. Because the
+fields become plain ``select`` expressions, Catalyst column pruning IS the
+reference's lazy-parse optimization (no_record_parse, warcio/indexer.py:19):
+an index that never touches http fields never materializes them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from warcio_spark import functions as WF
+
+DEFAULT_FIELDS = ["offset", "warc-type", "warc-target-uri"]
+
+
+def field_expr(name: str) -> Column:
+    """One index field -> Column (warcio/indexer.py:64-81)."""
+    if name == "offset":
+        return F.col("offset").cast("string")
+    if name == "length":
+        return F.col("rec_length").cast("string")
+    if name == "filename":
+        return F.col("filename")
+    if name == "http:status":
+        return F.when(
+            F.col("rec_type").isin("response", "revisit")
+            & F.col("http_statusline").isNotNull(),
+            WF.statuscode("http_statusline"),
+        )
+    if name.startswith("http:"):
+        return WF.header_get("http_headers", name[5:])
+    return WF.header_get("rec_headers", name)
+
+
+def index_fields(records: DataFrame, fields=None) -> DataFrame:
+    """Projection of index fields, one column per field (null = absent)."""
+    fields = fields or DEFAULT_FIELDS
+    if isinstance(fields, str):
+        fields = fields.split(",")
+    return records.select(*[field_expr(f).alias(f) for f in fields])
+
+
+def index_ndjson(records: DataFrame, fields=None) -> DataFrame:
+    """NDJSON index lines with null fields dropped, preserving field order
+    (warcio/indexer.py:43-53,86-87)."""
+    fields = fields or DEFAULT_FIELDS
+    if isinstance(fields, str):
+        fields = fields.split(",")
+    proj = index_fields(records, fields)
+    line = F.to_json(
+        F.struct(*[F.col(f) for f in fields])
+    )  # to_json drops nulls by default (ignoreNullFields)
+    return proj.select(line.alias("line"))
+
+
+def write_index(records: DataFrame, path: str, fields=None) -> None:
+    index_ndjson(records, fields).write.mode("overwrite").text(path)

@@ -1,0 +1,118 @@
+"""Multimodal column operators: image/audio/video as opaque binary columns
+with typed metadata.
+
+The container has no image/audio codecs, so the decode kernels are STUBBED
+behind ``_decode_image_stub`` (deterministic fake) — the Spark-side plumbing
+(schemas, Arrow batch shapes, mapInPandas signatures, partitioning) is real
+and tested. Swap the stub for PIL/libav calls on a real cluster.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("data", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _decode_image_stub(data: bytes):
+    """Deterministic fake decode: derives (w, h, c, 16-dim feature) from the
+    bytes. Replace with a real codec on a cluster with PIL/turbojpeg:
+        raise NotImplementedError("image codec not available in sandbox")
+    """
+    if data is None or len(data) == 0:
+        return None
+    h = np.frombuffer(
+        np.array([len(data)], dtype=np.int64).tobytes() + data[:64].ljust(64, b"\0"),
+        dtype=np.uint8,
+    )
+    rng_base = int(h.sum())
+    w, ht, c = 16 + rng_base % 640, 16 + (rng_base // 7) % 480, 3
+    feat = ((h[:16].astype(np.float32) / 255.0) * 2 - 1).tolist()
+    return w, ht, c, feat
+
+
+def image_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
+    """Decode + feature-extract images via mapInPandas (Arrow batches of
+    binary cells — the real shape a codec UDF runs at)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
+                if kind != "image":
+                    continue
+                decoded = _decode_image_stub(bytes(data) if data is not None else None)
+                if decoded is None:
+                    rows.append(
+                        {"media_id": mid, "width": None, "height": None,
+                         "channels": None, "features": None}
+                    )
+                else:
+                    w, h, c, feat = decoded
+                    rows.append(
+                        {"media_id": mid, "width": w, "height": h,
+                         "channels": c, "features": feat}
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "kind", "data").mapInPandas(
+        run, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_n_sec: int = 5) -> DataFrame:
+    """Video frame-sampling *plan*: computes the frame timestamps to extract
+    per video from metadata (duration), JVM-side; the actual frame decode is
+    the stubbed codec. Emitting the plan as rows keeps the decode stage an
+    embarrassingly parallel mapInPandas over (media_id, frame_ts)."""
+    dur = F.coalesce(F.element_at("meta", "duration_sec").cast("double"), F.lit(0.0))
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", F.explode(
+            F.sequence(F.lit(0), F.floor(dur).cast("int"), F.lit(every_n_sec))
+        ).alias("frame_ts"))
+    )
+
+
+def synth_media(spark, n: int, partitions: int = 4) -> DataFrame:
+    """Deterministic fake media table for tests."""
+    base = spark.range(0, n, 1, partitions)
+    return base.select(
+        F.col("id").alias("media_id"),
+        F.when(F.pmod("id", F.lit(3)) == 0, "image")
+        .when(F.pmod("id", F.lit(3)) == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.concat(F.lit("media-bytes-"), F.col("id").cast("string")), "utf-8")
+        .alias("data"),
+        F.create_map(
+            F.lit("duration_sec"), (F.pmod("id", F.lit(30)) + 1).cast("string")
+        ).alias("meta"),
+    )

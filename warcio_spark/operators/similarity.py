@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force exact top-k — one scan, one small top-k agg;
+  correct baseline at any scale that can afford the scan
+- lsh_topk: random-hyperplane bucketed candidate scan — the 100 TB path:
+  probes only matching buckets (partition pruning if the table is written
+  bucketed/partitioned by sketch prefix), recall traded via probe radius
+- ivf_topk: coarse-quantizer variant (train k centroids on a sample,
+  probe the nprobe nearest cells)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from warcio_spark.operators.dedup import cosine_similarity
+
+
+def _query_lit(query_vec) -> "F.Column":
+    return F.array(*[F.lit(float(v)) for v in query_vec])
+
+
+def cosine_topk(emb: DataFrame, query_vec, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact brute-force cosine top-k: JVM-side zip_with/aggregate dot
+    product, global top-k via orderBy+limit (Spark runs TakeOrderedAndProject
+    — per-partition heaps, no full sort shuffle)."""
+    q = _query_lit(query_vec)
+    scored = emb.select(
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), q).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def _plane_sign_expr(vec_col, p):
+    dim_idx = F.sequence(F.lit(0), F.size(vec_col) - 1)
+
+    def weigh(v, d):
+        sign = (F.pmod(F.xxhash64(d.cast("string"), F.lit(p)), F.lit(2)) * 2 - 1)
+        return v.cast("double") * sign.cast("double")
+
+    contrib = F.zip_with(
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col, dim_idx, weigh
+    )
+    return (F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x) > 0).cast("int")
+
+
+def sketch(vec_col, planes: int = 8):
+    """Deterministic random-hyperplane sign sketch as a string bucket key."""
+    return F.concat_ws("", *[_plane_sign_expr(vec_col, p) for p in range(planes)])
+
+
+def lsh_topk(emb: DataFrame, query_vec, k: int = 10, planes: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: score only vectors whose sketch matches the query's.
+
+    At 100 TB the sketch becomes a partition column of the stored table and
+    this filter prunes partitions at the source instead of scanning."""
+    # the query's sketch is computed with one tiny Spark job so the hashing
+    # (xxhash64) is guaranteed identical to the table side
+    spark = emb.sparkSession
+    qdf = spark.createDataFrame([(list(map(float, query_vec)),)], f"{vec_col} array<double>")
+    qsketch = qdf.select(sketch(vec_col, planes).alias("s")).first().s
+
+    q = _query_lit(query_vec)
+    cand = emb.filter(sketch(vec_col, planes) == F.lit(qsketch))
+    scored = cand.select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine"))
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def ivf_topk(emb: DataFrame, query_vec, k: int = 10, n_cells: int = 16,
+             nprobe: int = 2, sample_frac: float = 0.1, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: k-means-ish centroids from a deterministic sample
+    (one pass, driver-side tiny), assign rows to nearest centroid (JVM
+    expression), probe the nprobe cells nearest the query.
+
+    The assign expression is a literal centroid table folded into codegen —
+    no shuffle at query time; at scale the cell id is a partition column.
+    """
+    import numpy as np
+
+    rows = (
+        emb.sample(fraction=min(1.0, sample_frac), seed=seed)
+        .select(vec_col)
+        .limit(n_cells * 50)
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    centroids = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(5):  # few Lloyd iterations, driver-side on the sample
+        d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            pts = X[assign == c]
+            if len(pts):
+                centroids[c] = pts.mean(axis=0)
+
+    def dist2_expr(vec, c):
+        arr = F.array(*[F.lit(float(v)) for v in c])
+        return F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    vec = F.col(vec_col)
+    cell = F.lit(0)
+    best = dist2_expr(vec, centroids[0])
+    for ci in range(1, len(centroids)):
+        d = dist2_expr(vec, centroids[ci])
+        cell = F.when(d < best, F.lit(ci)).otherwise(cell)
+        best = F.least(best, d)
+
+    qd = ((centroids - np.array(query_vec, dtype=np.float64)) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in qd.argsort()[:nprobe]]
+
+    q = _query_lit(query_vec)
+    cand = emb.withColumn("_cell", cell).filter(F.col("_cell").isin(probe_cells))
+    scored = cand.select(F.col(id_col), cosine_similarity(vec, q).alias("cosine"))
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def knn_join(left: DataFrame, right: DataFrame, k: int = 5, planes: int = 6,
+             id_left: str = "vec_id", id_right: str = "vec_id",
+             vec_left: str = "embedding", vec_right: str = "embedding") -> DataFrame:
+    """Bucketed approximate kNN join: pairs share a sketch bucket, ranked by
+    cosine per left id (windowed top-k — no cross join)."""
+    from pyspark.sql import Window
+
+    l = left.select(F.col(id_left).alias("lid"), F.col(vec_left).alias("lv"),
+                    sketch(vec_left, planes).alias("b"))
+    r = right.select(F.col(id_right).alias("rid"), F.col(vec_right).alias("rv"),
+                     sketch(vec_right, planes).alias("b"))
+    pairs = l.join(r, "b").filter(F.col("lid") != F.col("rid"))
+    scored = pairs.select(
+        "lid", "rid", cosine_similarity(F.col("lv"), F.col("rv")).alias("cosine")
+    )
+    w = Window.partitionBy("lid").orderBy(F.desc("cosine"), F.asc("rid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines over a documents-like
+table: token counting, quality scoring, language id, fingerprinting.
+
+All hot-path math is JVM-side (split/length/regexp expressions inside
+whole-stage codegen); only the rolling-hash fingerprint needs a pandas UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# small multilingual stopword marker sets for the n-gram language heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "que", "los"],
+}
+
+_WORD_SPLIT = r"\s+"
+
+
+def tokens(text) -> Column:
+    """Whitespace tokenization, empty-safe."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(col, _WORD_SPLIT), lambda t: t != F.lit(""))
+
+
+def token_count(text) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.length(col)
+
+
+def punct_ratio(text) -> Column:
+    """fraction of characters that are not alnum/space (4 decimals)."""
+    col = F.col(text) if isinstance(text, str) else text
+    non_alnum = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return F.round(non_alnum / F.greatest(F.length(col), F.lit(1)), 4)
+
+
+def stopword_ratio(text, stopwords=("the", "a", "and", "of", "to", "in")) -> Column:
+    toks = tokens(text)
+    stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(list(stopwords))))
+    return F.round(stop / F.greatest(F.size(toks), F.lit(1)), 4)
+
+
+def avg_token_len(text) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 4)
+
+
+def quality_score(text) -> Column:
+    """Composite [0,1] quality heuristic: longer docs with low punctuation
+    and a sane stopword rate score higher. Deterministic, SQL-expressible."""
+    col = F.col(text) if isinstance(text, str) else text
+    len_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col) * 4, F.lit(1.0))
+    return F.round((len_term + punct_term + stop_term) / 3.0, 4)
+
+
+def lang_scores(text) -> Column:
+    """Marker-token hit counts per language as a struct column."""
+    toks = tokens(text)
+
+    def marker_count(markers):
+        # closure factory, NOT a default-arg lambda: pyspark counts lambda
+        # parameters, and a default arg turns a 1-arg HOF lambda into the
+        # (element, index) form — the index silently lands in the default
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(markers)))
+
+    fields = [
+        marker_count(markers).alias("score_" + lang)
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    return F.struct(*fields)
+
+
+def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Projection with the full stat battery (the indexer of text land)."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        char_count(text_col).alias("n_chars_computed"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        stopword_ratio(text_col).alias("stopword_ratio"),
+        avg_token_len(text_col).alias("avg_token_len"),
+        quality_score(text_col).alias("quality"),
+    )
+
+
+@F.pandas_udf(T.LongType())
+def rolling_fingerprint(text: pd.Series) -> pd.Series:
+    """Polynomial rolling-hash document fingerprint (Rabin-Karp style,
+    base 1000003 mod 2^61-1) — stable across partitions/runs."""
+    MOD = (1 << 61) - 1
+    BASE = 1000003
+
+    def fp(s):
+        if s is None:
+            return None
+        h = 0
+        for ch in s.encode("utf-8"):
+            h = (h * BASE + ch) % MOD
+        return h
+
+    return text.map(fp)

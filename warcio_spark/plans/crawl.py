@@ -1,0 +1,213 @@
+"""Batch-incremental crawl loop with checkpointed rounds (north rule §2.9).
+
+Each round is one atomic commit: schedule -> fetch(simulated) -> expand
+outlinks -> merge seen -> persist. State lives in parquet "snapshots" behind
+a thin shim (``RoundState``) with the Iceberg semantics the north rule needs
+— atomic round commit (a _COMMIT marker written last) and exact resume from
+the last committed round. Swap the shim for an Iceberg catalog on a real
+cluster; the plan shapes don't change.
+
+Per-round metrics include per-partition lineage (spark_partition_id row
+counts of the scheduled output) — the observability hook BASELINE.json:14
+asks for.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warcio_spark.plans.frontier import (
+    PolitenessConfig,
+    fetch_order,
+    prepare_candidates,
+    schedule_round,
+)
+
+FRONTIER_COLS = ["url", "priority", "seq"]
+SEEN_COLS = ["url_hash", "url_canon"]
+
+
+@dataclass
+class RoundState:
+    """Parquet-snapshot shim: state_dir/round=N/{scheduled,seen,frontier} +
+    metrics.json, committed by writing _COMMIT last."""
+
+    state_dir: str
+
+    def round_dir(self, n: int) -> str:
+        return os.path.join(self.state_dir, f"round={n}")
+
+    def committed_rounds(self):
+        if not os.path.isdir(self.state_dir):
+            return []
+        out = []
+        for d in os.listdir(self.state_dir):
+            if d.startswith("round=") and os.path.exists(
+                os.path.join(self.state_dir, d, "_COMMIT")
+            ):
+                out.append(int(d.split("=", 1)[1]))
+        return sorted(out)
+
+    def last_round(self) -> int:
+        rounds = self.committed_rounds()
+        return rounds[-1] if rounds else 0
+
+    def write_round(self, spark: SparkSession, n: int, scheduled: DataFrame,
+                    seen: DataFrame, frontier: DataFrame, metrics: dict):
+        d = self.round_dir(n)
+        scheduled.write.mode("overwrite").parquet(os.path.join(d, "scheduled"))
+        seen.write.mode("overwrite").parquet(os.path.join(d, "seen"))
+        frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
+        with open(os.path.join(d, "metrics.json"), "w") as f:
+            json.dump(metrics, f)
+        with open(os.path.join(d, "_COMMIT"), "w") as f:
+            f.write(str(time.time()))
+
+    def read(self, spark: SparkSession, n: int, what: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.round_dir(n), what))
+
+    def read_metrics(self, n: int) -> dict:
+        with open(os.path.join(self.round_dir(n), "metrics.json")) as f:
+            return json.load(f)
+
+
+def default_outlinks(scheduled: DataFrame) -> DataFrame:
+    """Deterministic synthetic link expansion (JVM expressions only), mirrored
+    arithmetic-for-arithmetic by ``reference_crawler``-side
+    ``oracle_outlinks``: a fetched url with sequence s emits (s % 3) children.
+    """
+    k = F.pmod("seq", F.lit(3))
+    j = F.explode(F.sequence(F.lit(1), k))  # empty when k == 0
+    base = scheduled.filter(F.pmod("seq", F.lit(3)) > 0).select(
+        "seq", "priority", j.alias("j")
+    )
+    return base.select(
+        F.concat(
+            F.lit("http://host"),
+            F.pmod(F.col("seq") * 7 + F.col("j") * 13, F.lit(97)).cast("string"),
+            F.lit(".example.com/doc/"),
+            F.col("seq").cast("string"),
+            F.lit("/"),
+            F.col("j").cast("string"),
+        ).alias("url"),
+        (F.pmod(F.col("seq") * 31 + F.col("j") * 17, F.lit(1000)) / 10.0).alias(
+            "priority"
+        ),
+        (F.lit(10_000_000) + F.col("seq") * 8 + F.col("j")).alias("seq"),
+    )
+
+
+def oracle_outlinks(c: dict) -> list:
+    """The same expansion for the single-process oracle crawler."""
+    s = c["seq"]
+    out = []
+    for j in range(1, (s % 3) + 1):
+        out.append(
+            {
+                "url": "http://host{0}.example.com/doc/{1}/{2}".format(
+                    (s * 7 + j * 13) % 97, s, j
+                ),
+                "priority": ((s * 31 + j * 17) % 1000) / 10.0,
+                "seq": 10_000_000 + s * 8 + j,
+            }
+        )
+    return out
+
+
+def partition_lineage(df: DataFrame) -> list:
+    """Per-partition row counts — cheap lineage/skew observability."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .orderBy("pid")
+        .collect()
+    )
+    return [{"pid": r.pid, "rows": r["count"]} for r in rows]
+
+
+def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
+          state_dir: str, rounds: int, cfg: PolitenessConfig | None = None,
+          outlinks_fn=default_outlinks, resume: bool = True) -> dict:
+    """Run (or resume) a checkpointed crawl. Returns summary metrics.
+
+    seeds: DataFrame(url, priority, seq). Each round:
+      1. prepare: canonicalize+hash+dedup, anti-join seen, robots broadcast
+      2. schedule: salted politeness top-k, global fetch order
+      3. expand: outlinks of fetched urls -> new candidates
+      4. commit: scheduled/seen/frontier snapshots + metrics, atomically
+    """
+    cfg = cfg or PolitenessConfig()
+    state = RoundState(state_dir)
+
+    start_round = state.last_round() if resume else 0
+    if start_round:
+        seen = state.read(spark, start_round, "seen")
+        frontier = state.read(spark, start_round, "frontier")
+    else:
+        seen = spark.createDataFrame([], "url_hash long, url_canon string")
+        frontier = seeds.select(*FRONTIER_COLS)
+
+    summary = {"rounds": [], "started_at_round": start_round + 1}
+    for n in range(start_round + 1, start_round + rounds + 1):
+        t0 = time.perf_counter()
+        cands = prepare_candidates(frontier, seen, robots, cfg).cache()
+        scheduled = fetch_order(schedule_round(cands, cfg)).cache()
+        n_scheduled = scheduled.count()
+        if n_scheduled == 0:
+            cands.unpersist()
+            scheduled.unpersist()
+            break
+
+        new_seen = seen.unionByName(
+            scheduled.select(*SEEN_COLS)
+        ).dropDuplicates(["url_hash"])
+        # robots-denied urls leave the frontier for good (same rule in the
+        # oracle crawler); unscheduled eligible candidates carry over
+        remaining = (
+            cands.filter(F.col("allowed"))
+            .join(scheduled.select("url_hash"), "url_hash", "left_anti")
+            .select(*FRONTIER_COLS)
+        )
+        expanded = outlinks_fn(scheduled).select(*FRONTIER_COLS)
+        next_frontier = remaining.unionByName(expanded)
+
+        metrics = {
+            "round": n,
+            "n_candidates": cands.count(),
+            "n_scheduled": n_scheduled,
+            "n_hosts": scheduled.select("host").distinct().count(),
+            "n_seen": new_seen.count(),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+            "scheduled_partition_lineage": partition_lineage(scheduled),
+        }
+        state.write_round(spark, n, scheduled, new_seen, next_frontier, metrics)
+        summary["rounds"].append(metrics)
+
+        cands.unpersist()
+        scheduled.unpersist()
+        # read back from the snapshot so every round's inputs are exactly the
+        # committed state (resume-equivalence by construction)
+        seen = state.read(spark, n, "seen")
+        frontier = state.read(spark, n, "frontier")
+
+    summary["last_round"] = state.last_round()
+    return summary
+
+
+def fetch_log(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The crawl's full fetch log: (round, fetch_order, url_canon) — the
+    parity surface vs the oracle crawler."""
+    state = RoundState(state_dir)
+    logs = None
+    for n in state.committed_rounds():
+        df = state.read(spark, n, "scheduled").select(
+            F.lit(n).alias("round"), "fetch_order", "url_canon"
+        )
+        logs = df if logs is None else logs.unionByName(df)
+    return logs

@@ -1,0 +1,219 @@
+"""Crawl frontier + fetch scheduler (the north rule, BASELINE.json:6,14).
+
+A brand-new PySpark-native frontier — no reference code exists for this
+layer (warcio delegates crawl state to callers); semantics are defined here
+and mirrored exactly by the single-process oracle in
+``warcio_spark.plans.reference_crawler`` for parity tests.
+
+Scale design (10^10-URL frontier):
+
+- seen-set: exact ``left_anti`` join on a 64-bit canonical-url hash — a
+  sort-merge join at scale whose shuffle is pruned by an optional Bloom
+  pre-filter (``bloom_filter_agg``/``might_contain``) that eliminates the
+  never-seen majority before the shuffle.
+- politeness queue: per-host windowed top-k with **salted pre-pruning**:
+  mega-hosts are first reduced per (host, salt) to ``budget`` rows, so the
+  exact per-host window never sees more than S*budget rows of a hot host —
+  the skew killer that makes host-partitioned windows survive Zipf hosts.
+- robots: broadcast join on host (the rules table is tiny relative to the
+  frontier).
+- determinism: every emit is totally ordered by (priority desc, seq) with
+  seq a stable input sequence number — N-core and 4N-core runs produce
+  identical fetch orders (verified in tests at local[2] vs local[8]).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from warcio_spark import functions as WF
+
+
+@dataclass(frozen=True)
+class PolitenessConfig:
+    slot_seconds: int = 60          # scheduling slot length
+    default_crawl_delay: float = 5.0  # seconds between hits on one host
+    max_host_budget: int = 100      # hard cap per host per round
+    salt_buckets: int = 8           # pre-prune parallelism for hot hosts
+
+    def budget_expr(self, crawl_delay_col):
+        raw = F.floor(F.lit(self.slot_seconds) / F.greatest(
+            F.coalesce(crawl_delay_col, F.lit(self.default_crawl_delay)),
+            F.lit(0.001),
+        ))
+        return F.least(F.greatest(raw, F.lit(1)), F.lit(self.max_host_budget))
+
+
+def with_frontier_keys(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Canonicalize (RFC 3986 + the reference's URI repairs) and key every
+    candidate: url_canon, url_hash (xxhash64), host."""
+    return (
+        df.withColumn("url_canon", WF.canonicalize_url(F.col(url_col)))
+        .withColumn("url_hash", F.xxhash64("url_canon"))
+        .withColumn("host", WF.url_host(F.col("url_canon")))
+    )
+
+
+def dedup_candidates(cands: DataFrame) -> DataFrame:
+    """Within-batch dedup: keep the lowest-seq candidate per canonical hash
+    (deterministic, not dropDuplicates which keeps an arbitrary row)."""
+    w = Window.partitionBy("url_hash").orderBy("seq")
+    return (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def not_seen(cands: DataFrame, seen: DataFrame) -> DataFrame:
+    """Frontier-minus-seen: exact left_anti on url_hash (A6/J3).
+
+    At 10^10 seen keys this is a sort-merge anti-join; Spark's own runtime
+    bloom-filter join rewrite (spark.sql.optimizer.runtime.bloomFilter.enabled)
+    injects the bloom pre-filter for the never-seen majority — see
+    enable_runtime_bloom()."""
+    return cands.join(seen.select("url_hash"), "url_hash", "left_anti")
+
+
+def enable_runtime_bloom(spark: SparkSession) -> None:
+    """Turn on Catalyst's runtime bloom-filter join pruning for the seen-set
+    anti-join path."""
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtimeFilter.number.threshold", "20")
+
+
+def apply_robots(cands: DataFrame, robots: DataFrame | None,
+                 cfg: PolitenessConfig) -> DataFrame:
+    """Broadcast robots rules per host: allow/deny + crawl_delay (J4).
+    robots(host, allowed boolean, crawl_delay double). Hosts without a rule
+    are allowed at the default delay."""
+    if robots is None:
+        return cands.withColumn(
+            "crawl_delay", F.lit(cfg.default_crawl_delay)
+        ).withColumn("allowed", F.lit(True))
+    r = robots.select(
+        F.col("host"),
+        F.col("allowed"),
+        F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_crawl_delay)).alias(
+            "crawl_delay"
+        ),
+    )
+    out = cands.join(F.broadcast(r), "host", "left")
+    return out.fillna(
+        {"allowed": True, "crawl_delay": cfg.default_crawl_delay}
+    )
+
+
+def schedule_round(cands: DataFrame, cfg: PolitenessConfig | None = None) -> DataFrame:
+    """Per-host politeness-aware priority top-k.
+
+    Input columns: url, url_canon, url_hash, host, priority, seq,
+    crawl_delay, allowed. Output adds host_rank (1..budget within host) and
+    fetch_ts_offset (host_rank-1)*crawl_delay — the token-bucket emission
+    time within the slot. Total order: (priority desc, seq asc).
+    """
+    cfg = cfg or PolitenessConfig()
+    eligible = cands.filter(F.col("allowed"))
+    budget = cfg.budget_expr(F.col("crawl_delay"))
+
+    # phase 1 — salted pre-prune: cap each (host, salt) slice at the full
+    # budget; keeps the exact per-host window's input <= S*budget rows even
+    # for Zipf mega-hosts, and cannot drop any row the exact top-k keeps
+    salt = F.pmod(F.col("url_hash"), F.lit(cfg.salt_buckets))
+    w_salt = Window.partitionBy("host", "_salt").orderBy(
+        F.desc("priority"), F.asc("seq"), F.asc("url_canon")
+    )
+    pruned = (
+        eligible.withColumn("_salt", salt)
+        .withColumn("_budget", budget)
+        .withColumn("_srn", F.row_number().over(w_salt))
+        .filter(F.col("_srn") <= F.col("_budget"))
+        .drop("_srn", "_salt")
+    )
+
+    # phase 2 — exact per-host top-budget (input now bounded by S*budget)
+    w_host = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("seq"), F.asc("url_canon")
+    )
+    return (
+        pruned.withColumn("host_rank", F.row_number().over(w_host))
+        .filter(F.col("host_rank") <= F.col("_budget"))
+        .withColumn(
+            "fetch_ts_offset",
+            F.round((F.col("host_rank") - 1) * F.col("crawl_delay"), 3),
+        )
+        .drop("_budget")
+    )
+
+
+def fetch_order(scheduled: DataFrame) -> DataFrame:
+    """Global deterministic fetch sequence for a round. The scheduled set is
+    budget-bounded (#hosts * budget), so the global window is small — this
+    is an output-ordering step, not a data-scale step."""
+    w = Window.orderBy(F.desc("priority"), F.asc("seq"), F.asc("url_canon"))
+    return scheduled.withColumn("fetch_order", F.row_number().over(w))
+
+
+def prepare_candidates(raw: DataFrame, seen: DataFrame | None,
+                       robots: DataFrame | None,
+                       cfg: PolitenessConfig | None = None) -> DataFrame:
+    """Full candidate pipeline: keys -> within-batch dedup -> anti-join seen
+    -> robots."""
+    cfg = cfg or PolitenessConfig()
+    cands = dedup_candidates(with_frontier_keys(raw))
+    if seen is not None:
+        cands = not_seen(cands, seen)
+    return apply_robots(cands, robots, cfg)
+
+
+# ---------------------------------------------------------------------------
+# deterministic demo universe (for entry()/tests; no external data)
+# ---------------------------------------------------------------------------
+
+
+def demo_candidates(docs: DataFrame) -> DataFrame:
+    """Deterministic candidate URLs derived from the documents table."""
+    return docs.select(
+        F.concat(
+            F.lit("http://host"),
+            F.pmod("doc_id", F.lit(97)).cast("string"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?src="),
+            F.col("source"),
+        ).alias("url"),
+        (F.pmod(F.col("doc_id") * 7919, F.lit(1000)) / 10.0).alias("priority"),
+        F.col("doc_id").alias("seq"),
+    )
+
+
+def demo_robots(spark: SparkSession) -> DataFrame:
+    """Deterministic robots table: every 13th host denied; delays vary."""
+    hosts = spark.range(0, 97).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"), F.lit(".example.com")).alias("host"),
+        (F.pmod("id", F.lit(13)) != 0).alias("allowed"),
+        (F.lit(2.0) + F.pmod("id", F.lit(4)) * 2.0).alias("crawl_delay"),
+    )
+    return hosts
+
+
+def demo_round(spark: SparkSession, docs: DataFrame,
+               cfg: PolitenessConfig | None = None) -> DataFrame:
+    """One full scheduling round over the demo universe: the flagship query.
+
+    seen = every 5th doc url (simulating prior rounds); robots deny every
+    13th host; politeness budgets from per-host crawl delays.
+    """
+    cfg = cfg or PolitenessConfig()
+    raw = demo_candidates(docs)
+    seen = with_frontier_keys(
+        demo_candidates(docs.filter(F.pmod("doc_id", F.lit(5)) == 0))
+    ).select("url_hash")
+    cands = prepare_candidates(raw, seen, demo_robots(spark), cfg)
+    return fetch_order(schedule_round(cands, cfg)).select(
+        "fetch_order", "url", "url_canon", "host", "priority", "seq",
+        "host_rank", "fetch_ts_offset",
+    )
