@@ -176,15 +176,29 @@ def q_token_stats(spark, sf):
 
 
 def q_quality_scores(spark, sf):
-    """Quality scoring: length/punct/stopword terms."""
-    from warcio_spark.operators.textstats import punct_ratio, quality_score, stopword_ratio
+    """Quality scoring: length/punct/stopword terms. The ratios are staged
+    as columns once and the composite derives from the column references —
+    inlining the ratio subtrees three times blows up codegen compile time."""
+    from warcio_spark.operators.textstats import punct_ratio, stopword_ratio
 
     docs = _t(spark, sf, "documents")
-    return docs.select(
+    staged = docs.select(
         "doc_id",
+        F.length("text").alias("_len"),
         punct_ratio("text").alias("punct_ratio"),
         stopword_ratio("text").alias("stopword_ratio"),
-        quality_score("text").alias("quality"),
+    )
+    quality = F.round(
+        (
+            F.least(F.col("_len") / 500.0, F.lit(1.0))
+            + (F.lit(1.0) - F.least(F.col("punct_ratio") * 5, F.lit(1.0)))
+            + F.least(F.col("stopword_ratio") * 4, F.lit(1.0))
+        )
+        / 3.0,
+        4,
+    )
+    return staged.select(
+        "doc_id", "punct_ratio", "stopword_ratio", quality.alias("quality")
     )
 
 
@@ -310,7 +324,9 @@ def q_simhash(spark, sf):
 def q_minhash_dedup(spark, sf):
     from warcio_spark.operators.dedup import minhash_dedup
 
-    docs = _t(spark, sf, "documents").limit(2000)
+    # filter (pushed to the parquet scan), NOT limit: limit(n) funnels the
+    # plan through a single partition
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
     return minhash_dedup(docs, threshold=0.8, num_perm=32, bands=8)
 
 

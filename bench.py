@@ -74,18 +74,56 @@ def run_suite(spark, sf_dir: str):
         force(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # frontier round: schedule over a candidate universe derived from the
-    # documents table; report URLs/sec through canonicalize->hash->dedup->
-    # politeness-schedule
+    # frontier round: canonicalize -> hash -> dedup -> anti-join a 30% seen
+    # set -> robots broadcast -> salted politeness schedule, over a
+    # deterministic Zipf-skewed URL universe scaled ~20x the lineitem rows
     from pyspark.sql import functions as F
 
-    from warcio_spark.plans.frontier import demo_round
+    from warcio_spark.plans.frontier import (
+        PolitenessConfig,
+        demo_robots,
+        fetch_order,
+        prepare_candidates,
+        schedule_round,
+        with_frontier_keys,
+    )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    n_urls = docs.count()
+    li_rows = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    n_urls = max(100_000, li_rows * 3)
+    parts = spark.sparkContext.defaultParallelism * 2
+
+    def universe(df):
+        # zipf-ish: ~30% of urls on host0, ~15% on host1, rest spread
+        r = F.pmod(F.xxhash64(F.col("id") + 1), F.lit(100))
+        hostnum = (
+            F.when(r < 30, F.lit(0))
+            .when(r < 45, F.lit(1))
+            .otherwise(F.pmod(F.xxhash64(F.col("id") + 7), F.lit(95)) + 2)
+        )
+        return df.select(
+            F.concat(
+                F.lit("http://host"), hostnum.cast("string"),
+                F.lit(".example.com/p/"), F.col("id").cast("string"),
+                F.lit("?q="), F.pmod("id", F.lit(7)).cast("string"),
+            ).alias("url"),
+            (F.pmod(F.xxhash64(F.col("id") + 13), F.lit(1000)) / 10.0).alias("priority"),
+            F.col("id").alias("seq"),
+        )
+
+    cands_raw = universe(spark.range(0, n_urls, 1, parts))
+    seen = with_frontier_keys(
+        universe(spark.range(0, int(n_urls * 0.3), 1, parts))
+    ).select("url_hash")
+    seen.cache().count()  # seen-set pre-built; measure the round itself
+
+    cfg = PolitenessConfig(slot_seconds=600, default_crawl_delay=1.0,
+                           max_host_budget=500, salt_buckets=16)
     t0 = time.perf_counter()
-    force(demo_round(spark, docs))
+    force(fetch_order(schedule_round(
+        prepare_candidates(cands_raw, seen, demo_robots(spark), cfg), cfg
+    )))
     frontier_sec = time.perf_counter() - t0
+    seen.unpersist()
     timings["frontier_round"] = round(frontier_sec, 3)
     urls_per_sec = round(n_urls / frontier_sec, 1)
     return timings, urls_per_sec, n_urls

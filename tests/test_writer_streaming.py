@@ -1,0 +1,154 @@
+"""WARC writer sink round-trips + Structured Streaming jobs."""
+
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from warcio_spark.operators.writer import (
+    extract_at_offset,
+    pair_request_response,
+    recompress,
+    to_warc_members,
+    write_warc,
+)
+from warcio_spark.sources import read_warc, synth_pages
+
+CORPUS = "/root/reference/test/data"
+
+
+def test_write_warc_roundtrip_through_reference(spark, warcio, tmp_path):
+    """records -> write_warc -> the REFERENCE reads the output, content
+    byte-identical."""
+    from warcio.archiveiterator import ArchiveIterator
+
+    recs = read_warc(spark, os.path.join(CORPUS, "example.warc.gz"))
+    out_dir = str(tmp_path / "out")
+    paths = write_warc(recs, out_dir, gzip=True, files=1)
+    assert len(paths) == 1
+
+    want = {
+        (r.rec_type, r.url, bytes(r.payload) if r.payload is not None else b"")
+        for r in recs.collect()
+    }
+    got = set()
+    with open(paths[0], "rb") as f:
+        for rec in ArchiveIterator(f):
+            got.add(
+                (
+                    rec.rec_type,
+                    rec.rec_headers.get_header("WARC-Target-URI"),
+                    rec.raw_stream.read(),
+                )
+            )
+    assert {g[0] for g in got} == {w[0] for w in want}
+    assert got == want
+
+
+def test_recompress_fixes_invalid_gzip(spark, tmp_path):
+    """The invalid single-member multi-record gzip parses fully after
+    recompress (the reference CLI's fix-it workflow)."""
+    out_dir = str(tmp_path / "rc")
+    # example-bad-non-chunked: 1 member, many records -> error on ingest
+    bad = read_warc(spark, os.path.join(CORPUS, "example-bad-non-chunked.warc.gz"))
+    assert bad.filter(F.col("file_error").isNotNull()).count() > 0
+
+    # the plain .warc has the same records; recompress it to member-gzip
+    paths = recompress(spark, os.path.join(CORPUS, "example.warc"), out_dir)
+    again = read_warc(spark, paths)
+    assert again.filter(F.col("file_error").isNotNull()).count() == 0
+    assert again.count() == 6
+    assert [r.rec_type for r in again.orderBy("offset").collect()] == [
+        "warcinfo", "warcinfo", "response", "request", "revisit", "request",
+    ]
+
+
+def test_to_warc_members_offsets(spark):
+    recs = read_warc(spark, os.path.join(CORPUS, "example.warc.gz"))
+    members = to_warc_members(recs, gzip=False).collect()
+    assert len(members) == 6
+    for m in members:
+        assert bytes(m.member).startswith(b"WARC/1.0\r\n")
+        assert bytes(m.member).endswith(b"\r\n\r\n")
+
+
+def test_extract_at_offset(spark):
+    recs = read_warc(spark, os.path.join(CORPUS, "example-iana.org-chunked.warc"))
+    row = extract_at_offset(recs, "example-iana.org-chunked.warc", 405).collect()
+    assert len(row) == 1
+    assert row[0].rec_type == "response"
+
+
+def test_pair_request_response(spark):
+    recs = read_warc(spark, os.path.join(CORPUS, "post-test.warc.gz"))
+    pairs = pair_request_response(recs)
+    rows = pairs.collect()
+    assert len(rows) == 3
+    assert all(r.resp_id is not None for r in rows)
+    assert all(r.req_url == r.resp_url for r in rows)
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from warcio_spark.streaming.jobs import read_pages_stream, run_to_memory, windowed_page_counts
+
+    src = str(tmp_path / "pages")
+    synth_pages(spark, 400, partitions=4).write.parquet(src)
+    stream = read_pages_stream(spark, src, max_files_per_trigger=2)
+    # complete mode: append would hold back windows not yet past the
+    # watermark, and the drain ends before the watermark passes them
+    run_to_memory(
+        windowed_page_counts(stream), "wpc", str(tmp_path / "ck"), "complete"
+    )
+    got = spark.sql("select * from wpc").collect()
+    # batch equivalence
+    want = (
+        spark.read.parquet(src)
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"), "lang")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(F.col("w.start").alias("hour_start"), "lang", "n_pages")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_streaming_pages_to_candidates_incremental(spark, tmp_path):
+    from warcio_spark.streaming.jobs import stream_pages_to_candidates
+
+    src = str(tmp_path / "pages2")
+    out = str(tmp_path / "cands")
+    ck = str(tmp_path / "ck2")
+    synth_pages(spark, 100, partitions=2).write.parquet(src)
+    stream_pages_to_candidates(spark, src, out, ck)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 100
+    # append more input; resumed stream processes ONLY the new files
+    synth_pages(spark, 50, partitions=1).write.mode("append").parquet(src)
+    stream_pages_to_candidates(spark, src, out, ck)
+    n2 = spark.read.parquet(out).count()
+    assert n2 == n1 + 50
+    cols = set(spark.read.parquet(out).columns)
+    assert {"url", "url_canon", "url_hash", "host", "priority", "seq"} <= cols
+
+
+def test_streaming_token_bucket_state(spark, tmp_path):
+    from warcio_spark.streaming.jobs import (
+        host_token_bucket_stream,
+        read_pages_stream,
+        run_to_memory,
+    )
+
+    src = str(tmp_path / "pages3")
+    synth_pages(spark, 300, partitions=3).write.parquet(src)
+    stream = read_pages_stream(spark, src)
+    run_to_memory(
+        host_token_bucket_stream(stream, budget_per_batch=3),
+        "bucket", str(tmp_path / "ck3"), "append",
+    )
+    got = spark.sql("select * from bucket").collect()
+    assert len(got) == 300
+    per_host_admitted = {}
+    for r in got:
+        if r.admitted:
+            per_host_admitted[r.host] = per_host_admitted.get(r.host, 0) + 1
+    assert per_host_admitted and max(per_host_admitted.values()) <= 3

@@ -118,10 +118,16 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, n: int = 3,
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(text, num_perm: int = 64, shingle_n: int = 3) -> Column:
-    """num_perm-wide MinHash signature: per permutation p, the min xxhash64
-    of (shingle, p) — all JVM-side, no Python."""
-    sh = word_ngrams(text, shingle_n)
+def minhash_signature(shingles_col, num_perm: int = 64) -> Column:
+    """num_perm-wide MinHash signature over a *materialized* shingle-array
+    column: per permutation p, the min xxhash64 of (shingle, p) — all
+    JVM-side, no Python.
+
+    Takes a column REFERENCE, not the shingle expression: embedding the
+    shingling expression tree num_perm times explodes codegen compile time
+    and recomputes the shingles per permutation. Stage the shingles with a
+    select first (minhash_lsh_pairs does)."""
+    sh = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
 
     def perm_min(p):
         # closure factory (a default-arg lambda would receive the array
@@ -142,9 +148,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     10^10 docs the bucket join replaces an impossible O(n^2) cross join.
     """
     rows = num_perm // bands
-    sig = df.select(
+    shingled = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(text_col, num_perm, shingle_n).alias("_sig"),
+        word_ngrams(text_col, shingle_n).alias("_sh"),
+    )
+    sig = shingled.select(
+        "_id", minhash_signature("_sh", num_perm).alias("_sig")
     )
     banded = sig.select(
         "_id",
