@@ -317,7 +317,11 @@ def q_per_host_budget(spark, sf):
 def q_simhash(spark, sf):
     from warcio_spark.operators.dedup import simhash_deterministic
 
-    docs = _t(spark, sf, "documents")
+    # the docs parquet is a single row-group => one partition; spread the
+    # CPU-heavy derivation over cores (result is partitioning-invariant)
+    docs = _t(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return simhash_deterministic(docs)
 
 
@@ -333,7 +337,9 @@ def q_minhash_dedup(spark, sf):
 def q_fingerprint(spark, sf):
     from warcio_spark.operators.textstats import rolling_fingerprint
 
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return docs.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
 
 

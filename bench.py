@@ -90,6 +90,25 @@ def run_suite(spark, sf_dir: str):
 
     li_rows = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     n_urls = max(100_000, li_rows * 3)
+    timings["frontier_round"], urls_per_sec = frontier_throughput(spark, n_urls)
+    return timings, urls_per_sec, n_urls
+
+
+def frontier_throughput(spark, n_urls: int, runs: int = 2):
+    """URLs/sec through canonicalize -> hash -> dedup -> seen anti-join ->
+    robots -> salted politeness schedule. Runs twice and reports the warm
+    run (codegen compile is a one-time cost, irrelevant at crawl scale)."""
+    from pyspark.sql import functions as F
+
+    from warcio_spark.plans.frontier import (
+        PolitenessConfig,
+        demo_robots,
+        fetch_order,
+        prepare_candidates,
+        schedule_round,
+        with_frontier_keys,
+    )
+
     parts = spark.sparkContext.defaultParallelism * 2
 
     def universe(df):
@@ -118,15 +137,15 @@ def run_suite(spark, sf_dir: str):
 
     cfg = PolitenessConfig(slot_seconds=600, default_crawl_delay=1.0,
                            max_host_budget=500, salt_buckets=16)
-    t0 = time.perf_counter()
-    force(fetch_order(schedule_round(
-        prepare_candidates(cands_raw, seen, demo_robots(spark), cfg), cfg
-    )))
-    frontier_sec = time.perf_counter() - t0
+    frontier_sec = None
+    for _ in range(max(1, runs)):
+        t0 = time.perf_counter()
+        force(fetch_order(schedule_round(
+            prepare_candidates(cands_raw, seen, demo_robots(spark), cfg), cfg
+        )))
+        frontier_sec = time.perf_counter() - t0
     seen.unpersist()
-    timings["frontier_round"] = round(frontier_sec, 3)
-    urls_per_sec = round(n_urls / frontier_sec, 1)
-    return timings, urls_per_sec, n_urls
+    return round(frontier_sec, 3), round(n_urls / frontier_sec, 1)
 
 
 def main():
@@ -152,21 +171,24 @@ def main():
     }
 
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING"):
+        # same job, same input, two parallelism levels (N and 4N cores) —
+        # the sandbox evidence for the north rule's cluster-size scaling
+        n_urls = int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "4000000"))
         scaling = {}
         for cpus in ("8", "32"):
             s = make_spark(cpus)
             s.sparkContext.setLogLevel("ERROR")
             s.range(1000).count()
-            t0 = time.perf_counter()
-            _, ups, _ = run_suite(s, SF_DIR)
+            sec, ups = frontier_throughput(s, n_urls)
             scaling[cpus] = {
-                "suite_sec": round(time.perf_counter() - t0, 3),
+                "frontier_sec_warm": sec,
                 "frontier_urls_per_sec": ups,
             }
             s.stop()
         eff = (scaling["32"]["frontier_urls_per_sec"]
                / scaling["8"]["frontier_urls_per_sec"]) / 4.0
         out["scaling"] = scaling
+        out["scaling_urls"] = n_urls
         out["scaling_efficiency_8_to_32"] = round(eff, 3)
 
     print(json.dumps(out))

@@ -1,0 +1,113 @@
+"""CLI parity vs the reference CLI (runtime oracle, mirrors test/test_cli.py).
+
+JSON lines are compared as parsed objects + key order (the reference writes
+json.dumps with spaces, Spark's to_json is compact — same content)."""
+
+import io
+import json
+import os
+import sys
+
+import pytest
+
+CORPUS = "/root/reference/test/data"
+
+
+def oracle_index_lines(warcio, inputs, fields):
+    from warcio.indexer import Indexer
+
+    out = io.StringIO()
+    real_stdout = sys.stdout
+    try:
+        sys.stdout = out
+        Indexer(fields, [os.path.join(CORPUS, f) for f in inputs], "-").process_all()
+    finally:
+        sys.stdout = real_stdout
+    return [json.loads(l) for l in out.getvalue().splitlines() if l.strip()]
+
+
+def run_cli(capsys, argv):
+    from warcio_spark.cli import main
+
+    code = main(argv)
+    outerr = capsys.readouterr()
+    return code, outerr.out
+
+
+@pytest.mark.parametrize(
+    "inputs,fields",
+    [
+        (["example.warc.gz", "example.arc.gz"], "offset,warc-type,warc-target-uri"),
+        (["example.warc.gz"], "offset,length,filename,http:status,http:content-type"),
+        (["example.warc", "example.warc.gz"], "warc-type,warc-target-uri,warc-date"),
+    ],
+)
+def test_index_parity(spark, warcio, capsys, inputs, fields):
+    want = oracle_index_lines(warcio, inputs, fields.split(","))
+    code, out = run_cli(
+        capsys,
+        ["index", "-f", fields] + [os.path.join(CORPUS, f) for f in inputs],
+    )
+    assert code == 0
+    got = [json.loads(l) for l in out.splitlines() if l.strip()]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g == w
+        assert list(g.keys()) == list(w.keys())  # field order preserved
+
+
+def test_check_exit_codes(spark, capsys, tmp_path):
+    code, out = run_cli(capsys, ["check", os.path.join(CORPUS, "example.warc")])
+    assert code == 0
+    # example-digest.warc ships a deliberately broken payload digest on
+    # record 1 (test/test_archiveiterator.py:343-349) -> exit 1
+    code, _ = run_cli(capsys, ["check", os.path.join(CORPUS, "example-digest.warc")])
+    assert code == 1
+    # mutilate a digest -> nonzero exit (the checker's OR-fold,
+    # warcio/checker.py:19,29-30)
+    with open(os.path.join(CORPUS, "example.warc"), "rb") as f:
+        data = f.read()
+    bad = data.replace(b"WARC-Payload-Digest: sha1:", b"WARC-Payload-Digest: sha1:111", 1)
+    p = tmp_path / "bad.warc"
+    p.write_bytes(bad)
+    code, out = run_cli(capsys, ["check", str(p)])
+    assert code == 1
+    rep = [json.loads(l) for l in out.splitlines()]
+    assert rep[0]["fail"] >= 1
+
+
+def test_extract_payload(capsys, warcio):
+    from warcio_spark.cli import main
+
+    # response record of the chunked example sits at offset 405
+    import contextlib
+
+    buf = io.BytesIO()
+
+    class _Cap:
+        buffer = buf
+
+        def write(self, s):
+            pass
+
+    real = sys.stdout
+    try:
+        sys.stdout = _Cap()
+        code = main(["extract", "--payload",
+                     os.path.join(CORPUS, "example-iana.org-chunked.warc"), "405"])
+    finally:
+        sys.stdout = real
+    assert code == 0
+    assert b"Internet Assigned Numbers Authority" in buf.getvalue()
+
+
+def test_crawl_cli(spark, capsys, tmp_path):
+    code, out = run_cli(
+        capsys,
+        ["crawl", "--seeds", "200", "--rounds", "2", "--state",
+         str(tmp_path / "st")],
+    )
+    assert code == 0
+    summary = json.loads(out.splitlines()[-1])
+    assert summary["last_round"] == 2
+    assert summary["rounds"][0]["n_scheduled"] > 0

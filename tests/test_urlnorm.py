@@ -1,0 +1,65 @@
+"""URL canonicalization kernel + the pUDF fast-path invariant."""
+
+import random
+import string
+
+from warcio_spark.kernels.urls import canonicalize_url, repair_uri, url_host
+
+
+def test_canonicalize_cases():
+    cases = {
+        "HTTP://Example.COM:80/a/../b?q=1#frag": "http://example.com/b?q=1",
+        "https://h.com:443/x": "https://h.com/x",
+        "https://h.com:8443/x": "https://h.com:8443/x",
+        "http://h.com": "http://h.com/",
+        "http://h.com/%7euser/%41%2F": "http://h.com/~user/A%2F",
+        "http://h.com/a/./b/../c": "http://h.com/a/c",
+        "http://h.com/a b": "http://h.com/a%20b",
+        "<http://h.com/x>": "http://h.com/x",
+        "dns:example.com": "dns:example.com",  # no netloc: unchanged
+        "": "",
+    }
+    for raw, want in cases.items():
+        assert canonicalize_url(raw) == want, raw
+
+
+def test_canonicalize_idempotent_random():
+    rng = random.Random(11)
+    alphabet = string.ascii_letters + string.digits + "/.-_~%?=& :#<>"
+    for _ in range(500):
+        raw = "http://h" + "".join(
+            rng.choice(alphabet) for _ in range(rng.randrange(0, 40))
+        )
+        c1 = canonicalize_url(raw)
+        assert canonicalize_url(c1) == c1, (raw, c1)
+
+
+def test_fast_path_regex_means_already_canonical():
+    """The pUDF's vectorized fast path may only ever match urls the kernel
+    would return unchanged."""
+    from warcio_spark.functions import _CANON_FAST_RX
+
+    rng = random.Random(5)
+    matched = 0
+    for i in range(3000):
+        host = "host{0}.example{1}.com".format(i % 97, i % 7)
+        path_alphabet = string.ascii_letters + string.digits + "_-./~"
+        path = "/" + "".join(rng.choice(path_alphabet) for _ in range(rng.randrange(0, 25)))
+        q = "?q=" + str(i % 9) if i % 3 == 0 else ""
+        u = "http://" + host + path + q
+        if (
+            _CANON_FAST_RX.match(u)
+            and "/./" not in u
+            and "/../" not in u
+            and not u.endswith(("/.", "/.."))
+        ):
+            matched += 1
+            assert canonicalize_url(u) == u, u
+    assert matched > 2000  # the fast path really is the common case
+
+
+def test_url_host():
+    assert url_host("http://User@Example.COM:8080/x") == "example.com"
+    assert url_host("not a url") is None
+    assert url_host(None) is None
+    assert repair_uri("<http://x/ y>") == "http://x/%20y"

@@ -1,0 +1,167 @@
+"""CLI with the reference's command surface (warcio/cli.py:19-62), Spark-backed:
+
+    python -m warcio_spark.cli index  <inputs...> -f offset,warc-type,warc-target-uri
+    python -m warcio_spark.cli check  <inputs...> [-v]
+    python -m warcio_spark.cli extract <input> <offset> [--payload|--headers]
+    python -m warcio_spark.cli recompress <input> <output-dir>
+    python -m warcio_spark.cli crawl --seeds N --rounds K --state DIR
+
+index emits the same NDJSON lines as ``warcio index`` (field mini-DSL,
+null-dropping, per-file input order).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from warcio_spark.session import get_spark
+
+    return get_spark("warcio_spark-cli")
+
+
+def cmd_index(args) -> int:
+    from pyspark.sql import functions as F
+
+    from warcio_spark.operators.indexer import index_ndjson
+    from warcio_spark.sources import read_warc
+
+    spark = _spark()
+    fields = args.fields.split(",")
+    # http fields needed? prune body parse like warcio/indexer.py:19
+    needs_http = any(f.startswith("http:") for f in fields)
+    recs = read_warc(
+        spark, args.inputs, arc2warc=True, parse_http=needs_http,
+        include_payload=False, include_content=False,
+    )
+    # emit in input order (the reference concatenates inputs,
+    # warcio/indexer.py:25-33), then record order within each file
+    basenames = [p.rsplit("/", 1)[-1] for p in args.inputs]
+    file_pos = F.array_position(
+        F.array(*[F.lit(b) for b in basenames]), F.col("filename")
+    )
+    out = index_ndjson(recs.orderBy(file_pos, F.col("offset")), fields)
+    for row in out.collect():
+        sys.stdout.write(row.line + "\n")
+    return 0
+
+
+def cmd_check(args) -> int:
+    from warcio_spark.operators.checker import digest_report, exit_value
+    from warcio_spark.sources import read_warc
+
+    spark = _spark()
+    recs = read_warc(spark, args.inputs, check_digests=True,
+                     include_payload=False, include_content=False)
+    report = digest_report(recs).orderBy("filename").collect()
+    for r in report:
+        sys.stdout.write(
+            json.dumps(
+                {
+                    "filename": r.filename,
+                    "records": r.n_records,
+                    "pass": r.n_pass,
+                    "fail": r.n_fail,
+                    "unchecked": r.n_unchecked,
+                    "file_error": r.file_error,
+                }
+            )
+            + "\n"
+        )
+    return exit_value(recs)
+
+
+def cmd_extract(args) -> int:
+    from warcio_spark.kernels.parse import parse_warc_bytes
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    result = parse_warc_bytes(data, filename=args.input,
+                              start_offset=args.offset, max_records=1)
+    if not result["records"]:
+        sys.stderr.write("no record at offset {0}\n".format(args.offset))
+        return 1
+    rec = result["records"][0]
+    if args.payload:
+        sys.stdout.buffer.write(rec["content"])
+    elif args.headers:
+        for n, v in rec["rec_headers"]:
+            sys.stdout.write("{0}: {1}\n".format(n, v))
+    else:
+        from warcio_spark.kernels.build import serialize_record
+
+        sys.stdout.buffer.write(serialize_record(rec, gzip=False))
+    return 0
+
+
+def cmd_recompress(args) -> int:
+    from warcio_spark.operators.writer import recompress
+
+    spark = _spark()
+    paths = recompress(spark, args.input, args.output)
+    for p in paths:
+        sys.stdout.write(p + "\n")
+    return 0
+
+
+def cmd_crawl(args) -> int:
+    from pyspark.sql import functions as F
+
+    from warcio_spark.plans.crawl import crawl
+    from warcio_spark.plans.frontier import demo_robots
+
+    spark = _spark()
+    seeds = spark.range(args.seeds).select(
+        F.concat(F.lit("http://host"), F.pmod("id", F.lit(97)).cast("string"),
+                 F.lit(".example.com/seed/"), F.col("id").cast("string")).alias("url"),
+        (F.pmod(F.col("id") * 7919, F.lit(1000)) / 10.0).alias("priority"),
+        F.col("id").alias("seq"),
+    )
+    summary = crawl(spark, seeds, demo_robots(spark), args.state,
+                    rounds=args.rounds)
+    sys.stdout.write(json.dumps(summary) + "\n")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="warcio_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index")
+    pi.add_argument("inputs", nargs="+")
+    pi.add_argument("-f", "--fields", default="offset,warc-type,warc-target-uri")
+    pi.set_defaults(fn=cmd_index)
+
+    pc = sub.add_parser("check")
+    pc.add_argument("inputs", nargs="+")
+    pc.add_argument("-v", "--verbose", action="store_true")
+    pc.set_defaults(fn=cmd_check)
+
+    pe = sub.add_parser("extract")
+    pe.add_argument("input")
+    pe.add_argument("offset", type=int)
+    g = pe.add_mutually_exclusive_group()
+    g.add_argument("--payload", action="store_true")
+    g.add_argument("--headers", action="store_true")
+    pe.set_defaults(fn=cmd_extract)
+
+    pr = sub.add_parser("recompress")
+    pr.add_argument("input")
+    pr.add_argument("output")
+    pr.set_defaults(fn=cmd_recompress)
+
+    pw = sub.add_parser("crawl")
+    pw.add_argument("--seeds", type=int, default=1000)
+    pw.add_argument("--rounds", type=int, default=3)
+    pw.add_argument("--state", required=True)
+    pw.set_defaults(fn=cmd_crawl)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -40,7 +40,9 @@ def header_get(headers, name: str) -> Column:
     over the ordered headers array; order-preserving, duplicate-safe."""
     low = name.lower()
     matches = F.filter(_c(headers), lambda h: F.lower(h["name"]) == F.lit(low))
-    return F.element_at(matches, 1)["value"]
+    # try_element_at: absent header -> NULL (plain element_at raises under
+    # ANSI mode, the Spark 4 default)
+    return F.try_element_at(matches, F.lit(1))["value"]
 
 
 def statuscode(statusline) -> Column:
@@ -75,6 +77,29 @@ def header_filter_out(headers, *names) -> Column:
         _c(headers),
         lambda h: ~F.lower(h["name"]).isin(lows),
     )
+
+
+def assemble_url(verb, request_target, host_header, default_scheme="http") -> Column:
+    """F11: absolute URL from request verb/path + Host header, mirroring the
+    capture contract (warcio/capture_http.py:203-238): CONNECT targets and
+    absolute-form targets pass through; origin-form targets get
+    scheme://host prepended."""
+    v, t, h = _c(verb), _c(request_target), _c(host_header)
+    return (
+        F.when(v == "CONNECT", F.concat(F.lit("https://"), t))
+        .when(t.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), t)
+        .otherwise(F.concat(F.lit(default_scheme + "://"), h, t))
+    )
+
+
+def limit_payload(payload, max_bytes, outer_limit=None) -> Column:
+    """W5: LimitReader as an expression — byte-cap a binary payload; nested
+    limits take the min (warcio/limitreader.py:59-62)."""
+    limit = F.lit(max_bytes) if not isinstance(max_bytes, Column) else max_bytes
+    if outer_limit is not None:
+        outer = F.lit(outer_limit) if not isinstance(outer_limit, Column) else outer_limit
+        limit = F.least(limit, outer)
+    return F.substring(_c(payload), 1, limit)
 
 
 def iso_warc_date(ts, use_micros: bool = False) -> Column:
@@ -138,16 +163,50 @@ def decode_text(data: pd.Series) -> pd.Series:
     return _map_series(data, lambda b: _textcodec.decode_fallback(bytes(b)))
 
 
+import re as _re
+
+# urls matching this (and free of dot-segments) are ALREADY canonical:
+# lowercase scheme+host, no port/userinfo/percent/space/fragment, explicit
+# path — the hot-path majority of a well-formed frontier skips the Python
+# kernel entirely (vectorized regex instead of per-url urlsplit)
+_CANON_FAST_RX = _re.compile(
+    r"^https?://[a-z0-9\-]+(\.[a-z0-9\-]+)*/[A-Za-z0-9_\-./~]*"
+    r"(\?[A-Za-z0-9_\-=&.]*)?$"
+)
+
+
 @F.pandas_udf(T.StringType())
 def canonicalize_url(url: pd.Series) -> pd.Series:
-    """RFC-3986 canonical form (north rule F12)."""
-    return _map_series(url, _urls.canonicalize_url)
+    """RFC-3986 canonical form (north rule F12). Vectorized fast path for
+    already-canonical urls; full kernel for the rest."""
+    fast = (
+        url.str.match(_CANON_FAST_RX, na=False)
+        & ~url.str.contains("/./", regex=False)
+        & ~url.str.contains("/../", regex=False)
+        & ~url.str.endswith(("/.", "/.."), na=False)
+    )
+    out = url.copy()
+    slow = ~fast
+    if slow.any():
+        out[slow] = url[slow].map(
+            lambda u: _urls.canonicalize_url(u) if u is not None else None
+        )
+    return out
 
 
 @F.pandas_udf(T.StringType())
 def url_host(url: pd.Series) -> pd.Series:
     """Lowercased hostname for politeness grouping."""
     return _map_series(url, _urls.url_host)
+
+
+def url_host_expr(url) -> Column:
+    """JVM-side host extraction for canonicalized urls: lower(try_parse_url)
+    with IPv6 brackets stripped — codegen, no Python hop. Only safe AFTER
+    canonicalization (try_parse_url returns NULL for space-containing urls,
+    which canonicalization has already %-encoded)."""
+    host = F.lower(F.try_parse_url(_c(url), F.lit("HOST")))
+    return F.regexp_replace(host, r"^\[(.*)\]$", r"$1")
 
 
 @F.pandas_udf(T.StringType())

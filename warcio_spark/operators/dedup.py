@@ -230,29 +230,41 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return df.select(F.col(id_col), _simhash64(tokens(text_col)).alias("simhash"))
 
 
+@F.pandas_udf(T.LongType())
+def _simhash_votes(hash_arrays: pd.Series) -> pd.Series:
+    """Bit-vote + sign-assemble over per-token 64-bit hashes
+    (numpy-vectorized; the hashes come from JVM xxhash64 so the result is
+    deterministic across runs and engines)."""
+
+    def sim(hashes) -> int:
+        if hashes is None or len(hashes) == 0:
+            return 0
+        h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        out = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            out |= np.uint64(1) << np.uint64(b)
+        return int(out.astype(np.int64))
+
+    return hash_arrays.map(sim)
+
+
 def simhash_deterministic(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text") -> DataFrame:
-    """Deterministic 64-bit SimHash built entirely from JVM expressions:
-    per-bit vote = sum over tokens of (bit(xxhash64(token))*2-1), sign bits
-    assembled into one long — single narrow projection, no shuffle."""
+    """Deterministic 64-bit SimHash, hybrid plan: token hashing stays
+    JVM-side (codegen xxhash64 over the token array), the 64-bit voting runs
+    numpy-vectorized in one Arrow batch hop. A pure-expression variant
+    (nested aggregate over 64 bits) is interpreted per element and ~10x
+    slower; a pure-Python variant re-hashes tokens with a non-portable
+    hash."""
     toks = tokens(text_col)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    df2 = df.select(F.col(id_col), hashes.alias("_h"))
-    sim = F.expr(
-        """
-        aggregate(
-          zip_with(
-            transform(sequence(0, 63), b ->
-              aggregate(_h, CAST(0 AS BIGINT),
-                        (acc, h) -> acc + (shiftright(h, CAST(b AS INT)) & 1) * 2 - 1)),
-            sequence(0, 63),
-            (v, b) -> IF(v > 0,
-                         shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)),
-                         CAST(0 AS BIGINT))),
-          CAST(0 AS BIGINT), (acc, x) -> acc | x)
-        """
+    return df.select(F.col(id_col), hashes.alias("_h")).select(
+        F.col(id_col), _simhash_votes("_h").alias("simhash")
     )
-    return df2.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_near_pairs(sim_df: DataFrame, prefix_bits: int = 16) -> DataFrame:

@@ -49,23 +49,27 @@ class PolitenessConfig:
 
 def with_frontier_keys(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Canonicalize (RFC 3986 + the reference's URI repairs) and key every
-    candidate: url_canon, url_hash (xxhash64), host."""
+    candidate: url_canon, url_hash (xxhash64), host. The canonicalizer is an
+    Arrow pUDF with a vectorized fast path; host extraction is pure JVM
+    (try_parse_url) since it runs on the canonical form."""
     return (
         df.withColumn("url_canon", WF.canonicalize_url(F.col(url_col)))
         .withColumn("url_hash", F.xxhash64("url_canon"))
-        .withColumn("host", WF.url_host(F.col("url_canon")))
+        .withColumn("host", WF.url_host_expr(F.col("url_canon")))
     )
 
 
 def dedup_candidates(cands: DataFrame) -> DataFrame:
-    """Within-batch dedup: keep the lowest-seq candidate per canonical hash
-    (deterministic, not dropDuplicates which keeps an arbitrary row)."""
-    w = Window.partitionBy("url_hash").orderBy("seq")
-    return (
-        cands.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    """Within-batch dedup: keep the lowest-(seq, url) candidate per canonical
+    hash. min_by aggregation, NOT a window: the partial (map-side) min
+    collapses duplicates before the shuffle, so the exchange carries one row
+    per distinct url per input partition instead of every candidate."""
+    cols = [c for c in cands.columns if c != "url_hash"]
+    packed = F.struct(
+        F.col("seq"), F.col("url"), *[F.col(c) for c in cols if c not in ("seq", "url")]
     )
+    best = cands.groupBy("url_hash").agg(F.min(packed).alias("_best"))
+    return best.select("url_hash", *[F.col("_best." + c).alias(c) for c in cols])
 
 
 def not_seen(cands: DataFrame, seen: DataFrame) -> DataFrame:
