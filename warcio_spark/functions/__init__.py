@@ -157,6 +157,41 @@ def extract_content(payload: pd.Series, content_encoding: pd.Series,
 
 
 @F.pandas_udf(T.StringType())
+def extract_http_text(html: pd.Series, url: pd.Series) -> pd.Series:
+    """Full response-payload text path: parse the HTTP status+headers out of
+    the raw payload (loader gating semantics: only http:/https: urls,
+    case-sensitive, warcio/recordloader.py:59,183-185), de-chunk/decode the
+    body per Transfer-/Content-Encoding, decode with the utf-8/iso-8859-1
+    fallback — the byte-identical `html -> text` derivation of the pages
+    table (BASELINE input_hint)."""
+    from warcio_spark.kernels.parse import _Cursor, _parse_status_headers, header_get
+
+    def run(row):
+        b, u = row
+        if b is None:
+            return None
+        body = bytes(b)
+        if not (u or "").startswith(("http:", "https:")):
+            return _textcodec.decode_fallback(body)
+        cur = _Cursor(body)
+        try:
+            block = _parse_status_headers(cur, None, (), False)
+        except EOFError:
+            return _textcodec.decode_fallback(body)
+        if not block["statusline"] and not block["headers"]:
+            return _textcodec.decode_fallback(body[cur.pos:])
+        payload = body[cur.pos:]
+        content = _payload.extract_content(
+            payload,
+            header_get(block["headers"], "content-encoding"),
+            header_get(block["headers"], "transfer-encoding"),
+        )
+        return _textcodec.decode_fallback(content)
+
+    return pd.Series(map(run, zip(html, url)), dtype="object")
+
+
+@F.pandas_udf(T.StringType())
 def decode_text(data: pd.Series) -> pd.Series:
     """bytes -> str with the utf-8 / iso-8859-1 fallback
     (warcio/statusandheaders.py:329-336)."""

@@ -200,6 +200,29 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
     return summary
 
 
+def fetch_from_pages(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
+    """The fetch-simulator stage: scheduled urls joined to the pages table
+    (the Common-Crawl-style corpus, BASELINE input_hint) with byte-identical
+    text extraction from the raw html payload.
+
+    Join key = canonical url on both sides; at 100 TB the pages table is
+    bucketed/partitioned by url_hash so this is a co-located join.
+    """
+    from warcio_spark import functions as WF
+    from warcio_spark.plans.frontier import with_frontier_keys
+
+    page_side = with_frontier_keys(pages.select("url", "warc_ts", "html")).select(
+        F.col("url_hash"),
+        F.col("url").alias("page_url"),
+        F.col("warc_ts"),
+        F.col("html"),
+    )
+    fetched = scheduled.join(page_side, "url_hash", "left")
+    return fetched.withColumn(
+        "text", WF.extract_http_text(F.col("html"), F.col("page_url"))
+    )
+
+
 def fetch_log(spark: SparkSession, state_dir: str) -> DataFrame:
     """The crawl's full fetch log: (round, fetch_order, url_canon) — the
     parity surface vs the oracle crawler."""
