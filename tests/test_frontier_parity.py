@@ -178,3 +178,38 @@ def test_crawl_resume_is_exact(spark, tmp_path):
     ]
     assert a == b
     assert len({r for r, _, _ in a}) == 4
+
+
+def test_mega_host_skew_budget_exact(spark):
+    """A single mega-host with 50k candidates: the salted two-phase window
+    must return exactly the same top-budget set as the oracle."""
+    cands = [
+        {"url": f"http://mega.example.com/p/{i}",
+         "priority": float((i * 17) % 997) / 10, "seq": i}
+        for i in range(50_000)
+    ] + [
+        {"url": f"http://tiny{i}.example.com/", "priority": 1.0, "seq": 100_000 + i}
+        for i in range(20)
+    ]
+    robots = {"mega.example.com": {"allowed": True, "crawl_delay": 1.0}}
+    cfg32 = PolitenessConfig(slot_seconds=60, default_crawl_delay=5.0,
+                             max_host_budget=40, salt_buckets=8)
+    ocfg = oracle.OracleConfig(slot_seconds=60, default_crawl_delay=5.0,
+                               max_host_budget=40)
+    want = [
+        (c["fetch_order"], c["url_canon"])
+        for c in oracle.schedule(cands, set(), robots, ocfg)
+    ]
+    raw = spark.createDataFrame(
+        [(c["url"], c["priority"], c["seq"]) for c in cands],
+        "url string, priority double, seq long",
+    ).repartition(16)
+    prepped = prepare_candidates(raw, None, robots_df(spark, robots), cfg32)
+    got = [
+        (r.fetch_order, r.url_canon)
+        for r in fetch_order(schedule_round(prepped, cfg32))
+        .orderBy("fetch_order").collect()
+    ]
+    assert got == want
+    mega = [u for _, u in got if "mega" in u]
+    assert len(mega) == 40  # budget cap exact under skew
