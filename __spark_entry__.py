@@ -87,6 +87,41 @@ def q_pricing_summary(spark, sf):
     )
 
 
+def q_shipping_priority(spark, sf):
+    """TPC-H Q3 shape: 3-way join + agg + global top-k
+    (TakeOrderedAndProject, no full sort shuffle)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < "1995-03-15")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > "1995-03-15")
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_cube_rollup(spark, sf):
+    """CUBE aggregation over two dimensions (grouping-set machinery)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )
+
+
 def q_revenue_by_nation(spark, sf):
     """J1/J4 shape: fact⋈dim⋈dim with broadcast dims."""
     c = _t(spark, sf, "customer")
@@ -367,6 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_projection": q_index_projection,
         "rec_type_census": q_rec_type_census,
         "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "cube_rollup": q_cube_rollup,
         "revenue_by_nation": q_revenue_by_nation,
         "anti_join_unseen": q_anti_join_unseen,
         "windowed_topk": q_windowed_topk,
@@ -412,6 +449,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "shipping_priority": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "cube_rollup": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   ROUND(SUM(l_quantity), 2) AS qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "revenue_by_nation": """
             SELECT n_name, COUNT(*) AS n_orders,
