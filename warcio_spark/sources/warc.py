@@ -25,51 +25,57 @@ from warcio_spark.kernels.parse import parse_warc_bytes
 from warcio_spark.schema import WARC_RECORDS_SCHEMA
 
 
-def _records_to_pdf(result, include_payload, include_content):
-    rows = []
-    err_count = result["err_count"]
-    error = result["error"]
-    for r in result["records"]:
-        warc_ts = None
-        raw_date = r.get("warc_date")
-        if raw_date:
-            try:
-                warc_ts = (
-                    iso_to_datetime(raw_date)
-                    if "-" in raw_date
-                    else ts14_to_datetime(raw_date)
-                )
-            except (ValueError, TypeError):
-                warc_ts = None
-        rows.append(
-            {
-                "record_id": r["record_id"],
-                "rec_type": r["rec_type"],
-                "format": r["format"],
-                "url": r["url"],
-                "warc_ts": warc_ts,
-                "rec_headers": [
-                    {"name": n, "value": v} for n, v in (r["rec_headers"] or [])
-                ],
-                "http_protocol": r["http_protocol"],
-                "http_statusline": r["http_statusline"],
-                "http_headers": None
-                if r["http_headers"] is None
-                else [{"name": n, "value": v} for n, v in r["http_headers"]],
-                "content_type": r["content_type"],
-                "length": r["length"],
-                "payload_length": r["payload_length"],
-                "payload": r["payload"] if include_payload else None,
-                "content": r["content"] if include_content else None,
-                "digest_ok": r["digest_ok"],
-                "offset": r["offset"],
-                "rec_length": r["rec_length"],
-                "filename": r["filename"],
-                "file_err_count": err_count,
-                "file_error": error,
-            }
+def _parse_warc_date(raw_date):
+    if not raw_date:
+        return None
+    try:
+        return (
+            iso_to_datetime(raw_date)
+            if "-" in raw_date
+            else ts14_to_datetime(raw_date)
         )
-    return pd.DataFrame(rows, columns=[f.name for f in WARC_RECORDS_SCHEMA.fields])
+    except (ValueError, TypeError):
+        return None
+
+
+def _records_to_pdf(result, include_payload, include_content):
+    # columnar construction (dict-of-lists), not list-of-dicts: this is the
+    # per-file hot loop of ingest and the row-dict path costs ~2x
+    recs = result["records"]
+    n = len(recs)
+    cols = {
+        "record_id": [r["record_id"] for r in recs],
+        "rec_type": [r["rec_type"] for r in recs],
+        "format": [r["format"] for r in recs],
+        "url": [r["url"] for r in recs],
+        "warc_ts": [_parse_warc_date(r.get("warc_date")) for r in recs],
+        "rec_headers": [
+            [{"name": h[0], "value": h[1]} for h in (r["rec_headers"] or [])]
+            for r in recs
+        ],
+        "http_protocol": [r["http_protocol"] for r in recs],
+        "http_statusline": [r["http_statusline"] for r in recs],
+        "http_headers": [
+            None
+            if r["http_headers"] is None
+            else [{"name": h[0], "value": h[1]} for h in r["http_headers"]]
+            for r in recs
+        ],
+        "content_type": [r["content_type"] for r in recs],
+        "length": [r["length"] for r in recs],
+        "payload_length": [r["payload_length"] for r in recs],
+        "payload": [r["payload"] for r in recs] if include_payload else [None] * n,
+        "content": [r["content"] for r in recs] if include_content else [None] * n,
+        "digest_ok": [r["digest_ok"] for r in recs],
+        "offset": [r["offset"] for r in recs],
+        "rec_length": [r["rec_length"] for r in recs],
+        "filename": [r["filename"] for r in recs],
+        "file_err_count": [result["err_count"]] * n,
+        "file_error": [result["error"]] * n,
+    }
+    return pd.DataFrame(
+        {f.name: pd.Series(cols[f.name], dtype="object") for f in WARC_RECORDS_SCHEMA.fields}
+    )
 
 
 def read_warc(
