@@ -1,0 +1,113 @@
+"""robots.txt kernel + Spark path-level robots filtering."""
+
+from urllib import robotparser
+
+from pyspark.sql import functions as F
+
+from warcio_spark.kernels.robots import parse_robots_txt, robots_allowed
+
+ROBOTS = """
+# comments are fine
+User-agent: mybot
+Disallow: /private/
+Allow: /private/ok/
+Crawl-delay: 2.5
+
+User-agent: *
+Disallow: /tmp/
+Disallow: /admin
+Allow: /admin/public
+Crawl-delay: 7
+"""
+
+
+def test_parse_groups_and_agent_selection():
+    star = parse_robots_txt(ROBOTS, "otherbot/1.0")
+    assert star["disallow"] == ["/tmp/", "/admin"]
+    assert star["allow"] == ["/admin/public"]
+    assert star["crawl_delay"] == 7.0
+    mine = parse_robots_txt(ROBOTS, "MyBot/2.0 (+http://x)")
+    assert mine["disallow"] == ["/private/"]
+    assert mine["allow"] == ["/private/ok/"]
+    assert mine["crawl_delay"] == 2.5
+
+
+def test_allow_deny_longest_match():
+    rules = parse_robots_txt(ROBOTS, "other")
+    assert robots_allowed("/", rules)
+    assert not robots_allowed("/tmp/x", rules)
+    assert not robots_allowed("/admin", rules)
+    assert not robots_allowed("/adminX", rules)  # prefix semantics
+    assert robots_allowed("/admin/public/page", rules)  # allow wins (longer)
+    assert robots_allowed("/other", rules)
+
+
+def test_wildcards_and_anchors():
+    rules = {"allow": [], "disallow": ["/*.pdf$", "/a/*/secret"], "crawl_delay": None}
+    assert not robots_allowed("/x/file.pdf", rules)
+    assert robots_allowed("/x/file.pdfx", rules)  # $ anchor
+    assert not robots_allowed("/a/b/secret", rules)
+    assert not robots_allowed("/a/b/c/secretX", rules)  # unanchored tail
+    assert robots_allowed("/a/secret", rules)  # needs a middle segment
+
+
+def test_against_stdlib_robotparser_plain_prefixes():
+    """Agree with urllib.robotparser wherever first-match (stdlib) and
+    RFC-9309 longest-match (ours) coincide — i.e. everywhere except
+    Allow-overrides-earlier-Disallow, where RFC/Google semantics allow and
+    the stdlib denies."""
+    rp = robotparser.RobotFileParser()
+    rp.parse(ROBOTS.splitlines())
+    rules = parse_robots_txt(ROBOTS, "other")
+    for path in ["/", "/tmp/x", "/admin", "/adminx", "/foo", "/private/y", "/t"]:
+        assert robots_allowed(path, rules) == rp.can_fetch("other", "http://h" + path), path
+    # the documented divergence:
+    assert robots_allowed("/admin/public/x", rules) is True
+    assert rp.can_fetch("other", "http://h/admin/public/x") is False
+
+
+def test_spark_robots_pipeline(spark):
+    """robots.txt bodies -> rules table -> path-level frontier filtering."""
+    from warcio_spark.plans.frontier import (
+        PolitenessConfig,
+        apply_robots_rules,
+        robots_table_from_pages,
+        with_frontier_keys,
+    )
+
+    robots_pages = spark.createDataFrame(
+        [
+            ("h1.com", ROBOTS),
+            ("h2.com", "User-agent: *\nDisallow: /\n"),
+            ("h3.com", ""),
+        ],
+        "host string, body string",
+    )
+    rules = robots_table_from_pages(robots_pages, user_agent="other")
+    got = {r.host: r for r in rules.collect()}
+    assert got["h2.com"].disallow == ["/"]
+    assert got["h1.com"].crawl_delay == 7.0
+
+    cands = with_frontier_keys(
+        spark.createDataFrame(
+            [
+                ("http://h1.com/tmp/x", 1.0, 1),
+                ("http://h1.com/admin/public/p", 1.0, 2),
+                ("http://h1.com/fine", 1.0, 3),
+                ("http://h2.com/anything", 1.0, 4),
+                ("http://h3.com/ok", 1.0, 5),
+                ("http://unknown.com/ok", 1.0, 6),
+            ],
+            "url string, priority double, seq long",
+        )
+    )
+    cfg = PolitenessConfig()
+    out = {r.url: (r.allowed, r.crawl_delay)
+           for r in apply_robots_rules(cands, rules, cfg).collect()}
+    assert out["http://h1.com/tmp/x"][0] is False
+    assert out["http://h1.com/admin/public/p"][0] is True
+    assert out["http://h1.com/fine"][0] is True
+    assert out["http://h1.com/fine"][1] == 7.0
+    assert out["http://h2.com/anything"][0] is False
+    assert out["http://h3.com/ok"][0] is True
+    assert out["http://unknown.com/ok"] == (True, cfg.default_crawl_delay)

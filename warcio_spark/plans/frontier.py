@@ -173,6 +173,95 @@ def prepare_candidates(raw: DataFrame, seen: DataFrame | None,
     return apply_robots(cands, robots, cfg)
 
 
+def robots_table_from_pages(robots_pages: DataFrame, user_agent: str = "*",
+                            default_crawl_delay: float = 5.0) -> DataFrame:
+    """Build the broadcastable robots rules table from fetched robots.txt
+    bodies: robots_pages(host string, body binary|string) ->
+    (host, allow array<string>, disallow array<string>, crawl_delay).
+    One Arrow hop per robots file — the table is tiny vs the frontier."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql import functions as _F
+    from pyspark.sql import types as _T
+
+    from warcio_spark.kernels.robots import parse_robots_txt
+    from warcio_spark.kernels.textcodec import decode_fallback
+
+    schema = _T.StructType(
+        [
+            _T.StructField("host", _T.StringType(), False),
+            _T.StructField("allow", _T.ArrayType(_T.StringType()), True),
+            _T.StructField("disallow", _T.ArrayType(_T.StringType()), True),
+            _T.StructField("crawl_delay", _T.DoubleType(), True),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf["host"], pdf["body"]):
+                text = decode_fallback(bytes(body)) if isinstance(body, (bytes, bytearray)) else (body or "")
+                rules = parse_robots_txt(text, user_agent)
+                rows.append(
+                    {
+                        "host": host,
+                        "allow": rules["allow"],
+                        "disallow": rules["disallow"],
+                        "crawl_delay": rules["crawl_delay"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["host", "allow", "disallow", "crawl_delay"])
+
+    return robots_pages.select("host", "body").mapInPandas(run, schema)
+
+
+def apply_robots_rules(cands: DataFrame, rules: DataFrame,
+                       cfg: PolitenessConfig) -> DataFrame:
+    """Path-level robots filtering: broadcast the rules table, evaluate
+    longest-match allow/deny per url path with JVM array expressions
+    (no Python in the per-url hot path)."""
+    raw_path = F.regexp_extract("url_canon", r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)$", 1)
+    path = F.when(F.length(raw_path) > 0, raw_path).otherwise(F.lit("/"))
+
+    def best_len(patterns_col):
+        # longest matching rule, JVM-side: exact for plain prefixes (the
+        # overwhelming majority of real robots rules); '*'/'$' patterns are
+        # approximated by their pre-wildcard stem (specificity = full
+        # pattern length). The Python kernel (kernels/robots.py) implements
+        # the exact RFC 9309 wildcard semantics for non-hot-path use.
+        def score(acc, p):
+            stem = F.replace(
+                F.split_part(p, F.lit("*"), F.lit(1)), F.lit("$"), F.lit("")
+            )
+            return F.greatest(
+                acc,
+                F.when(F.col("_path").startswith(stem), F.length(p)).otherwise(
+                    F.lit(-1)
+                ),
+            )
+
+        empty = F.array().cast("array<string>")
+        return F.aggregate(F.coalesce(patterns_col, empty), F.lit(-1), score)
+
+    joined = (
+        cands.withColumn("_path", path)
+        .join(F.broadcast(rules), "host", "left")
+    )
+    allow_len = best_len(F.col("allow"))
+    deny_len = best_len(F.col("disallow"))
+    return (
+        joined.withColumn(
+            "allowed", (deny_len == -1) | (allow_len >= deny_len)
+        )
+        .withColumn(
+            "crawl_delay",
+            F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_crawl_delay)),
+        )
+        .drop("_path", "allow", "disallow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic demo universe (for entry()/tests; no external data)
 # ---------------------------------------------------------------------------
