@@ -111,3 +111,51 @@ def test_spark_robots_pipeline(spark):
     assert out["http://h2.com/anything"][0] is False
     assert out["http://h3.com/ok"][0] is True
     assert out["http://unknown.com/ok"] == (True, cfg.default_crawl_delay)
+
+
+def test_path_rules_schedule_parity_with_oracle(spark):
+    """Full schedule round with path-level robots rules: Spark == oracle
+    (plain-prefix rules, where JVM and kernel matching are both exact)."""
+    from warcio_spark.plans import reference_crawler as oracle
+    from warcio_spark.plans.frontier import (
+        PolitenessConfig,
+        fetch_order,
+        prepare_candidates,
+        schedule_round,
+    )
+
+    rules = {
+        "h1.com": {"allow": ["/admin/public"], "disallow": ["/tmp/", "/admin"],
+                   "crawl_delay": 2.0},
+        "h2.com": {"allow": [], "disallow": ["/"], "crawl_delay": None},
+    }
+    cands = []
+    for i in range(300):
+        host = ["h1.com", "h2.com", "h3.com"][i % 3]
+        path = ["/tmp/x", "/admin/public/p", "/fine", "/admin/x", "/"][i % 5]
+        cands.append({"url": f"http://{host}{path}?i={i}",
+                      "priority": float(i % 50), "seq": i})
+
+    ocfg = oracle.OracleConfig(slot_seconds=60, default_crawl_delay=5.0,
+                               max_host_budget=30)
+    want = [(c["fetch_order"], c["url_canon"], c["crawl_delay"])
+            for c in oracle.schedule(cands, set(), rules, ocfg)]
+
+    rules_df = spark.createDataFrame(
+        [(h, r["allow"], r["disallow"], r["crawl_delay"]) for h, r in rules.items()],
+        "host string, allow array<string>, disallow array<string>, crawl_delay double",
+    )
+    raw = spark.createDataFrame(
+        [(c["url"], c["priority"], c["seq"]) for c in cands],
+        "url string, priority double, seq long",
+    ).repartition(5)
+    cfg = PolitenessConfig(slot_seconds=60, default_crawl_delay=5.0,
+                           max_host_budget=30, salt_buckets=4)
+    got = [(r.fetch_order, r.url_canon, r.crawl_delay)
+           for r in fetch_order(schedule_round(
+               prepare_candidates(raw, None, rules_df, cfg), cfg))
+           .orderBy("fetch_order").collect()]
+    assert got == want
+    hosts = {u.split("/")[2] for _, u, _ in got}
+    assert "h2.com" not in hosts  # fully disallowed
+    assert "h3.com" in hosts      # no rules -> allowed

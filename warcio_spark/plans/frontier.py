@@ -165,11 +165,15 @@ def prepare_candidates(raw: DataFrame, seen: DataFrame | None,
                        robots: DataFrame | None,
                        cfg: PolitenessConfig | None = None) -> DataFrame:
     """Full candidate pipeline: keys -> within-batch dedup -> anti-join seen
-    -> robots."""
+    -> robots. ``robots`` may be the host-level table (host, allowed,
+    crawl_delay) or the path-rule table (host, allow, disallow, crawl_delay)
+    from robots_table_from_pages — detected by columns."""
     cfg = cfg or PolitenessConfig()
     cands = dedup_candidates(with_frontier_keys(raw))
     if seen is not None:
         cands = not_seen(cands, seen)
+    if robots is not None and "disallow" in robots.columns:
+        return apply_robots_rules(cands, robots, cfg)
     return apply_robots(cands, robots, cfg)
 
 

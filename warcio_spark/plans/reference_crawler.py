@@ -12,9 +12,12 @@ Ordering contract (total, parallelism-independent):
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass
 
 from warcio_spark.kernels.urls import canonicalize_url, url_host
+
+_PATH_RX = re.compile(r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)$")
 
 
 @dataclass(frozen=True)
@@ -44,8 +47,18 @@ def prepare(cands, seen_canon: set, robots: dict, cfg: OracleConfig):
         if canon in seen_canon:
             continue
         rule = robots.get(c["host"]) if robots else None
-        allowed = rule["allowed"] if rule is not None else True
-        delay = rule["crawl_delay"] if rule is not None else cfg.default_crawl_delay
+        if rule is not None and ("allow" in rule or "disallow" in rule):
+            # path-rule form (host -> {"allow": [...], "disallow": [...],
+            # "crawl_delay"}) — same longest-match semantics as the engine
+            from warcio_spark.kernels.robots import robots_allowed
+
+            m = _PATH_RX.match(canon or "")
+            path = m.group(1) if m else "/"
+            allowed = robots_allowed(path, rule)
+            delay = rule.get("crawl_delay")
+        else:
+            allowed = rule["allowed"] if rule is not None else True
+            delay = rule["crawl_delay"] if rule is not None else None
         if delay is None:
             delay = cfg.default_crawl_delay
         if not allowed:
