@@ -386,6 +386,42 @@ def q_lsh_topk(spark, sf):
     return lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10, planes=6)
 
 
+def q_lang_detect(spark, sf):
+    """Language-ID decision: argmax of marker scores with fixed tie-break
+    order en > de > fr; 'und' when no markers hit."""
+    docs = _t(spark, sf, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+
+    def score(markers):
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(markers)))
+
+    staged = docs.select(
+        "doc_id",
+        score(["the", "and", "of"]).alias("_en"),
+        score(["der", "und", "die"]).alias("_de"),
+        score(["le", "et", "les"]).alias("_fr"),
+    )
+    pred = (
+        F.when(
+            (F.col("_en") + F.col("_de") + F.col("_fr")) == 0, F.lit("und")
+        )
+        .when((F.col("_en") >= F.col("_de")) & (F.col("_en") >= F.col("_fr")), "en")
+        .when(F.col("_de") >= F.col("_fr"), "de")
+        .otherwise("fr")
+    )
+    return staged.select("doc_id", pred.alias("lang_pred"))
+
+
+def q_multimodal_features(spark, sf):
+    """Multimodal plumbing: binary media column -> decode(stub) features via
+    mapInPandas (rows-only; the codec is a deterministic fake in-sandbox)."""
+    from warcio_spark.operators.multimodal import image_features, synth_media
+
+    n = 300
+    media = synth_media(spark, n, partitions=4)
+    return image_features(media)
+
+
 def q_warc_parse_corpus(spark, sf):
     """S1-S6: the WARC ingest source over the reference's own corpus —
     record census by file and type (rows-only; no SQL equivalent)."""
@@ -421,6 +457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except": q_set_except,
         "revisit_pointers": q_revisit_pointers,
         "per_host_budget": q_per_host_budget,
+        "lang_detect": q_lang_detect,
+        "multimodal_features": q_multimodal_features,
         "simhash": q_simhash,
         "minhash_dedup": q_minhash_dedup,
         "fingerprint": q_fingerprint,
@@ -605,7 +643,24 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(CAST(CEIL(COUNT(*) / 10.0) AS BIGINT), 50) AS budget
             FROM documents GROUP BY source
         """,
-        # simhash / minhash_dedup / fingerprint / lsh_topk / warc_parse_corpus:
-        # non-SQL-expressible (custom hashing / LSH / external corpus) —
-        # rows-only checks by design.
+        "lang_detect": """
+            WITH s AS (
+              SELECT doc_id,
+                len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> lower(x) IN ('the','and','of'))) AS _en,
+                len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> lower(x) IN ('der','und','die'))) AS _de,
+                len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> lower(x) IN ('le','et','les'))) AS _fr
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN _en + _de + _fr = 0 THEN 'und'
+                        WHEN _en >= _de AND _en >= _fr THEN 'en'
+                        WHEN _de >= _fr THEN 'de'
+                        ELSE 'fr' END AS lang_pred
+            FROM s
+        """,
+        # simhash / minhash_dedup / fingerprint / lsh_topk / warc_parse_corpus
+        # / multimodal_features: non-SQL-expressible (custom hashing / LSH /
+        # external corpus / stubbed codecs) — rows-only checks by design.
     }
