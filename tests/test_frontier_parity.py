@@ -213,3 +213,28 @@ def test_mega_host_skew_budget_exact(spark):
     assert got == want
     mega = [u for _, u in got if "mega" in u]
     assert len(mega) == 40  # budget cap exact under skew
+
+
+def test_bloom_sidecar_equals_exact_anti_join(spark):
+    """Bloom pre-filter splits candidates but the union equals the exact
+    anti-join result, row for row."""
+    from warcio_spark.plans.frontier import not_seen, with_frontier_keys
+
+    def universe(n, mod):
+        return with_frontier_keys(
+            spark.range(0, n, 1, 8).select(
+                F.concat(F.lit("http://h"), F.pmod("id", F.lit(37)).cast("string"),
+                         F.lit(".com/p/"), F.col("id").cast("string")).alias("url"),
+                F.lit(1.0).alias("priority"),
+                F.col("id").alias("seq"),
+            )
+        )
+
+    cands = universe(30_000, 37)
+    seen = universe(9_000, 37).select("url_hash")
+    exact = not_seen(cands, seen).select("url_hash", "url_canon")
+    bloom = not_seen(cands, seen, bloom_items=20_000).select("url_hash", "url_canon")
+    assert exact.count() == 21_000
+    assert bloom.count() == 21_000
+    assert exact.exceptAll(bloom).count() == 0
+    assert bloom.exceptAll(exact).count() == 0

@@ -72,13 +72,19 @@ def dedup_candidates(cands: DataFrame) -> DataFrame:
     return best.select("url_hash", *[F.col("_best." + c).alias(c) for c in cols])
 
 
-def not_seen(cands: DataFrame, seen: DataFrame) -> DataFrame:
-    """Frontier-minus-seen: exact left_anti on url_hash (A6/J3).
+def not_seen(cands: DataFrame, seen: DataFrame,
+             bloom_items: int | None = None) -> DataFrame:
+    """Frontier-minus-seen (A6/J3).
 
-    At 10^10 seen keys this is a sort-merge anti-join; Spark's own runtime
-    bloom-filter join rewrite (spark.sql.optimizer.runtime.bloomFilter.enabled)
-    injects the bloom pre-filter for the never-seen majority — see
-    enable_runtime_bloom()."""
+    Exact path: left_anti sort-merge join on url_hash. With ``bloom_items``
+    set, a Bloom sidecar (plans/bloom.py) splits candidates so the
+    never-seen majority bypasses the anti-join shuffle; the result is
+    identical either way — the bloom only prunes shuffle volume.
+    """
+    if bloom_items:
+        from warcio_spark.plans.bloom import bloom_not_seen
+
+        return bloom_not_seen(cands, seen, bloom_items)
     return cands.join(seen.select("url_hash"), "url_hash", "left_anti")
 
 
