@@ -422,6 +422,18 @@ def q_multimodal_features(spark, sf):
     return image_features(media)
 
 
+def q_frontier_schedule(spark, sf):
+    """The north-rule round as a query: canonicalize -> hash -> seen
+    anti-join -> robots -> salted politeness top-k -> total fetch order
+    (rows-only; canonicalization/politeness aren't SQL-expressible —
+    parity is proven against the single-process oracle crawler in
+    tests/test_frontier_parity.py instead)."""
+    from warcio_spark.plans.frontier import demo_round
+
+    docs = _t(spark, sf, "documents")
+    return demo_round(spark, docs)
+
+
 def q_warc_parse_corpus(spark, sf):
     """S1-S6: the WARC ingest source over the reference's own corpus —
     record census by file and type (rows-only; no SQL equivalent)."""
@@ -463,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "fingerprint": q_fingerprint,
         "lsh_topk": q_lsh_topk,
+        "frontier_schedule": q_frontier_schedule,
         "warc_parse_corpus": q_warc_parse_corpus,
     }
 
