@@ -152,3 +152,54 @@ def test_streaming_token_bucket_state(spark, tmp_path):
         if r.admitted:
             per_host_admitted[r.host] = per_host_admitted.get(r.host, 0) + 1
     assert per_host_admitted and max(per_host_admitted.values()) <= 3
+
+
+def test_substitute_revisits_roundtrip_through_reference(spark, warcio, tmp_path):
+    """Duplicate-payload responses become revisit records; the rewritten
+    table serializes to a WARC the REFERENCE reads, with revisits pointing
+    at the original capture."""
+    from warcio.archiveiterator import ArchiveIterator
+
+    from warcio_spark.kernels.build import build_record, serialize_records
+    from warcio_spark.operators.dedup import substitute_revisits
+
+    # corpus with a duplicated payload across two urls
+    payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nsame-bytes")
+    recs = []
+    for i, (url, body) in enumerate([
+        ("http://a.com/1", payload),
+        ("http://a.com/2", b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nunique"),
+        ("http://b.com/3", payload),  # dup of /1
+    ]):
+        recs.append(build_record(url, "response", payload=body,
+                                 record_id=f"<urn:uuid:r{i}>",
+                                 warc_date="2024-01-0%dT00:00:00Z" % (i + 1)))
+    blob = serialize_records(recs, gzip=True)
+    src = tmp_path / "src.warc.gz"
+    src.write_bytes(blob)
+
+    from warcio_spark.sources import read_warc
+
+    table = read_warc(spark, str(src))
+    rewritten = substitute_revisits(table)
+    out = [r for r in rewritten.orderBy("offset").collect()]
+    types = [r.rec_type for r in out]
+    assert types == ["response", "response", "revisit"]
+
+    # serialize and let the reference read it back
+    from warcio_spark.operators.writer import write_warc
+
+    paths = write_warc(rewritten.orderBy("offset"), str(tmp_path / "out"),
+                       gzip=True, files=1)
+    got = []
+    with open(paths[0], "rb") as f:
+        for rec in ArchiveIterator(f):
+            got.append(rec)
+            if rec.rec_type == "revisit":
+                assert rec.rec_headers.get_header(
+                    "WARC-Refers-To-Target-URI") == "http://a.com/1"
+                assert rec.rec_headers.get_header("WARC-Profile")
+                assert rec.rec_headers.get_header(
+                    "WARC-Payload-Digest") == got[0].rec_headers.get_header(
+                    "WARC-Payload-Digest")
+    assert [r.rec_type for r in got] == ["response", "response", "revisit"]

@@ -76,6 +76,68 @@ def revisit_candidates(records: DataFrame, digest_col: str = "payload_digest",
     )
 
 
+def substitute_revisits(records: DataFrame) -> DataFrame:
+    """P4's replace-pair hook as a table op: response records whose payload
+    digest matches an EARLIER response become revisit records carrying
+    WARC-Profile + WARC-Refers-To-* headers and an empty payload — the
+    storage-dedup write path of a crawler. Non-response records pass
+    through untouched.
+
+    One window shuffle on (payload digest); the rewrite itself is a
+    conditional projection (no Python).
+    """
+    from pyspark.sql import Window
+
+    from warcio_spark import functions as WF
+
+    resp = records.filter(F.col("rec_type") == "response")
+    other = records.filter(F.col("rec_type") != "response")
+
+    digest = F.coalesce(
+        WF.header_get("rec_headers", "WARC-Payload-Digest"),
+        WF.sha1_b32(F.col("payload")),
+    )
+    w = Window.partitionBy("_digest").orderBy("warc_ts", "record_id")
+    flagged = (
+        resp.withColumn("_digest", digest)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_orig_url", F.first("url").over(w))
+        .withColumn("_orig_ts", F.first("warc_ts").over(w))
+    )
+
+    profile = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+    is_dup = F.col("_rn") > 1
+    new_headers = F.when(
+        is_dup,
+        F.concat(
+            WF.header_filter_out(
+                "rec_headers", "WARC-Type", "WARC-Block-Digest", "Content-Length"
+            ),
+            F.array(
+                F.struct(F.lit("WARC-Type").alias("name"), F.lit("revisit").alias("value")),
+                F.struct(F.lit("WARC-Profile").alias("name"), F.lit(profile).alias("value")),
+                F.struct(
+                    F.lit("WARC-Refers-To-Target-URI").alias("name"),
+                    F.col("_orig_url").alias("value"),
+                ),
+                F.struct(
+                    F.lit("WARC-Refers-To-Date").alias("name"),
+                    WF.iso_warc_date("_orig_ts").alias("value"),
+                ),
+            ),
+        ),
+    ).otherwise(F.col("rec_headers"))
+
+    rewritten = (
+        flagged.withColumn("rec_type", F.when(is_dup, "revisit").otherwise(F.col("rec_type")))
+        .withColumn("rec_headers", new_headers)
+        .withColumn("payload", F.when(is_dup, F.lit(b"")).otherwise(F.col("payload")))
+        .withColumn("payload_length", F.when(is_dup, F.lit(0)).otherwise(F.col("payload_length")))
+        .drop("_digest", "_rn", "_orig_url", "_orig_ts")
+    )
+    return rewritten.unionByName(other)
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact similarity for candidate pairs)
 # ---------------------------------------------------------------------------
