@@ -186,22 +186,43 @@ def split_gzip_members(data: bytes):
     A truncated trailing member is returned with whatever decoded.
     """
     members = []
-    pos = 0
     n = len(data)
-    while pos < n:
+    mv = memoryview(data)
+    pos = 0              # next unread byte of data
+    member_start = 0     # absolute offset of the current member
+    carry = b""          # bytes read past the previous member's end
+    chunk_size = 1 << 20  # bounded feeds: keeps unused_data copies O(chunk),
+    # not O(remaining) — slicing the whole tail per member is O(n^2) on a
+    # multi-thousand-member archive
+
+    while carry or pos < n:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out = []
+        fed = 0
         try:
-            decoded = d.decompress(data[pos:])
+            if carry:
+                fed += len(carry)
+                out.append(d.decompress(carry))
+            while not d.eof and pos < n:
+                chunk = mv[pos : pos + chunk_size]
+                pos += len(chunk)
+                fed += len(chunk)
+                out.append(d.decompress(chunk))
         except zlib.error:
-            # corrupt member: mirror the reader's "stop decoding, keep what
-            # decoded so far" behavior (warcio/bufferedreaders.py:134-150)
+            # corrupt member: mirror the reader's "stop decoding" behavior
+            # (warcio/bufferedreaders.py:134-150)
+            break
+        decoded = b"".join(out)
+        if not d.eof:
+            # truncated trailing member: keep whatever decoded
+            if decoded:
+                members.append((member_start, n - member_start, decoded))
             break
         rest = d.unused_data
-        comp_len = (n - pos) - len(rest)
-        members.append((pos, comp_len, decoded))
-        if not rest:
-            break
-        pos = n - len(rest)
+        comp_len = fed - len(rest)
+        members.append((member_start, comp_len, decoded))
+        member_start += comp_len
+        carry = rest
     return members
 
 
