@@ -138,6 +138,32 @@ def q_revenue_by_nation(spark, sf):
     )
 
 
+def q_local_supplier_volume(spark, sf):
+    """TPC-H Q5 shape: 6-table star join with region filter — exercises join
+    reordering + broadcast of the dim chain."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter((F.col("r_name") == "ASIA")
+                & (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1999-01-01"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
 def q_anti_join_unseen(spark, sf):
     """J3: frontier-minus-seen as a left_anti join."""
     o = _t(spark, sf, "orders")
@@ -453,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "cube_rollup": q_cube_rollup,
         "revenue_by_nation": q_revenue_by_nation,
+        "local_supplier_volume": q_local_supplier_volume,
         "anti_join_unseen": q_anti_join_unseen,
         "windowed_topk": q_windowed_topk,
         "running_offset": q_running_offset,
@@ -525,6 +552,22 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1999-01-01'
             GROUP BY n_name
         """,
         "anti_join_unseen": """

@@ -120,17 +120,36 @@ def read_warc(
     return files.mapInPandas(run, WARC_RECORDS_SCHEMA)
 
 
-def pages_from_records(records: DataFrame, lang_default: str = "") -> DataFrame:
+def pages_from_records(records: DataFrame, lang_default: str = "",
+                       detect_lang: bool = False) -> DataFrame:
     """Project a warc_records DataFrame to the north-rule ``pages`` shape
     (url, warc_ts, html, text, lang): response records only, text = the
-    byte-identical extracted content decoded with the reference fallback."""
+    byte-identical extracted content decoded with the reference fallback.
+    ``detect_lang=True`` fills lang with the marker-token heuristic
+    (operators.textstats), JVM-side."""
     from warcio_spark import functions as WF
 
     resp = records.filter(F.col("rec_type") == "response")
-    return resp.select(
+    pages = resp.select(
         F.col("url"),
         F.col("warc_ts"),
         F.col("payload").alias("html"),
         WF.decode_text(F.col("content")).alias("text"),
-        F.lit(lang_default).alias("lang"),
     )
+    if not detect_lang:
+        return pages.withColumn("lang", F.lit(lang_default))
+    from warcio_spark.operators.textstats import LANG_MARKERS, lang_scores
+
+    staged = pages.withColumn("_s", lang_scores("text"))
+    langs = list(LANG_MARKERS)
+    total = sum((F.col("_s.score_" + l) for l in langs[1:]),
+                F.col("_s.score_" + langs[0]))
+    pred = F.when(total == 0, F.lit(lang_default or "und"))
+    remaining = langs
+    for i, l in enumerate(langs):
+        cond = None
+        for other in langs[i + 1:]:
+            c = F.col("_s.score_" + l) >= F.col("_s.score_" + other)
+            cond = c if cond is None else (cond & c)
+        pred = pred.when(cond if cond is not None else F.lit(True), F.lit(l))
+    return staged.withColumn("lang", pred).drop("_s")
