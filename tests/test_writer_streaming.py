@@ -203,3 +203,31 @@ def test_substitute_revisits_roundtrip_through_reference(spark, warcio, tmp_path
                     "WARC-Payload-Digest") == got[0].rec_headers.get_header(
                     "WARC-Payload-Digest")
     assert [r.rec_type for r in got] == ["response", "response", "revisit"]
+
+
+def test_records_table_partition_pruning(spark, tmp_path):
+    """Partitioned records table: a rec_type filter prunes partitions at the
+    source (PartitionFilters in the physical plan), and the point read by
+    (filename, offset) returns the row."""
+    from warcio_spark.sources.storage import (
+        read_records_table,
+        responses_only,
+        write_records_table,
+    )
+
+    recs = read_warc(spark, os.path.join(CORPUS, "example.warc*"))
+    path = str(tmp_path / "records_table")
+    write_records_table(recs, path)
+
+    pruned = responses_only(spark, path)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "rec_type" in plan and ("PartitionFilters" in plan or "isnotnull(rec_type" in plan)
+    assert pruned.count() == 2  # one response per file
+    assert set(r.rec_type for r in pruned.collect()) == {"response"}
+
+    full = read_records_table(spark, path)
+    point = full.filter(
+        (F.col("filename") == "example.warc.gz") & (F.col("offset") == 784)
+    ).collect()
+    assert len(point) == 1 and point[0].rec_type == "response"
+    assert "url_bucket" in full.columns
