@@ -30,6 +30,9 @@ from warcio_spark.plans.frontier import (
 )
 
 FRONTIER_COLS = ["url", "priority", "seq"]
+# checkpointed frontiers persist their canonical keys so later rounds skip
+# re-canonicalizing the carried-over majority (prepare_candidates detects it)
+FRONTIER_KEYED_COLS = ["url", "priority", "seq", "url_canon", "url_hash", "host"]
 SEEN_COLS = ["url_hash", "url_canon"]
 
 
@@ -168,13 +171,18 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
             scheduled.select(*SEEN_COLS)
         ).dropDuplicates(["url_hash"])
         # robots-denied urls leave the frontier for good (same rule in the
-        # oracle crawler); unscheduled eligible candidates carry over
+        # oracle crawler); unscheduled eligible candidates carry over WITH
+        # their canonical keys (no re-canonicalization next round)
         remaining = (
             cands.filter(F.col("allowed"))
             .join(scheduled.select("url_hash"), "url_hash", "left_anti")
-            .select(*FRONTIER_COLS)
+            .select(*FRONTIER_KEYED_COLS)
         )
-        expanded = outlinks_fn(scheduled).select(*FRONTIER_COLS)
+        from warcio_spark.plans.frontier import with_frontier_keys
+
+        expanded = with_frontier_keys(
+            outlinks_fn(scheduled).select(*FRONTIER_COLS)
+        ).select(*FRONTIER_KEYED_COLS)
         next_frontier = remaining.unionByName(expanded)
 
         metrics = {

@@ -175,7 +175,10 @@ def prepare_candidates(raw: DataFrame, seen: DataFrame | None,
     crawl_delay) or the path-rule table (host, allow, disallow, crawl_delay)
     from robots_table_from_pages — detected by columns."""
     cfg = cfg or PolitenessConfig()
-    cands = dedup_candidates(with_frontier_keys(raw))
+    # already-keyed input (a frontier snapshot that persisted its keys)
+    # skips re-canonicalizing the whole carried-over frontier every round
+    keyed = raw if "url_hash" in raw.columns else with_frontier_keys(raw)
+    cands = dedup_candidates(keyed)
     if seen is not None:
         cands = not_seen(cands, seen)
     if robots is not None and "disallow" in robots.columns:
