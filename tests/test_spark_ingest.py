@@ -151,3 +151,32 @@ def test_fix_target_uri_expr(spark):
     )
     got = [r.fixed for r in df.select(WF.fix_target_uri("url").alias("fixed")).collect()]
     assert got == ["http://example.com/", "http://h/a%20b%20c", "http://ok/"]
+
+
+def test_read_warc_ranges_single_big_file(spark, tmp_path):
+    """Parallel byte-range ingest of one big .warc.gz equals the whole-file
+    parse exactly (offsets, types, content), at two split sizes."""
+    from warcio_spark.kernels.build import build_record, serialize_record
+    from warcio_spark.kernels.parse import parse_warc_bytes
+    from warcio_spark.sources.warc import read_warc_ranges
+
+    members = []
+    for i in range(4000):
+        body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+                + (b"payload-%d-" % i) * (1 + i % 40))
+        members.append(serialize_record(
+            build_record(f"http://h{i % 13}.com/p/{i}", "response",
+                         payload=body, record_id=f"<urn:uuid:{i}>",
+                         warc_date="2024-01-01T00:00:00Z"), gzip=True))
+    blob = b"".join(members)
+    path = tmp_path / "big.warc.gz"
+    path.write_bytes(blob)
+
+    want = parse_warc_bytes(blob, filename="big.warc.gz")["records"]
+    for split in (1 << 18, 1 << 20):
+        df = read_warc_ranges(spark, str(path), split_bytes=split,
+                              overlap_bytes=1 << 18)
+        rows = df.select("offset", "url", "content").orderBy("offset").collect()
+        assert len(rows) == len(want) == 4000, split
+        assert [r.offset for r in rows] == [w["offset"] for w in want]
+        assert [bytes(r.content) for r in rows] == [w["content"] for w in want]

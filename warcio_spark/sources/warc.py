@@ -120,6 +120,103 @@ def read_warc(
     return files.mapInPandas(run, WARC_RECORDS_SCHEMA)
 
 
+def _find_member_boundary(data: bytes, hint: int = 0) -> int:
+    """First gzip-member start at/after ``hint``: scan for the gzip magic and
+    validate by decompressing a small window and checking it parses as a
+    record statusline (WARC/ARC). Returns -1 when none found."""
+    import zlib
+
+    from warcio_spark.kernels.parse import (
+        ARC_FIELDS,
+        WARC_VERSIONS,
+        split_format_prefix,
+    )
+    from warcio_spark.kernels.textcodec import decode_fallback
+
+    pos = hint
+    while True:
+        cand = data.find(b"\x1f\x8b\x08", pos)
+        if cand == -1:
+            return -1
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            head = d.decompress(data[cand : cand + 65536], 4096)
+        except zlib.error:
+            pos = cand + 1
+            continue
+        line = decode_fallback(head.split(b"\n", 1)[0]).rstrip()
+        if split_format_prefix(line, WARC_VERSIONS) is not None or (
+            len(line.rsplit(" ", len(ARC_FIELDS) - 1)) == len(ARC_FIELDS)
+            and ("://" in line or line.startswith("filedesc://"))
+        ):
+            return cand
+        pos = cand + 1
+
+
+def read_warc_ranges(
+    spark: SparkSession,
+    path: str,
+    split_bytes: int = 64 << 20,
+    overlap_bytes: int = 16 << 20,
+    **read_opts,
+) -> DataFrame:
+    """Parallel ingest of ONE huge .warc.gz by byte ranges.
+
+    Each task owns [start, end): it seeks to the first gzip-member boundary
+    at/after start (magic scan + decompress-validate, possible only because
+    every record is its own gzip member — the splittability the reference
+    enforces, warcio/archiveiterator.py:35-48) and parses every member that
+    STARTS inside its range; a member spilling past ``end`` is covered by
+    ``overlap_bytes`` of extra read (bound on the largest single record).
+    Offsets are absolute file offsets, identical to a whole-file parse.
+
+    Scale note: this is the path for the "one 100 GB WARC" shape; the
+    common Common-Crawl shape (many ~1 GB files) uses read_warc's
+    file-per-task fan-out instead. Tasks open the file directly (local fs
+    here; swap the opener for fsspec/hadoop on a cluster).
+    """
+    import os
+
+    size = os.path.getsize(path)
+    ranges = [
+        (path, s, min(s + split_bytes, size))
+        for s in range(0, size, split_bytes)
+    ]
+    rdf = spark.createDataFrame(ranges, "path string, start long, end long")
+    rdf = rdf.repartition(len(ranges))
+
+    include_payload = read_opts.pop("include_payload", True)
+    include_content = read_opts.pop("include_content", True)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
+                start, end = int(start), int(end)
+                with open(p, "rb") as f:
+                    f.seek(start)
+                    blob = f.read((end - start) + overlap_bytes)
+                boundary = 0 if start == 0 else _find_member_boundary(blob)
+                if boundary == -1 or start + boundary >= end:
+                    continue
+                result = parse_warc_bytes(
+                    blob[boundary:],
+                    filename=p.rsplit("/", 1)[-1],
+                    **read_opts,
+                )
+                abs_base = start + boundary
+                owned = [
+                    r for r in result["records"]
+                    if abs_base + r["offset"] < end
+                ]
+                for r in owned:
+                    r["offset"] += abs_base
+                result = {"records": owned, "err_count": result["err_count"],
+                          "error": result["error"]}
+                yield _records_to_pdf(result, include_payload, include_content)
+
+    return rdf.mapInPandas(run, WARC_RECORDS_SCHEMA)
+
+
 def pages_from_records(records: DataFrame, lang_default: str = "",
                        detect_lang: bool = False) -> DataFrame:
     """Project a warc_records DataFrame to the north-rule ``pages`` shape
