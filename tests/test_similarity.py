@@ -1,0 +1,89 @@
+"""Similarity-search operators: exact top-k sanity, LSH recall on planted
+near-duplicates, kNN join shape."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def make_embeddings(spark, n=400, dim=32, seed=9, planted_pairs=12):
+    """Random unit vectors + planted near-duplicate pairs (cosine > 0.99)."""
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, dim)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    dup_of = {}
+    for k in range(planted_pairs):
+        a, b = 2 * k, 2 * k + 1
+        X[b] = X[a] + rng.randn(dim) * 0.01
+        X[b] /= np.linalg.norm(X[b])
+        dup_of[b] = a
+    rows = [(i, [float(v) for v in X[i]], i % 5) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    return df, X, dup_of
+
+
+def test_cosine_topk_exact(spark):
+    from warcio_spark.operators.similarity import cosine_topk
+
+    df, X, _ = make_embeddings(spark)
+    q = X[0]
+    got = [r.vec_id for r in cosine_topk(df.filter("vec_id <> 0"), q, k=5).collect()]
+    sims = X @ q
+    want = [int(i) for i in np.argsort(-sims) if i != 0][:5]
+    assert got == want
+    assert got[0] == 1  # the planted near-dup of vector 0
+
+
+def test_lsh_topk_recall(spark):
+    from warcio_spark.operators.similarity import cosine_topk, lsh_topk
+
+    df, X, _ = make_embeddings(spark)
+    q = X[0]
+    exact = {r.vec_id for r in cosine_topk(df.filter("vec_id <> 0"), q, k=5).collect()}
+    approx = {r.vec_id for r in lsh_topk(df.filter("vec_id <> 0"), q, k=5, planes=4).collect()}
+    # the near-identical planted dup must share all hyperplane signs
+    assert 1 in approx
+    assert len(exact & approx) >= 1
+
+
+def test_embedding_near_dup_finds_planted(spark):
+    from warcio_spark.operators.dedup import embedding_near_dup
+
+    df, X, dup_of = make_embeddings(spark)
+    pairs = {(r.id_a, r.id_b)
+             for r in embedding_near_dup(df, threshold=0.98, planes=6).collect()}
+    planted = {(a, b) for b, a in dup_of.items()}
+    # near-identical vectors agree on every hyperplane -> all planted pairs land
+    assert planted <= pairs
+    # and nothing below threshold sneaks in
+    for a, b in pairs:
+        assert float(X[a] @ X[b]) >= 0.975
+
+
+def test_knn_join_shape(spark):
+    from warcio_spark.operators.similarity import knn_join
+
+    df, X, dup_of = make_embeddings(spark, n=120)
+    out = knn_join(df, df, k=3, planes=3)
+    rows = out.collect()
+    assert all(1 <= r.rank <= 3 for r in rows)
+    per_left = {}
+    for r in rows:
+        per_left.setdefault(r.lid, []).append(r)
+    assert max(len(v) for v in per_left.values()) <= 3
+    # planted dup is its twin's top bucket-mate
+    top = {r.lid: r.rid for r in rows if r.rank == 1}
+    hits = sum(1 for b, a in dup_of.items() if top.get(b) == a)
+    assert hits >= len(dup_of) * 0.8
+
+
+def test_ivf_topk_runs(spark):
+    from warcio_spark.operators.similarity import ivf_topk
+
+    df, X, _ = make_embeddings(spark, n=200)
+    q = X[0]
+    got = ivf_topk(df.filter("vec_id <> 0"), q, k=5, n_cells=8, nprobe=3,
+                   sample_frac=0.5)
+    rows = got.collect()
+    assert 1 <= len(rows) <= 5
+    assert rows[0].cosine >= rows[-1].cosine

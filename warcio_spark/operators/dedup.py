@@ -370,23 +370,10 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.95,
     """Near-duplicate embedding pairs: random-hyperplane LSH bucket (sign
     sketch from deterministic pseudo-planes) then exact cosine verify within
     buckets. One shuffle on the sketch bucket."""
-    dim_idx = F.sequence(F.lit(0), F.size(vec_col) - 1)
+    from warcio_spark.operators.similarity import sketch
 
-    # deterministic pseudo-hyperplanes: plane p's weight for dim d is a
-    # +-1 sign derived from xxhash64(d, p) — JVM-only, reproducible
-    def plane_sign(p):
-        def weigh(v, d):
-            sign = (F.pmod(F.xxhash64(d.cast("string"), F.lit(p)), F.lit(2)) * 2 - 1)
-            return v.cast("double") * sign.cast("double")
-
-        contrib = F.zip_with(F.col(vec_col), dim_idx, weigh)
-        return (
-            F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x) > 0
-        ).cast("int")
-
-    bucket = F.concat_ws("", *[plane_sign(p) for p in range(planes)])
     sk = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-                    bucket.alias("_bucket"))
+                    sketch(vec_col, planes).alias("_bucket"))
     l, r = sk.alias("l"), sk.alias("r")
     return (
         l.join(r, (F.col("l._bucket") == F.col("r._bucket"))

@@ -11,8 +11,11 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from warcio_spark.operators.dedup import cosine_similarity
 
@@ -34,22 +37,33 @@ def cosine_topk(emb: DataFrame, query_vec, k: int = 10,
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
-def _plane_sign_expr(vec_col, p):
-    dim_idx = F.sequence(F.lit(0), F.size(vec_col) - 1)
+def make_sketch_udf(planes: int = 8, seed: int = 1337):
+    """Deterministic random-hyperplane sign sketch as a string bucket key.
 
-    def weigh(v, d):
-        sign = (F.pmod(F.xxhash64(d.cast("string"), F.lit(p)), F.lit(2)) * 2 - 1)
-        return v.cast("double") * sign.cast("double")
+    numpy-vectorized pandas UDF: the whole Arrow batch becomes one matrix
+    multiply against the seeded +-1 plane matrix — the earlier
+    expression-tree variant (per-plane interpreted zip_with/aggregate) was
+    ~50x slower. Both sides of any bucket join must use the SAME
+    (planes, seed) so the plane matrix matches.
+    """
+    @F.pandas_udf(T.StringType())
+    def sketch_udf(vecs: pd.Series) -> pd.Series:
+        arr = np.array(vecs.tolist(), dtype=np.float64)
+        if arr.ndim != 2 or arr.size == 0:
+            return pd.Series([None] * len(vecs), dtype="object")
+        dim = arr.shape[1]
+        rng = np.random.RandomState(seed)
+        P = rng.choice(np.array([-1.0, 1.0]), size=(planes, dim))
+        bits = (arr @ P.T) > 0
+        digits = bits.astype(np.uint8).astype("U1")
+        return pd.Series(["".join(row) for row in digits])
 
-    contrib = F.zip_with(
-        F.col(vec_col) if isinstance(vec_col, str) else vec_col, dim_idx, weigh
-    )
-    return (F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x) > 0).cast("int")
+    return sketch_udf
 
 
-def sketch(vec_col, planes: int = 8):
-    """Deterministic random-hyperplane sign sketch as a string bucket key."""
-    return F.concat_ws("", *[_plane_sign_expr(vec_col, p) for p in range(planes)])
+def sketch(vec_col, planes: int = 8, seed: int = 1337):
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return make_sketch_udf(planes, seed)(col)
 
 
 def lsh_topk(emb: DataFrame, query_vec, k: int = 10, planes: int = 8,
