@@ -1,0 +1,74 @@
+"""Dump formatted physical plans for the headline queries + frontier into
+BENCH/PLANS.md — the plan-quality evidence (pushdown, pruning, broadcast,
+partial aggregation, single ArrowEvalPython nodes)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PICKS = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "local_supplier_volume",
+    "anti_join_unseen",
+    "windowed_topk",
+    "embedding_topk",
+    "exact_dup_groups",
+]
+
+
+def main():
+    from bench import make_spark
+
+    import __spark_entry__ as e
+
+    spark = make_spark("8")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.01"
+    out = ["# Physical plans (.explain formatted), sf0.01\n"]
+
+    def grab(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    for name in PICKS:
+        out.append(f"\n## {name}\n\n```\n{grab(e.queries()[name](spark, sf))}```\n")
+
+    from pyspark.sql import functions as F
+
+    from warcio_spark.plans.frontier import (
+        PolitenessConfig,
+        demo_robots,
+        fetch_order,
+        prepare_candidates,
+        schedule_round,
+    )
+
+    cands = spark.range(0, 10_000, 1, 8).select(
+        F.concat(F.lit("http://host"), F.pmod("id", F.lit(97)).cast("string"),
+                 F.lit(".example.com/p/"), F.col("id").cast("string")).alias("url"),
+        (F.pmod("id", F.lit(100)) / 2.0).alias("priority"),
+        F.col("id").alias("seq"),
+    )
+    seen = spark.range(0, 3000).select(F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+    cfg = PolitenessConfig()
+    plan = grab(fetch_order(schedule_round(
+        prepare_candidates(cands, seen, demo_robots(spark), cfg), cfg)))
+    out.append(f"\n## frontier round (keys -> dedup -> anti-join -> robots -> salted windows)\n\n```\n{plan}```\n")
+
+    with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
+        f.write("".join(out))
+    print("wrote BENCH/PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
