@@ -110,6 +110,26 @@ def q_shipping_priority(spark, sf):
     )
 
 
+def q_forecast_revenue(spark, sf):
+    """TPC-H Q6 shape: tight range filters fully pushed to the scan, single
+    global aggregate."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def q_cube_rollup(spark, sf):
     """CUBE aggregation over two dimensions (grouping-set machinery)."""
     li = _t(spark, sf, "lineitem")
@@ -477,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_type_census": q_rec_type_census,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
+        "forecast_revenue": q_forecast_revenue,
         "cube_rollup": q_cube_rollup,
         "revenue_by_nation": q_revenue_by_nation,
         "local_supplier_volume": q_local_supplier_volume,
@@ -539,6 +560,15 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1995-03-15'
             GROUP BY o_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "forecast_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "cube_rollup": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
