@@ -11,16 +11,55 @@ rounded so value-hashes are stable across engines.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+# make warcio_spark importable regardless of the harness cwd
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 SF_DEFAULT = "/root/testdata/sf0.001"
+
+_SHIPPED_TO = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship warcio_spark to executor python workers via addPyFile — the
+    driver-side sys.path fix above doesn't reach worker processes when the
+    harness runs with a different cwd."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED_TO:
+        return
+    import zipfile
+
+    zpath = os.path.join(_REPO, "build", "warcio_spark_pyfiles.zip")
+    os.makedirs(os.path.dirname(zpath), exist_ok=True)
+    src_root = os.path.join(_REPO, "warcio_spark")
+    latest_src = max(
+        os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fns in os.walk(src_root)
+        for f in fns
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zpath) or os.path.getmtime(zpath) < latest_src:
+        with zipfile.ZipFile(zpath + ".tmp", "w") as z:
+            for dp, _, fns in os.walk(src_root):
+                for f in fns:
+                    if f.endswith(".py"):
+                        full = os.path.join(dp, f)
+                        z.write(full, os.path.relpath(full, _REPO))
+        os.replace(zpath + ".tmp", zpath)
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED_TO.add(key)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_shipped(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, name + ".parquet"))
 
@@ -463,8 +502,8 @@ def q_multimodal_features(spark, sf):
     mapInPandas (rows-only; the codec is a deterministic fake in-sandbox)."""
     from warcio_spark.operators.multimodal import image_features, synth_media
 
-    n = 300
-    media = synth_media(spark, n, partitions=4)
+    _ensure_shipped(spark)
+    media = synth_media(spark, 300, partitions=4)
     return image_features(media)
 
 
@@ -486,6 +525,7 @@ def q_warc_parse_corpus(spark, sf):
     from warcio_spark.operators.checker import rec_type_census
     from warcio_spark.sources import read_warc
 
+    _ensure_shipped(spark)
     recs = read_warc(spark, "/root/reference/test/data/example*.warc*",
                      include_payload=False, include_content=False)
     return rec_type_census(recs).orderBy("filename", "rec_type")
