@@ -46,7 +46,7 @@ BENCH_QUERIES = [
 def make_spark(cpus: str):
     from pyspark.sql import SparkSession
 
-    return (
+    spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("warcio_spark-bench")
         .config("spark.sql.shuffle.partitions", str(max(8, int(cpus))))
@@ -57,6 +57,11 @@ def make_spark(cpus: str):
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    # ship the package to executor workers (harness cwd may differ)
+    import __spark_entry__ as _entry
+
+    _entry._ensure_shipped(spark)
+    return spark
 
 
 def force(df) -> int:
