@@ -74,28 +74,16 @@ def run_suite(spark, sf_dir: str):
 
     qs = entrymod.queries()
     timings = {}
+    # headline frontier metric first, on a fresh heap (the query battery
+    # below pollutes local-mode timings with GC)
+    li_rows = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    n_urls = max(100_000, li_rows * 3)
+    timings["frontier_round"], urls_per_sec = frontier_throughput(spark, n_urls)
+
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         force(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
-
-    # frontier round: canonicalize -> hash -> dedup -> anti-join a 30% seen
-    # set -> robots broadcast -> salted politeness schedule, over a
-    # deterministic Zipf-skewed URL universe scaled ~20x the lineitem rows
-    from pyspark.sql import functions as F
-
-    from warcio_spark.plans.frontier import (
-        PolitenessConfig,
-        demo_robots,
-        fetch_order,
-        prepare_candidates,
-        schedule_round,
-        with_frontier_keys,
-    )
-
-    li_rows = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-    n_urls = max(100_000, li_rows * 3)
-    timings["frontier_round"], urls_per_sec = frontier_throughput(spark, n_urls)
     return timings, urls_per_sec, n_urls
 
 
