@@ -99,7 +99,6 @@ def write_warc(records: DataFrame, out_dir: str, gzip: bool = True,
     ext = ".warc.gz" if gzip else ".warc"
 
     def dump(it):
-        import socket
         import uuid as _uuid
 
         buf = []

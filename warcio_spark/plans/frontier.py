@@ -192,10 +192,7 @@ def robots_table_from_pages(robots_pages: DataFrame, user_agent: str = "*",
     bodies: robots_pages(host string, body binary|string) ->
     (host, allow array<string>, disallow array<string>, crawl_delay).
     One Arrow hop per robots file — the table is tiny vs the frontier."""
-    import json as _json
-
     import pandas as pd
-    from pyspark.sql import functions as _F
     from pyspark.sql import types as _T
 
     from warcio_spark.kernels.robots import parse_robots_txt
