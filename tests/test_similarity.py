@@ -87,3 +87,25 @@ def test_ivf_topk_runs(spark):
     rows = got.collect()
     assert 1 <= len(rows) <= 5
     assert rows[0].cosine >= rows[-1].cosine
+
+
+def test_sketch_udf_masks_ragged_rows(spark):
+    """A NULL or wrong-length embedding must only NULL its own bucket, not
+    the whole Arrow batch (regression: np.array over ragged input)."""
+    from pyspark.sql import functions as F
+
+    from warcio_spark.operators.similarity import sketch
+
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0]),
+        (1, None),
+        (2, [1.0, 2.0]),            # wrong length
+        (3, [-1.0, 2.0, -3.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>") \
+        .repartition(1)
+    got = {r.vec_id: r.b for r in
+           df.select("vec_id", sketch("embedding", planes=4).alias("b")).collect()}
+    assert got[1] is None and got[2] is None
+    assert got[0] is not None and len(got[0]) == 4
+    assert got[3] is not None and len(got[3]) == 4

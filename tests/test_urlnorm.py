@@ -63,3 +63,16 @@ def test_url_host():
     assert url_host("not a url") is None
     assert url_host(None) is None
     assert repair_uri("<http://x/ y>") == "http://x/%20y"
+
+
+def test_trailing_bare_query_takes_kernel_path():
+    """'http://h/p?' canonicalizes to 'http://h/p' (urlunsplit strips the
+    bare '?'); the pUDF fast path must NOT accept it as already-canonical or
+    the two spellings of one url would get different url_hash values."""
+    from warcio_spark.functions import _CANON_FAST_RX
+
+    assert canonicalize_url("http://h.com/p?") == "http://h.com/p"
+    assert _CANON_FAST_RX.match("http://h.com/p?") is None
+    # non-empty queries still take the fast path
+    assert _CANON_FAST_RX.match("http://h.com/p?q=1")
+    assert canonicalize_url("http://h.com/p?q=1") == "http://h.com/p?q=1"

@@ -231,3 +231,40 @@ def test_records_table_partition_pruning(spark, tmp_path):
     ).collect()
     assert len(point) == 1 and point[0].rec_type == "response"
     assert "url_bucket" in full.columns
+
+
+def test_write_warc_identical_partitions_distinct_files(spark, tmp_path):
+    """Two partitions whose member byte-length sequences are identical must
+    still land in DISTINCT output files (regression: a content-derived file
+    name collided and one partition silently overwrote the other)."""
+    recs = read_warc(spark, os.path.join(CORPUS, "example.warc.gz"))
+    doubled = recs.unionByName(
+        recs.withColumn("record_id", F.concat(F.col("record_id"), F.lit("-b")))
+    )
+    paths = write_warc(doubled, str(tmp_path / "two"), gzip=True, files=2)
+    assert len(paths) == len(set(paths)) == 2
+    again = read_warc(spark, paths)
+    assert again.count() == doubled.count()
+
+
+def test_substitute_revisits_nulls_length_for_recompute(spark, tmp_path):
+    """Rewritten revisit rows must carry length=NULL so the serializer
+    recomputes Content-Length instead of writing the original response
+    length over an empty payload (misaligns every following record)."""
+    from warcio_spark.kernels.build import build_record, serialize_records
+    from warcio_spark.operators.dedup import substitute_revisits
+
+    payload = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nsame-bytes"
+    recs = [
+        build_record("http://a.com/1", "response", payload=payload,
+                     record_id="<urn:uuid:l0>", warc_date="2024-01-01T00:00:00Z"),
+        build_record("http://b.com/2", "response", payload=payload,
+                     record_id="<urn:uuid:l1>", warc_date="2024-01-02T00:00:00Z"),
+    ]
+    src = tmp_path / "dups.warc.gz"
+    src.write_bytes(serialize_records(recs, gzip=True))
+    table = read_warc(spark, str(src))
+    out = substitute_revisits(table).orderBy("offset").collect()
+    assert [r.rec_type for r in out] == ["response", "revisit"]
+    assert out[1].length is None and out[1].payload_length == 0
+    assert out[0].length is not None

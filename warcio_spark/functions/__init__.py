@@ -206,7 +206,9 @@ import re as _re
 # kernel entirely (vectorized regex instead of per-url urlsplit)
 _CANON_FAST_RX = _re.compile(
     r"^https?://[a-z0-9\-]+(\.[a-z0-9\-]+)*/[A-Za-z0-9_\-./~]*"
-    r"(\?[A-Za-z0-9_\-=&.]*)?$"
+    r"(\?[A-Za-z0-9_\-=&.]+)?$"  # >=1 query char: the kernel strips a bare
+    # trailing '?' (urlunsplit), so 'http://h/p?' must take the kernel path
+    # or the two spellings of one url would get different url_hash values
 )
 
 

@@ -133,6 +133,13 @@ def substitute_revisits(records: DataFrame) -> DataFrame:
         .withColumn("rec_headers", new_headers)
         .withColumn("payload", F.when(is_dup, F.lit(b"")).otherwise(F.col("payload")))
         .withColumn("payload_length", F.when(is_dup, F.lit(0)).otherwise(F.col("payload_length")))
+        # length must be recomputed by the serializer: a stale original
+        # length on a now-empty payload writes Content-Length=N with zero
+        # body bytes and misaligns every record after it in the output WARC
+        .withColumn(
+            "length",
+            F.when(is_dup, F.lit(None).cast("long")).otherwise(F.col("length")),
+        )
         .drop("_digest", "_rn", "_orig_url", "_orig_ts")
     )
     return rewritten.unionByName(other)

@@ -48,15 +48,27 @@ def make_sketch_udf(planes: int = 8, seed: int = 1337):
     """
     @F.pandas_udf(T.StringType())
     def sketch_udf(vecs: pd.Series) -> pd.Series:
-        arr = np.array(vecs.tolist(), dtype=np.float64)
-        if arr.ndim != 2 or arr.size == 0:
-            return pd.Series([None] * len(vecs), dtype="object")
-        dim = arr.shape[1]
-        rng = np.random.RandomState(seed)
-        P = rng.choice(np.array([-1.0, 1.0]), size=(planes, dim))
-        bits = (arr @ P.T) > 0
-        digits = bits.astype(np.uint8).astype("U1")
-        return pd.Series(["".join(row) for row in digits])
+        # mask out NULL / wrong-length rows per-row and sketch the valid
+        # subset: one bad embedding must not turn the whole Arrow batch into
+        # a ragged array (ndim != 2) and silently NULL every bucket in it
+        from collections import Counter
+
+        vals = vecs.tolist()
+        lens = [len(v) if v is not None else -1 for v in vals]
+        positive = Counter(ln for ln in lens if ln > 0)
+        if not positive:
+            return pd.Series([None] * len(vals), dtype="object")
+        dim = positive.most_common(1)[0][0]
+        valid = np.array([ln == dim for ln in lens])
+        out = np.full(len(vals), None, dtype=object)
+        if valid.any():
+            arr = np.array([v for v, ok in zip(vals, valid) if ok], dtype=np.float64)
+            rng = np.random.RandomState(seed)
+            P = rng.choice(np.array([-1.0, 1.0]), size=(planes, arr.shape[1]))
+            bits = (arr @ P.T) > 0
+            digits = bits.astype(np.uint8).astype("U1")
+            out[valid] = ["".join(row) for row in digits]
+        return pd.Series(out, dtype="object")
 
     return sketch_udf
 

@@ -99,17 +99,19 @@ def write_warc(records: DataFrame, out_dir: str, gzip: bool = True,
     ext = ".warc.gz" if gzip else ".warc"
 
     def dump(it):
-        import uuid as _uuid
+        from pyspark import TaskContext
 
         buf = []
         for row in it:
             buf.append(bytes(row.member))
         if not buf:
             return iter(())
-        name = "part-{0}{1}".format(_uuid.uuid5(
-            _uuid.NAMESPACE_URL, "".join(str(len(b)) for b in buf[:64])
-        ).hex, ext)
-        path = os.path.join(out_dir, name)
+        # name by partition id: stable across task retries and unique per
+        # partition — a content-derived name (e.g. hashing member lengths)
+        # collides when two partitions carry identical-length sequences and
+        # silently overwrites one partition's output
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, "part-{0:05d}{1}".format(pid, ext))
         with open(path, "wb") as f:
             for b in buf:
                 f.write(b)
