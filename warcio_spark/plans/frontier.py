@@ -159,12 +159,44 @@ def schedule_round(cands: DataFrame, cfg: PolitenessConfig | None = None) -> Dat
     )
 
 
-def fetch_order(scheduled: DataFrame) -> DataFrame:
-    """Global deterministic fetch sequence for a round. The scheduled set is
-    budget-bounded (#hosts * budget), so the global window is small — this
-    is an output-ordering step, not a data-scale step."""
-    w = Window.orderBy(F.desc("priority"), F.asc("seq"), F.asc("url_canon"))
-    return scheduled.withColumn("fetch_order", F.row_number().over(w))
+def fetch_order(scheduled: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Global deterministic fetch sequence for a round — two-phase rank.
+
+    A bare ``Window.orderBy`` funnels the whole round through ONE task; at
+    10^8 hosts x budget that single partition materializes the entire round.
+    Instead: range-partition on the ordering keys, rank locally within each
+    range, then add the count of all preceding ranges (a driver-side map of
+    #partitions integers). The result is identical to the global window for
+    any partitioning because (priority, seq, url_canon) is a total order on
+    the deduped round (url_canon is unique after dedup_candidates).
+    """
+    keys = [F.desc("priority"), F.asc("seq"), F.asc("url_canon")]
+    spark = scheduled.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    # cache pins the sampled range boundaries: the counts action and the
+    # final rank job must see the SAME exchange output
+    ranged = (
+        scheduled.repartitionByRange(p, *keys)
+        .withColumn("_range", F.spark_partition_id())
+        .cache()
+    )
+    counts = {
+        r["_range"]: r["n"]
+        for r in ranged.groupBy("_range").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return ranged.withColumn("fetch_order", F.lit(None).cast("long")).drop("_range")
+    rows, acc = [], 0
+    for rid in sorted(counts):
+        rows.append((rid, acc))
+        acc += counts[rid]
+    off = spark.createDataFrame(rows, "_range int, _off long")
+    w = Window.partitionBy("_range").orderBy(*keys)
+    return (
+        ranged.join(F.broadcast(off), "_range")
+        .withColumn("fetch_order", (F.row_number().over(w) + F.col("_off")))
+        .drop("_range", "_off")
+    )
 
 
 def prepare_candidates(raw: DataFrame, seen: DataFrame | None,
