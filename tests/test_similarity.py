@@ -109,3 +109,44 @@ def test_sketch_udf_masks_ragged_rows(spark):
     assert got[1] is None and got[2] is None
     assert got[0] is not None and len(got[0]) == 4
     assert got[3] is not None and len(got[3]) == 4
+
+
+def test_lsh_topk_pruned_matches_inline_and_prunes(spark, tmp_path):
+    """The materialized sketch-partitioned table returns exactly the inline
+    lsh_topk result, and its physical plan prunes partitions at the source
+    (PartitionFilters on sketch) — the 100 TB probe layout."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from warcio_spark.operators.similarity import (
+        lsh_topk,
+        lsh_topk_pruned,
+        query_sketch,
+        sketch,
+        write_embeddings_sketched,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(16).astype(float).tolist()) for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .repartition(4)
+    qvec = rows[0][1]
+
+    path = str(tmp_path / "sketched")
+    write_embeddings_sketched(emb.filter(F.col("vec_id") != 0), path, planes=4)
+
+    got = lsh_topk_pruned(spark, path, qvec, k=5, planes=4).collect()
+    want = lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, k=5, planes=4).collect()
+    assert [(r.vec_id, r.cosine) for r in got] == [(r.vec_id, r.cosine) for r in want]
+    assert len(got) > 0
+
+    # driver-side query sketch equals the UDF's sketch of the same vector
+    table_side = (
+        spark.createDataFrame([(qvec,)], "embedding array<double>")
+        .select(sketch("embedding", planes=4).alias("s")).first().s
+    )
+    assert query_sketch(qvec, planes=4) == table_side
+
+    plan = lsh_topk_pruned(spark, path, qvec, k=5, planes=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(sketch" in plan, plan[:2000]

@@ -82,17 +82,51 @@ def lsh_topk(emb: DataFrame, query_vec, k: int = 10, planes: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: score only vectors whose sketch matches the query's.
 
-    At 100 TB the sketch becomes a partition column of the stored table and
-    this filter prunes partitions at the source instead of scanning."""
-    # the query's sketch is computed with one tiny Spark job so the hashing
-    # (xxhash64) is guaranteed identical to the table side
-    spark = emb.sparkSession
-    qdf = spark.createDataFrame([(list(map(float, query_vec)),)], f"{vec_col} array<double>")
-    qsketch = qdf.select(sketch(vec_col, planes).alias("s")).first().s
+    At 100 TB the sketch is a partition column of the stored table
+    (write_embeddings_sketched + lsh_topk_pruned) and the filter prunes at
+    the source; this variant recomputes sketches in-query for ad-hoc use."""
+    qsketch = query_sketch(query_vec, planes)
 
     q = _query_lit(query_vec)
     cand = emb.filter(sketch(vec_col, planes) == F.lit(qsketch))
     scored = cand.select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine"))
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def query_sketch(query_vec, planes: int = 8, seed: int = 1337) -> str:
+    """Driver-side sketch of one query vector — numpy replica of
+    make_sketch_udf (same RandomState(seed) plane matrix, same float64
+    math), so a probe key computed here matches table-side buckets exactly."""
+    arr = np.asarray(list(map(float, query_vec)), dtype=np.float64)[None, :]
+    rng = np.random.RandomState(seed)
+    P = rng.choice(np.array([-1.0, 1.0]), size=(planes, arr.shape[1]))
+    bits = (arr @ P.T) > 0
+    return "".join(bits.astype(np.uint8).astype("U1")[0])
+
+
+def write_embeddings_sketched(emb: DataFrame, path: str, planes: int = 8,
+                              seed: int = 1337, vec_col: str = "embedding") -> None:
+    """Materialize the LSH sketch as a PARTITION COLUMN of the stored table —
+    the 100 TB layout: a probe filters on sketch and the scan prunes to the
+    matching bucket directories instead of recomputing sketches over the
+    whole table per query (which made query-time lsh_topk the slowest bench
+    query). One pass over the embeddings; 2^planes output partitions."""
+    out = emb.withColumn("sketch", sketch(vec_col, planes, seed))
+    out.write.partitionBy("sketch").mode("overwrite").parquet(path)
+
+
+def lsh_topk_pruned(spark, path: str, query_vec, k: int = 10, planes: int = 8,
+                    seed: int = 1337, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k over a sketch-partitioned embeddings table: the
+    sketch equality predicate is a partition filter (no data read outside
+    the query's bucket), then exact cosine + TakeOrderedAndProject."""
+    qsketch = query_sketch(query_vec, planes, seed)
+    q = _query_lit(query_vec)
+    cand = spark.read.parquet(path).filter(F.col("sketch") == qsketch)
+    scored = cand.select(
+        F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine")
+    )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
