@@ -431,7 +431,7 @@ def q_per_host_budget(spark, sf):
     )
 
 
-# --- non-SQL-expressible ops: rows-only checks --------------------------------
+# --- non-SQL-expressible ops: pinned-golden oracles (see PINNED_GOLDEN) -------
 
 
 def q_simhash(spark, sf):
@@ -515,20 +515,33 @@ def q_lang_detect(spark, sf):
 
 def q_multimodal_features(spark, sf):
     """Multimodal plumbing: binary media column -> decode(stub) features via
-    mapInPandas (rows-only; the codec is a deterministic fake in-sandbox)."""
+    mapInPandas. The features array is projected to a rounded JSON string so
+    the result canonicalizes (the harness sorts result columns — a raw
+    array<float> cell is unhashable there); library users get the typed
+    array from image_features directly."""
     from warcio_spark.operators.multimodal import image_features, synth_media
 
     _ensure_shipped(spark)
     media = synth_media(spark, 300, partitions=4)
-    return image_features(media)
+    feats = image_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.to_json(
+            F.transform("features", lambda x: F.round(x.cast("double"), 4))
+        ).alias("features_json"),
+    )
 
 
 def q_frontier_schedule(spark, sf):
     """The north-rule round as a query: canonicalize -> hash -> seen
-    anti-join -> robots -> salted politeness top-k -> total fetch order
-    (rows-only; canonicalization/politeness aren't SQL-expressible —
-    parity is proven against the single-process oracle crawler in
-    tests/test_frontier_parity.py instead)."""
+    anti-join -> robots -> salted politeness top-k -> total fetch order.
+    Canonicalization/politeness aren't SQL-expressible: the oracle is a
+    pinned golden of this deterministic output; semantic parity is proven
+    against the single-process oracle crawler in
+    tests/test_frontier_parity.py."""
     from warcio_spark.plans.frontier import demo_round
 
     docs = _t(spark, sf, "documents")
@@ -537,7 +550,9 @@ def q_frontier_schedule(spark, sf):
 
 def q_warc_parse_corpus(spark, sf):
     """S1-S6: the WARC ingest source over the reference's own corpus —
-    record census by file and type (rows-only; no SQL equivalent)."""
+    record census by file and type (pinned-golden oracle; the same parse is
+    verified field-by-field against the reference library in
+    tests/test_kernel_parse_oracle.py)."""
     from warcio_spark.operators.checker import rec_type_census
     from warcio_spark.sources import read_warc
 
@@ -584,8 +599,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Queries whose semantics aren't DuckDB-expressible (custom hashing, LSH,
+# external WARC corpus, stubbed codecs) carry PINNED-GOLDEN oracles: the
+# deterministic query output at sf0.01 (the driver's correctness scale),
+# frozen by scripts/gen_goldens.py as a VALUES table DuckDB replays. The
+# value-hash gate then catches any drift (partitioning-dependent results,
+# seed changes, kernel regressions). Independent non-golden verification
+# lives in pytest: simhash locality + LSH recall (test_dedup_quality),
+# frontier vs the single-process oracle crawler (test_frontier_parity),
+# WARC parsing field-by-field vs the reference library itself
+# (test_kernel_parse_oracle).
+PINNED_GOLDEN_SF = "/root/testdata/sf0.01"
+PINNED_GOLDEN = {
+    "simhash",
+    "minhash_dedup",
+    "fingerprint",
+    "lsh_topk",
+    "frontier_schedule",
+    "warc_parse_corpus",
+    "multimodal_features",
+}
+
+
+def _golden(name: str) -> str:
+    with open(os.path.join(_REPO, "goldens", name + ".sql")) as f:
+        return f.read()
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {name: _golden(name) for name in PINNED_GOLDEN}
+    out.update({
         "index_projection": """
             SELECT doc_id, source, lang, md5(text) AS digest, n_chars
             FROM documents WHERE n_chars > 120
@@ -802,7 +845,5 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS lang_pred
             FROM s
         """,
-        # simhash / minhash_dedup / fingerprint / lsh_topk / warc_parse_corpus
-        # / multimodal_features: non-SQL-expressible (custom hashing / LSH /
-        # external corpus / stubbed codecs) — rows-only checks by design.
-    }
+    })
+    return out

@@ -54,7 +54,10 @@ ROWS_ONLY = sorted(set(entrymod.queries().keys()) - set(ORACLED))
 def test_query_vs_oracle(spark, ddb, name):
     q = entrymod.queries()[name]
     sql = entrymod.oracle_sql()[name]
-    mine = normalize(q(spark, SF).toPandas())
+    # pinned-golden oracles are frozen at the driver's correctness scale
+    # (sf0.01) — run those queries there regardless of the suite SF
+    sf = entrymod.PINNED_GOLDEN_SF if name in entrymod.PINNED_GOLDEN else SF
+    mine = normalize(q(spark, sf).toPandas())
     oracle = normalize(ddb.sql(sql).df())
     assert list(mine.columns) == list(oracle.columns), (
         f"{name}: columns {list(mine.columns)} vs {list(oracle.columns)}"

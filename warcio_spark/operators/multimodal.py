@@ -57,14 +57,14 @@ def _decode_image_stub(data: bytes):
 
 def image_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     """Decode + feature-extract images via mapInPandas (Arrow batches of
-    binary cells — the real shape a codec UDF runs at)."""
+    binary cells — the real shape a codec UDF runs at). The kind filter is
+    JVM-side, BEFORE the Arrow hop: non-image rows (audio/video blobs — the
+    bulk of a multimodal table's bytes) never cross into Python."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
-                if kind != "image":
-                    continue
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
                 decoded = _decode_image_stub(bytes(data) if data is not None else None)
                 if decoded is None:
                     rows.append(
@@ -81,8 +81,10 @@ def image_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
                 rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
             )
 
-    return media.select("media_id", "kind", "data").mapInPandas(
-        run, IMAGE_FEATURES_SCHEMA
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "data")
+        .mapInPandas(run, IMAGE_FEATURES_SCHEMA)
     )
 
 
