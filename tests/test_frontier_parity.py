@@ -238,3 +238,110 @@ def test_bloom_sidecar_equals_exact_anti_join(spark):
     assert bloom.count() == 21_000
     assert exact.exceptAll(bloom).count() == 0
     assert bloom.exceptAll(exact).count() == 0
+
+
+def test_range_partitioned_bloom_sidecar_equals_exact(spark, tmp_path):
+    """The 10^10 layout: per-range bloom files built BY EXECUTORS (no
+    driver bitmap), probe loads only the ranges its batch hashes into.
+    Result must equal the exact anti-join row for row, and the sidecar
+    must actually be range-partitioned on disk."""
+    import json
+    import os
+
+    from warcio_spark.plans.bloom import (
+        bloom_not_seen_sidecar,
+        build_bloom_sidecar,
+    )
+    from warcio_spark.plans.frontier import not_seen, with_frontier_keys
+
+    def universe(n):
+        return with_frontier_keys(
+            spark.range(0, n, 1, 8).select(
+                F.concat(F.lit("http://h"), F.pmod("id", F.lit(37)).cast("string"),
+                         F.lit(".com/p/"), F.col("id").cast("string")).alias("url"),
+                F.lit(1.0).alias("priority"),
+                F.col("id").alias("seq"),
+            )
+        )
+
+    cands = universe(30_000)
+    seen = universe(9_000).select("url_hash")
+    sidecar = str(tmp_path / "blooms")
+    meta = build_bloom_sidecar(seen, sidecar, expected_items=9_000, ranges=8)
+    assert meta["items"] == 9_000
+    files = [f for f in os.listdir(sidecar) if f.endswith(".bloom")]
+    assert len(files) == 8  # xxhash64 spreads 9k keys across all 8 ranges
+    with open(os.path.join(sidecar, "meta.json")) as f:
+        assert json.load(f)["m"] * 8 < 9_000 * 10 * 2  # per-range sizing, not global
+
+    got = bloom_not_seen_sidecar(cands, seen, sidecar).select("url_hash", "url_canon")
+    exact = not_seen(cands, seen).select("url_hash", "url_canon")
+    assert got.count() == 21_000
+    assert exact.exceptAll(got).count() == 0
+    assert got.exceptAll(exact).count() == 0
+
+
+def test_sidecar_probe_no_false_negatives(spark, tmp_path):
+    """Every seen key must probe maybe_seen=True (bloom guarantee)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from warcio_spark.plans.bloom import build_bloom_sidecar, sidecar_probe_udf
+    from warcio_spark.plans.frontier import with_frontier_keys
+
+    seen = with_frontier_keys(
+        spark.range(0, 5_000, 1, 4).select(
+            F.concat(F.lit("http://x.com/"), F.col("id").cast("string")).alias("url"),
+            F.lit(1.0).alias("priority"), F.col("id").alias("seq"),
+        )
+    ).select("url_hash")
+    sidecar = str(tmp_path / "b2")
+    meta = build_bloom_sidecar(seen, sidecar, expected_items=5_000, ranges=4)
+    probe = sidecar_probe_udf(sidecar, meta["ranges"], meta["k"], meta["m"])
+    n_false_neg = seen.withColumn("_p", probe(F.col("url_hash"))) \
+        .filter(~F.col("_p")).count()
+    assert n_false_neg == 0
+
+
+def test_crawl_resume_across_compaction_boundary(spark, tmp_path):
+    """compact_every=2: resume after a compaction round and after a
+    delta-only round both reproduce the straight-through crawl exactly,
+    and the per-round seen write really is delta-sized."""
+    import os
+
+    cands = make_candidates(300)
+    robots = make_robots()
+    seeds = spark.createDataFrame(
+        [(c["url"], c["priority"], c["seq"]) for c in cands],
+        "url string, priority double, seq long",
+    )
+    rdf = robots_df(spark, robots)
+
+    d_full = str(tmp_path / "full")
+    crawlmod.crawl(spark, seeds, rdf, d_full, rounds=4, cfg=CFG, compact_every=2)
+
+    d_resume = str(tmp_path / "resume")
+    crawlmod.crawl(spark, seeds, rdf, d_resume, rounds=3, cfg=CFG, compact_every=2)
+    crawlmod.crawl(spark, seeds, rdf, d_resume, rounds=1, cfg=CFG,
+                   compact_every=2, resume=True)
+
+    a = [(r.round, r.fetch_order, r.url_canon)
+         for r in crawlmod.fetch_log(spark, d_full)
+         .orderBy("round", "fetch_order").collect()]
+    b = [(r.round, r.fetch_order, r.url_canon)
+         for r in crawlmod.fetch_log(spark, d_resume)
+         .orderBy("round", "fetch_order").collect()]
+    assert a == b
+
+    st = crawlmod.RoundState(d_full)
+    last = st.last_round()
+    # full snapshots only on compaction rounds; deltas everywhere
+    for n in st.committed_rounds():
+        rd = st.round_dir(n)
+        assert os.path.isdir(os.path.join(rd, "seen_delta"))
+        assert os.path.isdir(os.path.join(rd, "seen")) == (n % 2 == 0)
+        m = st.read_metrics(n)
+        assert m["n_seen_delta"] == m["n_scheduled"]
+    # merged view has no duplicates and matches the tracked total
+    seen = st.read_seen(spark, last)
+    assert seen.count() == seen.select("url_hash").distinct().count()
+    assert seen.count() == st.read_metrics(last)["n_seen"]

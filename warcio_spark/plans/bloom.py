@@ -78,6 +78,138 @@ def might_contain_udf(spark, bitmap: bytes, k: int, m: int):
     return might_contain
 
 
+# ---------------------------------------------------------------------------
+# range-partitioned sidecar (the 10^10 layout)
+# ---------------------------------------------------------------------------
+#
+# One bloom per url_hash range, built and written BY THE EXECUTORS — the
+# driver never holds any bitmap. At 10^10 seen urls * 10 bits no single
+# 12.5 GB bitmap exists anywhere: each of R ranges owns a (10^10/R)-key
+# bloom in its own file, build is one shuffle on pmod(url_hash, R), and a
+# probe task touches only the range files its candidate batch hashes into
+# (worker-local cache, one read per file per worker). Files are plain
+# bytes — on a cluster the sidecar dir is HDFS/S3 instead of local disk.
+
+
+def _mix(h: np.ndarray) -> np.ndarray:
+    """splitmix64-style remix: range id = pmod(h, R) correlates the low
+    bits of every hash within a range, and when R divides m the raw h % m
+    would only ever hit 1/R of the bitmap — remix before taking positions."""
+    h = h.astype(np.uint64)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
+def sidecar_params(expected_items: int, ranges: int, bits_per_item: int = 10):
+    """(k, m_per_range): each range bloom sized for its share of the keys."""
+    per_range = max(1, expected_items // max(1, ranges))
+    m = max(64, per_range * bits_per_item)
+    m = int(math.ceil(m / 8) * 8)
+    k = max(1, int(round(bits_per_item * math.log(2))))
+    return k, m
+
+
+def build_bloom_sidecar(seen: DataFrame, sidecar_dir: str, expected_items: int,
+                        ranges: int = 16, bits_per_item: int = 10,
+                        hash_col: str = "url_hash") -> dict:
+    """Build the per-range bloom files. One shuffle on the range id; each
+    group's bitmap is built and written by its executor task (atomic
+    tmp+rename). Returns {"ranges", "k", "m", "items"}."""
+    import json
+    import os
+
+    k, m = sidecar_params(expected_items, ranges, bits_per_item)
+    os.makedirs(sidecar_dir, exist_ok=True)
+
+    def per_range(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        rid = int(key[0])
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        hashes = _mix(pdf[hash_col].to_numpy(dtype=np.int64))
+        for pos in _positions(hashes, k, m):
+            np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        tmp = os.path.join(sidecar_dir, ".range_{0}.tmp".format(rid))
+        with open(tmp, "wb") as f:
+            f.write(bits.tobytes())
+        os.replace(tmp, os.path.join(sidecar_dir, "range_{0}.bloom".format(rid)))
+        return pd.DataFrame({"range": [rid], "n": [len(pdf)]})
+
+    counts = (
+        seen.select(F.pmod(F.col(hash_col), F.lit(ranges)).alias("_range"), hash_col)
+        .groupBy("_range")
+        .applyInPandas(per_range, "range int, n long")
+        .collect()
+    )
+    meta = {
+        "ranges": ranges,
+        "k": k,
+        "m": m,
+        "items": int(sum(r.n for r in counts)),
+        "built_ranges": sorted(int(r.range) for r in counts),
+    }
+    with open(os.path.join(sidecar_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def sidecar_probe_udf(sidecar_dir: str, ranges: int, k: int, m: int):
+    """Vectorized membership probe that loads each range's bloom lazily from
+    the sidecar dir (cached per python worker). A range with no file means
+    no seen keys hash there — definitely new."""
+
+    cache: dict = {}  # per python-worker bloom cache (ships empty, fills lazily)
+
+    @F.pandas_udf(T.BooleanType())
+    def might_contain(hashes: pd.Series) -> pd.Series:
+        import os
+
+        h = hashes.to_numpy(dtype=np.int64)
+        rid = (h % np.int64(ranges)).astype(np.int64)  # floor mod == pmod
+        out = np.zeros(len(h), dtype=bool)
+        mixed = _mix(h)
+        for r in np.unique(rid):
+            if r not in cache:
+                path = os.path.join(sidecar_dir, "range_{0}.bloom".format(int(r)))
+                cache[r] = (
+                    np.fromfile(path, dtype=np.uint8)
+                    if os.path.exists(path)
+                    else None
+                )
+            bits = cache[r]
+            if bits is None:
+                continue
+            sel = rid == r
+            sub = np.ones(int(sel.sum()), dtype=bool)
+            for pos in _positions(mixed[sel], k, m):
+                sub &= (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+            out[sel] = sub
+        return pd.Series(out)
+
+    return might_contain
+
+
+def bloom_not_seen_sidecar(cands: DataFrame, seen: DataFrame,
+                           sidecar_dir: str) -> DataFrame:
+    """Exact frontier-minus-seen through the range-partitioned sidecar:
+    identical result to the plain anti-join; the blooms only prune shuffle
+    volume (false positives route through the exact join, false negatives
+    are impossible)."""
+    import json
+    import os
+
+    with open(os.path.join(sidecar_dir, "meta.json")) as f:
+        meta = json.load(f)
+    probe = sidecar_probe_udf(sidecar_dir, meta["ranges"], meta["k"], meta["m"])
+    flagged = cands.withColumn("_maybe_seen", probe(F.col("url_hash")))
+    definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    maybe_seen = (
+        flagged.filter(F.col("_maybe_seen"))
+        .drop("_maybe_seen")
+        .join(seen.select("url_hash"), "url_hash", "left_anti")
+    )
+    return definitely_new.unionByName(maybe_seen)
+
+
 def bloom_not_seen(cands: DataFrame, seen: DataFrame, expected_items: int,
                    bits_per_item: int = 10) -> DataFrame:
     """Exact frontier-minus-seen with Bloom shuffle pruning: candidates the

@@ -38,8 +38,18 @@ SEEN_COLS = ["url_hash", "url_canon"]
 
 @dataclass
 class RoundState:
-    """Parquet-snapshot shim: state_dir/round=N/{scheduled,seen,frontier} +
-    metrics.json, committed by writing _COMMIT last."""
+    """Parquet-snapshot shim:
+    state_dir/round=N/{scheduled, seen_delta, frontier[, seen]} +
+    metrics.json, committed by writing _COMMIT last.
+
+    The seen-set is APPEND-ONLY: each round commits only its newly
+    scheduled urls as ``seen_delta`` (they are disjoint from all prior seen
+    by the anti-join, and unique within the round by candidate dedup — so
+    the merged view needs no dropDuplicates and the per-round write is
+    proportional to new urls, not to the whole 10^10-key history). Every
+    ``compact_every`` rounds a full ``seen`` snapshot is rewritten so the
+    merged read never unions more than compact_every delta files — the
+    shim-level equivalent of Iceberg MERGE + compaction."""
 
     state_dir: str
 
@@ -62,10 +72,13 @@ class RoundState:
         return rounds[-1] if rounds else 0
 
     def write_round(self, spark: SparkSession, n: int, scheduled: DataFrame,
-                    seen: DataFrame, frontier: DataFrame, metrics: dict):
+                    seen_delta: DataFrame, frontier: DataFrame, metrics: dict,
+                    seen_full: DataFrame | None = None):
         d = self.round_dir(n)
         scheduled.write.mode("overwrite").parquet(os.path.join(d, "scheduled"))
-        seen.write.mode("overwrite").parquet(os.path.join(d, "seen"))
+        seen_delta.write.mode("overwrite").parquet(os.path.join(d, "seen_delta"))
+        if seen_full is not None:  # compaction round
+            seen_full.write.mode("overwrite").parquet(os.path.join(d, "seen"))
         frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
         with open(os.path.join(d, "metrics.json"), "w") as f:
             json.dump(metrics, f)
@@ -73,7 +86,31 @@ class RoundState:
             f.write(str(time.time()))
 
     def read(self, spark: SparkSession, n: int, what: str) -> DataFrame:
+        if what == "seen":
+            return self.read_seen(spark, n)
         return spark.read.parquet(os.path.join(self.round_dir(n), what))
+
+    def read_seen(self, spark: SparkSession, n: int) -> DataFrame:
+        """Merged seen view at round n: latest full snapshot <= n plus the
+        deltas after it. Duplicate-free by construction."""
+        rounds = [r for r in self.committed_rounds() if r <= n]
+        base = max(
+            (r for r in rounds
+             if os.path.isdir(os.path.join(self.round_dir(r), "seen"))),
+            default=None,
+        )
+        paths = []
+        if base is not None:
+            paths.append(os.path.join(self.round_dir(base), "seen"))
+        for r in rounds:
+            if base is not None and r <= base:
+                continue
+            d = os.path.join(self.round_dir(r), "seen_delta")
+            if os.path.isdir(d):
+                paths.append(d)
+        if not paths:
+            return spark.createDataFrame([], "url_hash long, url_canon string")
+        return spark.read.parquet(*paths)
 
     def read_metrics(self, n: int) -> dict:
         with open(os.path.join(self.round_dir(n), "metrics.json")) as f:
@@ -136,40 +173,66 @@ def partition_lineage(df: DataFrame) -> list:
 
 def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
           state_dir: str, rounds: int, cfg: PolitenessConfig | None = None,
-          outlinks_fn=default_outlinks, resume: bool = True) -> dict:
+          outlinks_fn=default_outlinks, resume: bool = True,
+          compact_every: int = 8) -> dict:
     """Run (or resume) a checkpointed crawl. Returns summary metrics.
 
     seeds: DataFrame(url, priority, seq). Each round:
       1. prepare: canonicalize+hash+dedup, anti-join seen, robots broadcast
       2. schedule: salted politeness top-k, global fetch order
       3. expand: outlinks of fetched urls -> new candidates
-      4. commit: scheduled/seen/frontier snapshots + metrics, atomically
+      4. commit: scheduled + seen DELTA + frontier snapshots, atomically
+         (full seen snapshot rewritten only every ``compact_every`` rounds)
+
+    Metrics ride the round's one driving action via DataFrame observations
+    (candidate count on the prepare stage, host cardinality on the schedule
+    stage) instead of separate count() jobs; the seen total is
+    prev + n_scheduled, exact because deltas are disjoint by construction.
     """
+    from pyspark.sql import Observation
+
     cfg = cfg or PolitenessConfig()
     state = RoundState(state_dir)
 
     start_round = state.last_round() if resume else 0
     if start_round:
-        seen = state.read(spark, start_round, "seen")
+        seen = state.read_seen(spark, start_round)
         frontier = state.read(spark, start_round, "frontier")
+        n_seen_total = state.read_metrics(start_round).get("n_seen")
+        if n_seen_total is None:
+            n_seen_total = seen.count()
     else:
         seen = spark.createDataFrame([], "url_hash long, url_canon string")
         frontier = seeds.select(*FRONTIER_COLS)
+        n_seen_total = 0
 
     summary = {"rounds": [], "started_at_round": start_round + 1}
     for n in range(start_round + 1, start_round + rounds + 1):
         t0 = time.perf_counter()
-        cands = prepare_candidates(frontier, seen, robots, cfg).cache()
-        scheduled = fetch_order(schedule_round(cands, cfg)).cache()
+        obs_c = Observation()
+        obs_s = Observation()
+        cands = (
+            prepare_candidates(frontier, seen, robots, cfg)
+            .observe(obs_c, F.count(F.lit(1)).alias("n_candidates"))
+            .cache()
+        )
+        scheduled = (
+            schedule_round(cands, cfg)
+            .observe(
+                obs_s,
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct("host").alias("n_hosts_approx"),
+            )
+        )
+        scheduled = fetch_order(scheduled).cache()
         n_scheduled = scheduled.count()
         if n_scheduled == 0:
             cands.unpersist()
             scheduled.unpersist()
             break
+        n_seen_total += n_scheduled
 
-        new_seen = seen.unionByName(
-            scheduled.select(*SEEN_COLS)
-        ).dropDuplicates(["url_hash"])
+        seen_delta = scheduled.select(*SEEN_COLS)
         # robots-denied urls leave the frontier for good (same rule in the
         # oracle crawler); unscheduled eligible candidates carry over WITH
         # their canonical keys (no re-canonicalization next round)
@@ -185,23 +248,29 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
         ).select(*FRONTIER_KEYED_COLS)
         next_frontier = remaining.unionByName(expanded)
 
+        compacting = compact_every > 0 and n % compact_every == 0
         metrics = {
             "round": n,
-            "n_candidates": cands.count(),
+            "n_candidates": int(obs_c.get["n_candidates"]),
             "n_scheduled": n_scheduled,
-            "n_hosts": scheduled.select("host").distinct().count(),
-            "n_seen": new_seen.count(),
+            "n_hosts_approx": int(obs_s.get["n_hosts_approx"]),
+            "n_seen": n_seen_total,
+            "n_seen_delta": n_scheduled,
+            "compacted": compacting,
             "wall_sec": round(time.perf_counter() - t0, 3),
             "scheduled_partition_lineage": partition_lineage(scheduled),
         }
-        state.write_round(spark, n, scheduled, new_seen, next_frontier, metrics)
+        state.write_round(
+            spark, n, scheduled, seen_delta, next_frontier, metrics,
+            seen_full=seen.unionByName(seen_delta) if compacting else None,
+        )
         summary["rounds"].append(metrics)
 
         cands.unpersist()
         scheduled.unpersist()
         # read back from the snapshot so every round's inputs are exactly the
         # committed state (resume-equivalence by construction)
-        seen = state.read(spark, n, "seen")
+        seen = state.read_seen(spark, n)
         frontier = state.read(spark, n, "frontier")
 
     summary["last_round"] = state.last_round()
