@@ -20,6 +20,7 @@ PICKS = [
     "windowed_topk",
     "embedding_topk",
     "exact_dup_groups",
+    "lsh_topk",  # must show PartitionFilters on the sketch column
 ]
 
 

@@ -159,3 +159,61 @@ def test_path_rules_schedule_parity_with_oracle(spark):
     hosts = {u.split("/")[2] for _, u, _ in got}
     assert "h2.com" not in hosts  # fully disallowed
     assert "h3.com" in hosts      # no rules -> allowed
+
+
+def test_wildcard_backtracking_semantics():
+    """'$'-anchored multi-wildcard patterns match if ANY alignment reaches
+    the end (Google-matcher behavior), not just the leftmost one."""
+    rules = {"allow": [], "disallow": ["a*b$"], "crawl_delay": None}
+    assert not robots_allowed("axbyb", rules)   # backtracks to the last b
+    assert robots_allowed("axbyc", rules)
+
+
+def test_jvm_rule_matching_equals_kernel(spark):
+    """The Spark-side rlike/startswith evaluation in apply_robots_rules must
+    agree with the kernel on every (pattern, path) pair — including
+    wildcards, anchors, regex metacharacters and specificity ties."""
+    import random
+
+    from warcio_spark.plans.frontier import PolitenessConfig, apply_robots_rules
+    from warcio_spark.kernels.robots import robots_allowed
+
+    rng = random.Random(23)
+    pieces = ["/a", "/bb", "/c.d", "/e(f", "/.pdf", "/x+y", "/[z]", "/priv"]
+    patterns = set()
+    while len(patterns) < 40:
+        n = rng.randrange(1, 4)
+        pat = "".join(rng.choice(pieces) for _ in range(n))
+        if rng.random() < 0.5:
+            i = rng.randrange(1, len(pat))
+            pat = pat[:i] + "*" + pat[i:]
+        if rng.random() < 0.3:
+            pat += "$"
+        patterns.add(pat)
+    patterns = sorted(patterns)
+    disallow = patterns[::2]
+    allow = patterns[1::2]
+
+    paths = set()
+    while len(paths) < 120:
+        paths.add("".join(rng.choice(pieces) for _ in range(rng.randrange(1, 5))))
+    paths = sorted(paths)
+
+    rules_k = {"allow": allow, "disallow": disallow, "crawl_delay": None}
+    want = {p: robots_allowed(p, rules_k) for p in paths}
+
+    rules_df = spark.createDataFrame(
+        [("h.com", allow, disallow, 1.0)],
+        "host string, allow array<string>, disallow array<string>, crawl_delay double",
+    )
+    cands = spark.createDataFrame(
+        [("http://h.com" + p, "h.com", "http://h.com" + p, hash(p), 1.0, i)
+         for i, p in enumerate(paths)],
+        "url string, host string, url_canon string, url_hash long, priority double, seq long",
+    )
+    got = {
+        r.url_canon.replace("http://h.com", ""): r.allowed
+        for r in apply_robots_rules(cands, rules_df, PolitenessConfig()).collect()
+    }
+    diffs = {p: (want[p], got[p]) for p in paths if want[p] != got[p]}
+    assert not diffs, dict(list(diffs.items())[:5])

@@ -180,3 +180,18 @@ def test_read_warc_ranges_single_big_file(spark, tmp_path):
         assert len(rows) == len(want) == 4000, split
         assert [r.offset for r in rows] == [w["offset"] for w in want]
         assert [bytes(r.content) for r in rows] == [w["content"] for w in want]
+
+
+def test_read_warc_scheme_qualified_uri(spark):
+    """S10: read_warc accepts Hadoop-FS URIs (scheme://...), not just bare
+    paths — the fsspec_open abstraction of the reference (utils.py:37-56,
+    s3 test test/test_s3.py:129-151). Exercised with the file:// scheme
+    (the only FS in-sandbox); s3a:// etc. ride the same binaryFile loader."""
+    bare = read_warc(spark, CORPUS + "/example.warc.gz")
+    uri = read_warc(spark, "file://" + CORPUS + "/example.warc.gz")
+    globbed = read_warc(spark, "file://" + CORPUS + "/example*.warc.gz")
+    assert uri.count() == bare.count() == 6
+    assert globbed.count() > uri.count()
+    a = [(r.rec_type, r.url, r.offset) for r in bare.orderBy("offset").collect()]
+    b = [(r.rec_type, r.url, r.offset) for r in uri.orderBy("offset").collect()]
+    assert a == b

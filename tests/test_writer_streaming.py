@@ -268,3 +268,47 @@ def test_substitute_revisits_nulls_length_for_recompute(spark, tmp_path):
     assert [r.rec_type for r in out] == ["response", "revisit"]
     assert out[1].length is None and out[1].payload_length == 0
     assert out[0].length is not None
+
+
+def test_write_warc_append_mode(spark, warcio, tmp_path):
+    """capture_http append analog: a second write with mode='append' keeps
+    the first generation's files; the reference reads everything."""
+    from warcio.archiveiterator import ArchiveIterator
+
+    recs = read_warc(spark, os.path.join(CORPUS, "example.warc.gz"))
+    out = str(tmp_path / "app")
+    p1 = write_warc(recs, out, gzip=True, files=1)
+    p2 = write_warc(recs.filter(F.col("rec_type") == "response"), out,
+                    gzip=True, files=1, mode="append")
+    assert set(p1).isdisjoint(p2)
+    assert sorted(os.listdir(out)) == sorted(
+        os.path.basename(p) for p in p1 + p2
+    )
+    n = 0
+    for path in p1 + p2:
+        with open(path, "rb") as f:
+            n += sum(1 for _ in ArchiveIterator(f))
+    assert n == 6 + 1
+
+
+def test_add_ip_headers_roundtrip(spark, warcio, tmp_path):
+    """record_ip analog: WARC-IP-Address lands on request/response records
+    and survives serialization through the reference reader."""
+    from warcio.archiveiterator import ArchiveIterator
+
+    from warcio_spark.operators.writer import add_ip_headers
+
+    recs = read_warc(spark, os.path.join(CORPUS, "example.warc.gz"))
+    tagged = add_ip_headers(recs.withColumn(
+        "fetch_ip",
+        F.when(F.col("rec_type").isin("request", "response"), "93.184.216.34"),
+    ))
+    paths = write_warc(tagged.drop("fetch_ip"), str(tmp_path / "ip"),
+                       gzip=True, files=1)
+    got = {}
+    with open(paths[0], "rb") as f:
+        for rec in ArchiveIterator(f):
+            got[rec.rec_type] = rec.rec_headers.get_header("WARC-IP-Address")
+    assert got["response"] == "93.184.216.34"
+    assert got["request"] == "93.184.216.34"
+    assert got["warcinfo"] is None

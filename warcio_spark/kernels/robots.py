@@ -9,6 +9,9 @@ table the frontier joins against.
 
 from __future__ import annotations
 
+import re
+from functools import lru_cache
+
 
 def parse_robots_txt(text: str, user_agent: str = "*"):
     """Parse robots.txt content for the given agent.
@@ -74,27 +77,27 @@ def parse_robots_txt(text: str, user_agent: str = "*"):
     return groups[best]
 
 
-def _prefix_matches(path: str, pattern: str) -> int:
-    """Match a robots path pattern ('*' wildcard, '$' end anchor) against a
-    path; returns the pattern's specificity (its length) or -1."""
+@lru_cache(maxsize=8192)
+def _pattern_rx(pattern: str):
+    """Compile a robots path pattern ('*' wildcard, '$' end anchor) to a
+    regex + its specificity. Backtracking semantics (any alignment of the
+    '*' expansions may satisfy an end anchor) — the behavior of Google's
+    reference matcher, and exactly what the JVM rlike path in
+    plans/frontier.py evaluates, so kernel and Spark never diverge."""
     anchored = pattern.endswith("$")
-    if anchored:
-        pattern = pattern[:-1]
-    parts = pattern.split("*")
-    pos = 0
-    for i, part in enumerate(parts):
-        if i == 0:
-            if not path.startswith(part):
-                return -1
-            pos = len(part)
-        else:
-            found = path.find(part, pos)
-            if found == -1:
-                return -1
-            pos = found + len(part)
-    if anchored and pos != len(path) and parts[-1] != "":
-        return -1
-    return len(pattern) + (1 if anchored else 0)
+    core = pattern[:-1] if anchored else pattern
+    parts = core.split("*")
+    rx = ".*".join(re.escape(p) for p in parts)
+    if anchored and parts[-1] != "":
+        rx += "$"
+    return re.compile(rx), len(core) + (1 if anchored else 0)
+
+
+def _prefix_matches(path: str, pattern: str) -> int:
+    """Match a robots path pattern against a path; returns the pattern's
+    specificity (its length) or -1."""
+    rx, spec = _pattern_rx(pattern)
+    return spec if rx.match(path) else -1
 
 
 def robots_allowed(path: str, rules) -> bool:

@@ -88,15 +88,35 @@ def to_warc_members(records: DataFrame, gzip: bool = True) -> DataFrame:
 
 
 def write_warc(records: DataFrame, out_dir: str, gzip: bool = True,
-               files: int | None = None) -> list:
+               files: int | None = None, mode: str = "overwrite") -> list:
     """Write records as .warc(.gz) files, one per partition (each record its
     own gzip member => output is splittable and re-ingestable). Returns the
-    written file paths."""
+    written file paths.
+
+    ``mode="append"`` is the capture_http append-mode analog
+    (warcio/capture_http.py:241-252: reopen the archive and keep writing):
+    existing files stay untouched and the new partitions land in a fresh
+    generation (gen-K prefix), so repeated appends never collide."""
     members = to_warc_members(records, gzip=gzip)
     if files is not None:
         members = members.repartition(files)
     os.makedirs(out_dir, exist_ok=True)
     ext = ".warc.gz" if gzip else ".warc"
+    if mode == "append":
+        gens = [
+            int(f.split("-")[1][3:])
+            for f in os.listdir(out_dir)
+            if f.startswith("part-gen")
+        ]
+        gen = (max(gens) + 1) if gens else (
+            1 if any(f.startswith("part-") for f in os.listdir(out_dir)) else 0
+        )
+    else:
+        for f in os.listdir(out_dir):
+            if f.startswith("part-"):
+                os.unlink(os.path.join(out_dir, f))
+        gen = 0
+    prefix = "part-gen{0:03d}".format(gen) if gen else "part"
 
     def dump(it):
         from pyspark import TaskContext
@@ -111,7 +131,7 @@ def write_warc(records: DataFrame, out_dir: str, gzip: bool = True,
         # collides when two partitions carry identical-length sequences and
         # silently overwrites one partition's output
         pid = TaskContext.get().partitionId()
-        path = os.path.join(out_dir, "part-{0:05d}{1}".format(pid, ext))
+        path = os.path.join(out_dir, "{0}-{1:05d}{2}".format(prefix, pid, ext))
         with open(path, "wb") as f:
             for b in buf:
                 f.write(b)
@@ -135,6 +155,26 @@ def extract_at_offset(records: DataFrame, filename: str, offset: int) -> DataFra
     this a ranged read on a sorted/partitioned records table (W2)."""
     return records.filter(
         (F.col("filename") == filename) & (F.col("offset") == offset)
+    )
+
+
+def add_ip_headers(records: DataFrame, ip_col: str = "fetch_ip") -> DataFrame:
+    """The capture_http ``record_ip`` contract as a table op
+    (warcio/capture_http.py:162-164): request and response records whose
+    fetch carried a peer IP get a WARC-IP-Address header appended. Pure
+    JVM array concat — no Python in the per-record path."""
+    ip = F.col(ip_col)
+    applies = ip.isNotNull() & F.col("rec_type").isin("request", "response")
+    with_hdr = F.concat(
+        WF.header_filter_out("rec_headers", "WARC-IP-Address"),
+        F.array(
+            F.struct(
+                F.lit("WARC-IP-Address").alias("name"), ip.alias("value")
+            )
+        ),
+    )
+    return records.withColumn(
+        "rec_headers", F.when(applies, with_hdr).otherwise(F.col("rec_headers"))
     )
 
 

@@ -267,21 +267,29 @@ def apply_robots_rules(cands: DataFrame, rules: DataFrame,
     path = F.when(F.length(raw_path) > 0, raw_path).otherwise(F.lit("/"))
 
     def best_len(patterns_col):
-        # longest matching rule, JVM-side: exact for plain prefixes (the
-        # overwhelming majority of real robots rules); '*'/'$' patterns are
-        # approximated by their pre-wildcard stem (specificity = full
-        # pattern length). The Python kernel (kernels/robots.py) implements
-        # the exact RFC 9309 wildcard semantics for non-hot-path use.
+        # longest matching rule, JVM-side and EXACT (kernels/robots.py
+        # semantics, byte-for-byte): plain prefixes — the overwhelming
+        # majority of real robots rules — take a cheap startswith; '*'/'$'
+        # patterns are compiled to the equivalent anchored regex and
+        # evaluated with rlike. Specificity = pattern length ('$' counts).
         def score(acc, p):
-            stem = F.replace(
-                F.split_part(p, F.lit("*"), F.lit(1)), F.lit("$"), F.lit("")
+            anchored = p.endswith("$")
+            core = F.when(
+                anchored, F.substring(p, F.lit(1), F.length(p) - 1)
+            ).otherwise(p)
+            plain = ~anchored & ~F.contains(p, F.lit("*"))
+            # escape every non-alnum char (valid Java-regex literal escape),
+            # then turn the escaped wildcard back into '.*'
+            escaped = F.regexp_replace(core, r"([^A-Za-z0-9])", r"\\$1")
+            rx = F.concat(F.lit("^"), F.replace(escaped, F.lit(r"\*"), F.lit(".*")))
+            rx = F.when(
+                anchored & ~core.endswith("*"), F.concat(rx, F.lit("$"))
+            ).otherwise(rx)
+            matched = F.when(plain, F.col("_path").startswith(core)).otherwise(
+                F.rlike(F.col("_path"), rx)
             )
-            return F.greatest(
-                acc,
-                F.when(F.col("_path").startswith(stem), F.length(p)).otherwise(
-                    F.lit(-1)
-                ),
-            )
+            spec = F.length(core) + F.when(anchored, F.lit(1)).otherwise(F.lit(0))
+            return F.greatest(acc, F.when(matched, spec).otherwise(F.lit(-1)))
 
         empty = F.array().cast("array<string>")
         return F.aggregate(F.coalesce(patterns_col, empty), F.lit(-1), score)
