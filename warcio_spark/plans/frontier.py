@@ -49,11 +49,15 @@ class PolitenessConfig:
 
 def with_frontier_keys(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Canonicalize (RFC 3986 + the reference's URI repairs) and key every
-    candidate: url_canon, url_hash (xxhash64), host. The canonicalizer is an
-    Arrow pUDF with a vectorized fast path; host extraction is pure JVM
-    (try_parse_url) since it runs on the canonical form."""
+    candidate: url_canon, url_hash (xxhash64), host.
+
+    Canonicalization is a JVM split-union (functions.with_canonical_url):
+    already-canonical urls — the majority of a well-formed frontier — stay
+    entirely inside whole-stage codegen, and only the rest cross the Arrow
+    boundary into the Python kernel. Hashing and host extraction are pure
+    JVM (xxhash64, try_parse_url) on the canonical form."""
     return (
-        df.withColumn("url_canon", WF.canonicalize_url(F.col(url_col)))
+        WF.with_canonical_url(df, url_col, "url_canon")
         .withColumn("url_hash", F.xxhash64("url_canon"))
         .withColumn("host", WF.url_host_expr(F.col("url_canon")))
     )
