@@ -271,26 +271,35 @@ def main():
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING"):
         # same job, same input, two parallelism levels (N and 4N cores) —
         # the sandbox evidence for the north rule's cluster-size scaling.
-        # CPU affinity is pinned per level: without it, local[8]'s python
-        # UDF workers borrow the box's 24 idle cores and the "8-core" run
-        # is really a ~16-core run, overstating the small config.
+        # Each level runs in a FRESH SUBPROCESS with CPU affinity pinned
+        # BEFORE the JVM starts: an in-process sched_setaffinity cannot
+        # re-pin the already-running py4j JVM, and an unpinned local[8]
+        # lets python UDF workers borrow the box's 24 idle cores,
+        # overstating the small config.
+        import subprocess
+
         n_urls = int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "16000000"))
-        ncpu = os.cpu_count() or 32
+        child = (
+            "import os, sys, json\n"
+            "os.sched_setaffinity(0, set(range(int(sys.argv[1]))))\n"
+            f"sys.path.insert(0, {REPO!r})\n"
+            "from bench import make_spark, frontier_throughput\n"
+            "s = make_spark(sys.argv[1]); s.sparkContext.setLogLevel('ERROR')\n"
+            "s.range(1000).count()\n"
+            "sec, ups = frontier_throughput(s, int(sys.argv[2]), runs=6)\n"
+            "print(json.dumps({'sec': sec, 'ups': ups})); s.stop()\n"
+        )
         scaling = {}
         for cpus in ("8", "32"):
-            if hasattr(os, "sched_setaffinity"):
-                os.sched_setaffinity(0, set(range(min(int(cpus), ncpu))))
-            s = make_spark(cpus)
-            s.sparkContext.setLogLevel("ERROR")
-            s.range(1000).count()
-            sec, ups = frontier_throughput(s, n_urls, runs=6)
+            r = subprocess.run(
+                [sys.executable, "-c", child, cpus, str(n_urls)],
+                capture_output=True, text=True, cwd="/tmp",
+            )
+            leg = json.loads(r.stdout.strip().splitlines()[-1])
             scaling[cpus] = {
-                "frontier_sec_warm": sec,
-                "frontier_urls_per_sec": ups,
+                "frontier_sec_warm": leg["sec"],
+                "frontier_urls_per_sec": leg["ups"],
             }
-            s.stop()
-        if hasattr(os, "sched_setaffinity"):
-            os.sched_setaffinity(0, set(range(ncpu)))
         eff = (scaling["32"]["frontier_urls_per_sec"]
                / scaling["8"]["frontier_urls_per_sec"]) / 4.0
         out["scaling"] = scaling
