@@ -4,9 +4,10 @@ Spark-first design (SURVEY.md §2.1 S1-S6):
 - ``spark.read.format("binaryFile")`` lists + reads files distributed; one
   task per file (Common-Crawl WARCs are ~1 GB — the file is the natural
   split unit, and per-record gzip members keep finer splitting possible).
-- a ``mapInPandas`` stage runs the parse kernel per file and emits one row
-  per record with member offset/length — after this hop everything is
-  columnar and all further queries are pure DataFrame ops.
+- a ``mapInArrow`` stage runs the parse kernel per file and emits one row
+  per record with member offset/length, building pyarrow RecordBatches
+  directly (no pandas detour) — after this hop everything is columnar and
+  all further queries are pure DataFrame ops.
 - at 100 TB: ~100k files fan out over executors; no shuffle is involved in
   ingest, and the natural next step is writing the records table
   partitioned by crawl/filename prefix so downstream scans prune.
@@ -14,9 +15,6 @@ Spark-first design (SURVEY.md §2.1 S1-S6):
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,44 +36,72 @@ def _parse_warc_date(raw_date):
         return None
 
 
-def _records_to_pdf(result, include_payload, include_content):
-    # columnar construction (dict-of-lists), not list-of-dicts: this is the
-    # per-file hot loop of ingest and the row-dict path costs ~2x
+def _arrow_schema():
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(WARC_RECORDS_SCHEMA)
+
+
+def _records_to_batches(result, include_payload, include_content,
+                        arrow_schema, max_bytes=256 << 20):
+    """pyarrow RecordBatches straight from the parse result — the ingest
+    hot path. Building arrow arrays directly (mapInArrow) skips the
+    pandas-object-Series detour of mapInPandas: one columnar
+    materialization instead of two. Chunked so a batch's binary columns
+    stay far below arrow's int32 offset limit even for 1 GB files."""
+    import pyarrow as pa
+
     recs = result["records"]
-    n = len(recs)
-    cols = {
-        "record_id": [r["record_id"] for r in recs],
-        "rec_type": [r["rec_type"] for r in recs],
-        "format": [r["format"] for r in recs],
-        "url": [r["url"] for r in recs],
-        "warc_ts": [_parse_warc_date(r.get("warc_date")) for r in recs],
-        "rec_headers": [
-            [{"name": h[0], "value": h[1]} for h in (r["rec_headers"] or [])]
-            for r in recs
-        ],
-        "http_protocol": [r["http_protocol"] for r in recs],
-        "http_statusline": [r["http_statusline"] for r in recs],
-        "http_headers": [
-            None
-            if r["http_headers"] is None
-            else [{"name": h[0], "value": h[1]} for h in r["http_headers"]]
-            for r in recs
-        ],
-        "content_type": [r["content_type"] for r in recs],
-        "length": [r["length"] for r in recs],
-        "payload_length": [r["payload_length"] for r in recs],
-        "payload": [r["payload"] for r in recs] if include_payload else [None] * n,
-        "content": [r["content"] for r in recs] if include_content else [None] * n,
-        "digest_ok": [r["digest_ok"] for r in recs],
-        "offset": [r["offset"] for r in recs],
-        "rec_length": [r["rec_length"] for r in recs],
-        "filename": [r["filename"] for r in recs],
-        "file_err_count": [result["err_count"]] * n,
-        "file_error": [result["error"]] * n,
-    }
-    return pd.DataFrame(
-        {f.name: pd.Series(cols[f.name], dtype="object") for f in WARC_RECORDS_SCHEMA.fields}
-    )
+    if not recs:
+        return
+    chunks, cur, cur_bytes = [], [], 0
+    for r in recs:
+        sz = (len(r["payload"]) if (include_payload and r["payload"]) else 0) + (
+            len(r["content"]) if (include_content and r["content"]) else 0
+        )
+        cur.append(r)
+        cur_bytes += sz
+        if cur_bytes >= max_bytes:
+            chunks.append(cur)
+            cur, cur_bytes = [], 0
+    if cur:
+        chunks.append(cur)
+
+    types = {f.name: f.type for f in arrow_schema}
+    for chunk in chunks:
+        n = len(chunk)
+        cols = {
+            "record_id": [r["record_id"] for r in chunk],
+            "rec_type": [r["rec_type"] for r in chunk],
+            "format": [r["format"] for r in chunk],
+            "url": [r["url"] for r in chunk],
+            "warc_ts": [_parse_warc_date(r.get("warc_date")) for r in chunk],
+            "rec_headers": [
+                [{"name": h[0], "value": h[1]} for h in (r["rec_headers"] or [])]
+                for r in chunk
+            ],
+            "http_protocol": [r["http_protocol"] for r in chunk],
+            "http_statusline": [r["http_statusline"] for r in chunk],
+            "http_headers": [
+                None
+                if r["http_headers"] is None
+                else [{"name": h[0], "value": h[1]} for h in r["http_headers"]]
+                for r in chunk
+            ],
+            "content_type": [r["content_type"] for r in chunk],
+            "length": [r["length"] for r in chunk],
+            "payload_length": [r["payload_length"] for r in chunk],
+            "payload": [r["payload"] for r in chunk] if include_payload else [None] * n,
+            "content": [r["content"] for r in chunk] if include_content else [None] * n,
+            "digest_ok": [r["digest_ok"] for r in chunk],
+            "offset": [r["offset"] for r in chunk],
+            "rec_length": [r["rec_length"] for r in chunk],
+            "filename": [r["filename"] for r in chunk],
+            "file_err_count": [result["err_count"]] * n,
+            "file_error": [result["error"]] * n,
+        }
+        arrays = [pa.array(cols[f.name], type=types[f.name]) for f in arrow_schema]
+        yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
 
 def read_warc(
@@ -101,13 +127,15 @@ def read_warc(
         .load(paths if isinstance(paths, str) else list(paths))
         .select("path", "content")
     )
+    arrow_schema = _arrow_schema()
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for path, blob in zip(pdf["path"], pdf["content"]):
+    def run(batches):
+        for batch in batches:
+            paths_col, blobs = batch.column(0), batch.column(1)
+            for i in range(batch.num_rows):
                 result = parse_warc_bytes(
-                    bytes(blob),
-                    filename=path.rsplit("/", 1)[-1],
+                    blobs[i].as_py(),
+                    filename=paths_col[i].as_py().rsplit("/", 1)[-1],
                     known_format=known_format,
                     arc2warc=arc2warc,
                     parse_http=parse_http,
@@ -115,9 +143,11 @@ def read_warc(
                     check_digests=check_digests,
                     ensure_http_headers=ensure_http_headers,
                 )
-                yield _records_to_pdf(result, include_payload, include_content)
+                yield from _records_to_batches(
+                    result, include_payload, include_content, arrow_schema
+                )
 
-    return files.mapInPandas(run, WARC_RECORDS_SCHEMA)
+    return files.mapInArrow(run, WARC_RECORDS_SCHEMA)
 
 
 def _find_member_boundary(data: bytes, hint: int = 0) -> int:
@@ -187,11 +217,12 @@ def read_warc_ranges(
 
     include_payload = read_opts.pop("include_payload", True)
     include_content = read_opts.pop("include_content", True)
+    arrow_schema = _arrow_schema()
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for p, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
-                start, end = int(start), int(end)
+    def run(batches):
+        for batch in batches:
+            for row in batch.to_pylist():
+                p, start, end = row["path"], int(row["start"]), int(row["end"])
                 with open(p, "rb") as f:
                     f.seek(start)
                     blob = f.read((end - start) + overlap_bytes)
@@ -212,9 +243,11 @@ def read_warc_ranges(
                     r["offset"] += abs_base
                 result = {"records": owned, "err_count": result["err_count"],
                           "error": result["error"]}
-                yield _records_to_pdf(result, include_payload, include_content)
+                yield from _records_to_batches(
+                    result, include_payload, include_content, arrow_schema
+                )
 
-    return rdf.mapInPandas(run, WARC_RECORDS_SCHEMA)
+    return rdf.mapInArrow(run, WARC_RECORDS_SCHEMA)
 
 
 def pages_from_records(records: DataFrame, lang_default: str = "",
