@@ -167,12 +167,16 @@ def jaccard(a: Column, b: Column, decimals: int = 4) -> Column:
 
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, n: int = 3,
-                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                        id_col: str = "doc_id", text_col: str = "text",
+                        shingled: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard for given (id_a, id_b) candidate pairs.
-    Two broadcast-or-shuffle hash joins; no cross join ever."""
-    shingled = df.select(
-        F.col(id_col).alias("_id"), word_ngrams(text_col, n).alias("_sh")
-    )
+    Two broadcast-or-shuffle hash joins; no cross join ever. Pass a
+    precomputed ``shingled`` ("_id", "_sh") to share the shingle pass with
+    an upstream LSH stage."""
+    if shingled is None:
+        shingled = df.select(
+            F.col(id_col).alias("_id"), word_ngrams(text_col, n).alias("_sh")
+        )
     return (
         pairs.join(shingled.withColumnRenamed("_id", "id_a")
                    .withColumnRenamed("_sh", "sh_a"), "id_a")
@@ -208,7 +212,8 @@ def minhash_signature(shingles_col, num_perm: int = 64) -> Column:
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_perm: int = 64,
-                      bands: int = 16, shingle_n: int = 3) -> DataFrame:
+                      bands: int = 16, shingle_n: int = 3,
+                      shingled: DataFrame | None = None) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
     Scale shape: one narrow map producing (band, band_hash, id), one
@@ -217,10 +222,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     10^10 docs the bucket join replaces an impossible O(n^2) cross join.
     """
     rows = num_perm // bands
-    shingled = df.select(
-        F.col(id_col).alias("_id"),
-        word_ngrams(text_col, shingle_n).alias("_sh"),
-    )
+    if shingled is None:
+        shingled = df.select(
+            F.col(id_col).alias("_id"),
+            word_ngrams(text_col, shingle_n).alias("_sh"),
+        )
     sig = shingled.select(
         "_id", minhash_signature("_sh", num_perm).alias("_sig")
     )
@@ -260,9 +266,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 def minhash_dedup(df: DataFrame, threshold: float = 0.8, id_col: str = "doc_id",
                   text_col: str = "text", num_perm: int = 64, bands: int = 16,
                   shingle_n: int = 3) -> DataFrame:
-    """Candidates via LSH, verified with exact n-gram Jaccard >= threshold."""
-    cands = minhash_lsh_pairs(df, id_col, text_col, num_perm, bands, shingle_n)
-    verified = ngram_jaccard_pairs(df, cands, shingle_n, id_col, text_col)
+    """Candidates via LSH, verified with exact n-gram Jaccard >= threshold.
+
+    The shingle projection is computed ONCE and persisted — the LSH stage
+    and the exact-verify stage both consume it, and without sharing, each
+    branch re-shingles the full corpus (shingling is the dominant cost).
+    At 100 TB the analog is a materialized shingle/signature table written
+    once per corpus snapshot."""
+    from pyspark.storagelevel import StorageLevel
+
+    shingled = df.select(
+        F.col(id_col).alias("_id"), word_ngrams(text_col, shingle_n).alias("_sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = minhash_lsh_pairs(df, id_col, text_col, num_perm, bands, shingle_n,
+                              shingled=shingled)
+    verified = ngram_jaccard_pairs(df, cands, shingle_n, id_col, text_col,
+                                   shingled=shingled)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
