@@ -195,3 +195,44 @@ def test_read_warc_scheme_qualified_uri(spark):
     a = [(r.rec_type, r.url, r.offset) for r in bare.orderBy("offset").collect()]
     b = [(r.rec_type, r.url, r.offset) for r in uri.orderBy("offset").collect()]
     assert a == b
+
+
+def test_incremental_warc_ingest_exactly_once(spark, tmp_path):
+    """Growing WARC directory: each ingest() covers exactly the new files;
+    re-runs are no-ops; an uncommitted (crashed) batch is ignored by
+    readers and redone by the next ingest."""
+    import os
+    import shutil
+
+    from warcio_spark.sources.incremental import (
+        ingest_warc_incremental,
+        ingested_files,
+        read_ingested_records,
+    )
+
+    wdir, sdir = str(tmp_path / "warcs"), str(tmp_path / "state")
+    os.makedirs(wdir)
+    shutil.copy(os.path.join(CORPUS, "example.warc.gz"), wdir)
+
+    r1 = ingest_warc_incremental(spark, wdir, sdir)
+    assert r1["batch"] == 1 and r1["new_files"] == 1 and r1["n_records"] == 6
+    assert ingest_warc_incremental(spark, wdir, sdir)["batch"] is None  # no-op
+
+    shutil.copy(os.path.join(CORPUS, "example.warc"), wdir)
+    r2 = ingest_warc_incremental(spark, wdir, sdir)
+    assert r2["batch"] == 2 and r2["new_files"] == 1
+
+    got = read_ingested_records(spark, sdir)
+    want = read_warc(spark, [os.path.join(wdir, "example.warc.gz"),
+                             os.path.join(wdir, "example.warc")])
+    assert got.count() == want.count() == 12
+    assert len(ingested_files(sdir)) == 2
+
+    # crash simulation: an uncommitted batch dir must be invisible + redone
+    shutil.copy(os.path.join(CORPUS, "example.arc.gz"), wdir)
+    bad = os.path.join(sdir, "batch=3")
+    os.makedirs(os.path.join(bad, "records"), exist_ok=True)
+    assert read_ingested_records(spark, sdir).count() == 12
+    r3 = ingest_warc_incremental(spark, wdir, sdir)
+    assert r3["new_files"] == 1 and r3["batch"] == 3
+    assert read_ingested_records(spark, sdir).count() > 12
