@@ -236,3 +236,48 @@ def test_incremental_warc_ingest_exactly_once(spark, tmp_path):
     r3 = ingest_warc_incremental(spark, wdir, sdir)
     assert r3["new_files"] == 1 and r3["batch"] == 3
     assert read_ingested_records(spark, sdir).count() > 12
+
+
+def test_bucketed_fetch_join_has_no_exchange(spark, tmp_path):
+    """The 100 TB fetch-join layout: scheduled urls and the pages corpus
+    both bucketed by url_hash -> the join plan contains NO Exchange (each
+    task reads matching buckets from both sides)."""
+    from pyspark.sql import functions as F
+
+    from warcio_spark.plans.frontier import with_frontier_keys
+    from warcio_spark.sources import synth_pages
+    from warcio_spark.sources.storage import bucketed_join, write_bucketed_table
+
+    pages = with_frontier_keys(synth_pages(spark, 2000, partitions=4)).select(
+        "url_hash", F.col("url").alias("page_url"), "warc_ts", "html"
+    )
+    sched = with_frontier_keys(
+        synth_pages(spark, 500, partitions=2).select(
+            "url", F.lit(1.0).alias("priority"),
+            F.xxhash64("url").alias("seq"))
+    ).select("url_hash", "url", "priority", "seq")
+
+    import shutil
+
+    # drop both the catalog entry and any stale warehouse dir from an
+    # earlier aborted run (the in-memory catalog forgets across sessions
+    # but the managed location persists on disk)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bkt_pages", "bkt_sched"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    write_bucketed_table(pages, "bkt_pages", buckets=8)
+    write_bucketed_table(sched, "bkt_sched", buckets=8)
+
+    joined = bucketed_join(spark, "bkt_sched", "bkt_pages", on="url_hash")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    # every scheduled url fetched (synth_pages plants duplicate urls, so
+    # the join multiplies some rows; distinct hashes are the coverage)
+    assert joined.select("url_hash").distinct().count() == \
+        sched.select("url_hash").distinct().count()
+
+    # the same join on unbucketed frames DOES shuffle — the layout is the win
+    plain = sched.join(pages, "url_hash")
+    plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plain_plan or "Broadcast" in plain_plan

@@ -283,7 +283,9 @@ def fetch_from_pages(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
     text extraction from the raw html payload.
 
     Join key = canonical url on both sides; at 100 TB the pages table is
-    bucketed/partitioned by url_hash so this is a co-located join.
+    bucketed by url_hash (sources.storage.write_bucketed_table) so this is
+    a co-located join with NO exchange — demonstrated in
+    tests/test_spark_ingest.py::test_bucketed_fetch_join_has_no_exchange.
     """
     from warcio_spark import functions as WF
     from warcio_spark.plans.frontier import with_frontier_keys

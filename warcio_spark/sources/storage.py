@@ -40,3 +40,33 @@ def responses_only(spark: SparkSession, path: str) -> DataFrame:
     """Partition-pruned scan: only the rec_type=response directories are
     listed/read."""
     return read_records_table(spark, path).filter(F.col("rec_type") == "response")
+
+
+def write_bucketed_table(df: DataFrame, table: str, bucket_col: str = "url_hash",
+                         buckets: int = 64, sort_col: str | None = None,
+                         mode: str = "overwrite") -> None:
+    """Spark-native bucketed table (the Iceberg bucket-transform analog):
+    two tables bucketed identically on the join key join WITHOUT a shuffle
+    — the layout that makes the fetch join (scheduled x pages) and repeated
+    seen-set joins co-located at 100 TB. Plain parquet paths cannot carry
+    bucket metadata, so this goes through saveAsTable."""
+    (
+        df.write.mode(mode)
+        .bucketBy(buckets, bucket_col)
+        .sortBy(sort_col or bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  on: str = "url_hash", how: str = "inner") -> DataFrame:
+    """Join two identically-bucketed tables on their bucket key. With both
+    sides bucketed to the same count, the physical plan has NO Exchange —
+    each task reads matching buckets from both sides. The merge hint pins
+    the sort-merge strategy (at 10^10 rows neither side broadcasts; at
+    test scale the planner would otherwise pick a broadcast join and skip
+    the bucket layout entirely)."""
+    return spark.table(left_table).hint("merge").join(
+        spark.table(right_table), on, how
+    )
