@@ -111,3 +111,27 @@ def test_crawl_cli(spark, capsys, tmp_path):
     summary = json.loads(out.splitlines()[-1])
     assert summary["last_round"] == 2
     assert summary["rounds"][0]["n_scheduled"] > 0
+
+
+def test_cli_ingest_incremental(tmp_path):
+    """CLI ingest: first call covers the file, second is a no-op."""
+    import json
+    import shutil
+
+    from warcio_spark.cli import main
+
+    wdir = tmp_path / "w"
+    wdir.mkdir()
+    shutil.copy("/root/reference/test/data/example.warc.gz", wdir)
+    state = str(tmp_path / "st")
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["ingest", str(wdir), "--state", state]) == 0
+        assert main(["ingest", str(wdir), "--state", state]) == 0
+    first, second = (json.loads(l) for l in buf.getvalue().strip().splitlines())
+    assert first["n_records"] == 6 and first["batch"] == 1
+    assert second["batch"] is None

@@ -4,6 +4,7 @@
     python -m warcio_spark.cli check  <inputs...> [-v]
     python -m warcio_spark.cli extract <input> <offset> [--payload|--headers]
     python -m warcio_spark.cli recompress <input> <output-dir>
+    python -m warcio_spark.cli ingest <warc-dir> --state DIR
     python -m warcio_spark.cli crawl --seeds N --rounds K --state DIR
 
 index emits the same NDJSON lines as ``warcio index`` (field mini-DSL,
@@ -107,6 +108,17 @@ def cmd_recompress(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Batch-incremental exactly-once ingest of a WARC directory into a
+    committed records table (sources/incremental.py)."""
+    from warcio_spark.sources.incremental import ingest_warc_incremental
+
+    spark = _spark()
+    summary = ingest_warc_incremental(spark, args.input_dir, args.state)
+    sys.stdout.write(json.dumps(summary) + "\n")
+    return 0
+
+
 def cmd_crawl(args) -> int:
     from pyspark.sql import functions as F
 
@@ -152,6 +164,11 @@ def main(argv=None) -> int:
     pr.add_argument("input")
     pr.add_argument("output")
     pr.set_defaults(fn=cmd_recompress)
+
+    pg = sub.add_parser("ingest")
+    pg.add_argument("input_dir")
+    pg.add_argument("--state", required=True)
+    pg.set_defaults(fn=cmd_ingest)
 
     pw = sub.add_parser("crawl")
     pw.add_argument("--seeds", type=int, default=1000)
