@@ -487,6 +487,18 @@ def q_lsh_topk(spark, sf):
     return lsh_topk_pruned(spark, path, qvec, k=10, planes=6)
 
 
+def q_embedding_near_dup(spark, sf):
+    """Embedding-cosine near-dup pairs: hyperplane-LSH bucket (seeded sign
+    sketch) then exact cosine verify within buckets — one shuffle on the
+    bucket key, no cross join (pinned-golden oracle; bucket semantics are
+    seed-deterministic)."""
+    from warcio_spark.operators.dedup import embedding_near_dup
+
+    _ensure_shipped(spark)
+    emb = _t(spark, sf, "embeddings")
+    return embedding_near_dup(emb, threshold=0.3, planes=4)
+
+
 def q_lang_detect(spark, sf):
     """Language-ID decision: argmax of marker scores with fixed tie-break
     order en > de > fr; 'und' when no markers hit."""
@@ -594,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "fingerprint": q_fingerprint,
         "lsh_topk": q_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "frontier_schedule": q_frontier_schedule,
         "warc_parse_corpus": q_warc_parse_corpus,
     }
@@ -615,6 +628,7 @@ PINNED_GOLDEN = {
     "minhash_dedup",
     "fingerprint",
     "lsh_topk",
+    "embedding_near_dup",
     "frontier_schedule",
     "warc_parse_corpus",
     "multimodal_features",

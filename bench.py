@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "fingerprint",
     "embedding_topk",
     "lsh_topk",
+    "embedding_near_dup",
 ]
 
 
