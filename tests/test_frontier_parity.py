@@ -345,3 +345,155 @@ def test_crawl_resume_across_compaction_boundary(spark, tmp_path):
     seen = st.read_seen(spark, last)
     assert seen.count() == seen.select("url_hash").distinct().count()
     assert seen.count() == st.read_metrics(last)["n_seen"]
+
+
+def test_crawl_with_bloom_sidecar_matches_plain(spark, tmp_path):
+    """The production 10^10 seen-set path end-to-end: crawl() with the
+    range-partitioned Bloom sidecar on (rebuild at start + per-round delta
+    updates + compaction rebuild + resume) emits a fetch log byte-identical
+    to the plain-anti-join crawl."""
+    cands = make_candidates(300)
+    robots = make_robots()
+    seeds = spark.createDataFrame(
+        [(c["url"], c["priority"], c["seq"]) for c in cands],
+        "url string, priority double, seq long",
+    )
+    rdf = robots_df(spark, robots)
+
+    d_plain = str(tmp_path / "plain")
+    crawlmod.crawl(spark, seeds, rdf, d_plain, rounds=4, cfg=CFG, compact_every=2)
+
+    d_bloom = str(tmp_path / "bloom")
+    sidecar = str(tmp_path / "sidecar")
+    # split across two invocations so resume rebuilds the sidecar from the
+    # committed snapshot (the crash-recovery contract)
+    crawlmod.crawl(spark, seeds, rdf, d_bloom, rounds=3, cfg=CFG,
+                   compact_every=2, bloom_sidecar=sidecar, bloom_ranges=4)
+    crawlmod.crawl(spark, seeds, rdf, d_bloom, rounds=1, cfg=CFG, resume=True,
+                   compact_every=2, bloom_sidecar=sidecar, bloom_ranges=4)
+
+    a = [(r.round, r.fetch_order, r.url_canon)
+         for r in crawlmod.fetch_log(spark, d_plain)
+         .orderBy("round", "fetch_order").collect()]
+    b = [(r.round, r.fetch_order, r.url_canon)
+         for r in crawlmod.fetch_log(spark, d_bloom)
+         .orderBy("round", "fetch_order").collect()]
+    assert a == b
+    assert len({r for r, _, _ in a}) == 4
+
+
+def test_sidecar_rebuild_removes_stale_ranges(spark, tmp_path):
+    """Rebuilding a sidecar dir with different sizing must not leave prior
+    range files behind (wrong-m bitmaps would be misread), and a probe
+    against any surviving wrong-sized file must fail SAFE (maybe-seen)."""
+    import os
+
+    from warcio_spark.plans.bloom import build_bloom_sidecar, sidecar_probe_udf
+    from warcio_spark.plans.frontier import with_frontier_keys
+
+    def seen_of(n):
+        return with_frontier_keys(
+            spark.range(0, n, 1, 4).select(
+                F.concat(F.lit("http://x.com/"), F.col("id").cast("string")).alias("url"),
+                F.lit(1.0).alias("priority"), F.col("id").alias("seq"),
+            )
+        ).select("url_hash")
+
+    sidecar = str(tmp_path / "b")
+    build_bloom_sidecar(seen_of(8_000), sidecar, expected_items=8_000, ranges=8)
+    old_sizes = {f: os.path.getsize(os.path.join(sidecar, f))
+                 for f in os.listdir(sidecar) if f.endswith(".bloom")}
+    assert len(old_sizes) == 8
+
+    # rebuild: fewer keys hitting fewer ranges, and a different m
+    few = seen_of(8_000).filter(F.pmod("url_hash", F.lit(8)) == 3)
+    meta = build_bloom_sidecar(few, sidecar, expected_items=200, ranges=8)
+    files = sorted(f for f in os.listdir(sidecar) if f.endswith(".bloom"))
+    assert files == ["range_{0}.bloom".format(r) for r in meta["built_ranges"]]
+    for f in files:
+        assert os.path.getsize(os.path.join(sidecar, f)) == meta["m"] // 8
+
+    # no false negatives against the new seen set after the rebuild
+    probe = sidecar_probe_udf(sidecar, meta["ranges"], meta["k"], meta["m"])
+    assert few.withColumn("_p", probe(F.col("url_hash"))).filter(~F.col("_p")).count() == 0
+
+    # plant a wrong-sized file where the new build has none: probe must say
+    # maybe-seen for everything hashing there (safe direction), never crash
+    missing = [r for r in range(8) if r not in meta["built_ranges"]]
+    if missing:
+        with open(os.path.join(sidecar, "range_{0}.bloom".format(missing[0])), "wb") as fh:
+            fh.write(b"\x00" * (meta["m"] // 8 + 13))
+        others = seen_of(8_000).filter(F.pmod("url_hash", F.lit(8)) == missing[0])
+        got = others.withColumn("_p", probe(F.col("url_hash"))).filter(~F.col("_p")).count()
+        assert got == 0
+
+
+def test_sidecar_update_equals_rebuild(spark, tmp_path):
+    """update_bloom_sidecar(delta) leaves zero false negatives over the
+    union — the invariant the crawl loop's per-round O(delta) update relies
+    on for exactness."""
+    from warcio_spark.plans.bloom import (
+        build_bloom_sidecar,
+        sidecar_probe_udf,
+        update_bloom_sidecar,
+    )
+    from warcio_spark.plans.frontier import with_frontier_keys
+
+    def seen_of(lo, hi):
+        return with_frontier_keys(
+            spark.range(lo, hi, 1, 4).select(
+                F.concat(F.lit("http://u.com/"), F.col("id").cast("string")).alias("url"),
+                F.lit(1.0).alias("priority"), F.col("id").alias("seq"),
+            )
+        ).select("url_hash")
+
+    sidecar = str(tmp_path / "b3")
+    build_bloom_sidecar(seen_of(0, 4_000), sidecar, expected_items=8_000, ranges=4)
+    meta = update_bloom_sidecar(seen_of(4_000, 6_000), sidecar)
+    assert meta["items"] == 6_000
+    probe = sidecar_probe_udf(sidecar, meta["ranges"], meta["k"], meta["m"])
+    union = seen_of(0, 6_000)
+    assert union.withColumn("_p", probe(F.col("url_hash"))).filter(~F.col("_p")).count() == 0
+
+
+def test_fetch_order_boundaries_and_tracker_match_default(spark):
+    """Precomputed boundaries + persist_tracker (the crawl fast path) and
+    the zero-argument path produce the same global rank as a naive global
+    window."""
+    from pyspark.sql import Window
+
+    from warcio_spark.plans.frontier import sample_order_boundaries
+
+    df = spark.range(0, 20_000, 1, 8).select(
+        (F.pmod(F.xxhash64("id"), F.lit(97)) / 10.0).alias("priority"),
+        F.col("id").alias("seq"),
+        F.concat(F.lit("http://h/"), F.col("id").cast("string")).alias("url_canon"),
+    )
+    w = Window.orderBy(F.desc("priority"), F.asc("seq"), F.asc("url_canon"))
+    want = [(r.fetch_order, r.url_canon) for r in df.withColumn(
+        "fetch_order", F.row_number().over(w).cast("long")
+    ).orderBy("fetch_order").collect()]
+
+    got_default = [(r.fetch_order, r.url_canon)
+                   for r in fetch_order(df).orderBy("fetch_order").collect()]
+    assert got_default == want
+
+    bounds = sample_order_boundaries(df, 8)
+    tracker = []
+    got_fast = [(r.fetch_order, r.url_canon)
+                for r in fetch_order(df, boundaries=bounds, persist_tracker=tracker)
+                .orderBy("fetch_order").collect()]
+    assert got_fast == want
+    assert len(tracker) == 1
+    for d in tracker:
+        d.unpersist(blocking=True)
+
+    # degenerate distribution: every priority equal -> one range, still exact
+    flat = df.withColumn("priority", F.lit(1.0))
+    w2 = Window.orderBy(F.desc("priority"), F.asc("seq"), F.asc("url_canon"))
+    want2 = [(r.fetch_order, r.url_canon) for r in flat.withColumn(
+        "fetch_order", F.row_number().over(w2).cast("long")
+    ).orderBy("fetch_order").collect()]
+    got2 = [(r.fetch_order, r.url_canon)
+            for r in fetch_order(flat).orderBy("fetch_order").collect()]
+    assert got2 == want2

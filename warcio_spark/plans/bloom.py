@@ -140,13 +140,78 @@ def build_bloom_sidecar(seen: DataFrame, sidecar_dir: str, expected_items: int,
         .applyInPandas(per_range, "range int, n long")
         .collect()
     )
+    built = sorted(int(r.range) for r in counts)
+    # drop stale range files from a PRIOR build in this dir: a range with
+    # zero keys now must not keep an old bitmap (possibly sized for a
+    # different m — the probe would read wrong-sized bits or IndexError)
+    keep = {"range_{0}.bloom".format(r) for r in built}
+    for name in os.listdir(sidecar_dir):
+        if name.startswith("range_") and name.endswith(".bloom") and name not in keep:
+            os.remove(os.path.join(sidecar_dir, name))
     meta = {
         "ranges": ranges,
         "k": k,
         "m": m,
         "items": int(sum(r.n for r in counts)),
-        "built_ranges": sorted(int(r.range) for r in counts),
+        "built_ranges": built,
     }
+    with open(os.path.join(sidecar_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def update_bloom_sidecar(delta: DataFrame, sidecar_dir: str,
+                         hash_col: str = "url_hash") -> dict:
+    """OR a delta's keys into the existing sidecar files — O(delta) work, so
+    a crawl round can keep the sidecar complete without rescanning the full
+    seen-set. Same (k, m, ranges) from meta.json; ranges with no file yet
+    start from zeros. Single-writer (the crawl loop) — crash recovery is
+    a full rebuild at crawl start, so a torn update can never survive into
+    a resumed run."""
+    import json
+    import os
+
+    with open(os.path.join(sidecar_dir, "meta.json")) as f:
+        meta = json.load(f)
+    ranges, k, m = meta["ranges"], meta["k"], meta["m"]
+
+    def per_range(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        rid = int(key[0])
+        path = os.path.join(sidecar_dir, "range_{0}.bloom".format(rid))
+        bits = (
+            np.fromfile(path, dtype=np.uint8)
+            if os.path.exists(path)
+            else np.zeros(m // 8, dtype=np.uint8)
+        )
+        if len(bits) != m // 8:
+            # a foreign-sized file means the dir holds a different build
+            # generation: merging would silently drop its keys (false
+            # negatives). Fail loudly — the fix is a full rebuild.
+            raise ValueError(
+                "sidecar range {0} is {1} bytes, expected {2}: rebuild the "
+                "sidecar (build_bloom_sidecar) instead of updating".format(
+                    rid, len(bits), m // 8
+                )
+            )
+        hashes = _mix(pdf[hash_col].to_numpy(dtype=np.int64))
+        for pos in _positions(hashes, k, m):
+            np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        tmp = os.path.join(sidecar_dir, ".range_{0}.tmp".format(rid))
+        with open(tmp, "wb") as f:
+            f.write(bits.tobytes())
+        os.replace(tmp, path)
+        return pd.DataFrame({"range": [rid], "n": [len(pdf)]})
+
+    counts = (
+        delta.select(F.pmod(F.col(hash_col), F.lit(ranges)).alias("_range"), hash_col)
+        .groupBy("_range")
+        .applyInPandas(per_range, "range int, n long")
+        .collect()
+    )
+    meta["items"] = int(meta.get("items", 0)) + int(sum(r.n for r in counts))
+    meta["built_ranges"] = sorted(
+        set(meta.get("built_ranges", [])) | {int(r.range) for r in counts}
+    )
     with open(os.path.join(sidecar_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
@@ -175,7 +240,16 @@ def sidecar_probe_udf(sidecar_dir: str, ranges: int, k: int, m: int):
                     if os.path.exists(path)
                     else None
                 )
+                if cache[r] is not None and len(cache[r]) != m // 8:
+                    # wrong-sized file = a different build generation: the
+                    # only SAFE reading is "maybe seen" (the exact anti-join
+                    # backstop verifies); treating it as absent would be a
+                    # false negative
+                    cache[r] = True
             bits = cache[r]
+            if bits is True:
+                out[rid == r] = True
+                continue
             if bits is None:
                 continue
             sel = rid == r

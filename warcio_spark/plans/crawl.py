@@ -174,7 +174,8 @@ def partition_lineage(df: DataFrame) -> list:
 def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
           state_dir: str, rounds: int, cfg: PolitenessConfig | None = None,
           outlinks_fn=default_outlinks, resume: bool = True,
-          compact_every: int = 8) -> dict:
+          compact_every: int = 8, bloom_sidecar: str | None = None,
+          bloom_ranges: int = 16) -> dict:
     """Run (or resume) a checkpointed crawl. Returns summary metrics.
 
     seeds: DataFrame(url, priority, seq). Each round:
@@ -188,8 +189,19 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
     (candidate count on the prepare stage, host cardinality on the schedule
     stage) instead of separate count() jobs; the seen total is
     prev + n_scheduled, exact because deltas are disjoint by construction.
+    fetch_order's range boundaries are sampled ONCE per crawl() call and
+    reused every round — no per-round sampling or count actions.
+
+    ``bloom_sidecar``: directory for the range-partitioned Bloom sidecar
+    (plans/bloom.py — the 10^10 seen-set layout). When set, the seen-set
+    anti-join is pre-pruned by the sidecar (identical results; false
+    positives route through the exact join). The sidecar is fully rebuilt
+    at crawl start (covers resume and torn updates), OR-updated with each
+    round's delta (O(new urls)), and rebuilt+resized at compaction rounds.
     """
     from pyspark.sql import Observation
+
+    from warcio_spark.plans.frontier import sample_order_boundaries
 
     cfg = cfg or PolitenessConfig()
     state = RoundState(state_dir)
@@ -206,13 +218,37 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
         frontier = seeds.select(*FRONTIER_COLS)
         n_seen_total = 0
 
+    # one-off quantile sample; reused across every round (boundaries only
+    # affect range balance, never the fetch order itself)
+    order_bounds = sample_order_boundaries(frontier)
+
+    seen_filter = None
+    if bloom_sidecar:
+        import os as _os
+
+        from warcio_spark.plans.bloom import (
+            bloom_not_seen_sidecar,
+            build_bloom_sidecar,
+            update_bloom_sidecar,
+        )
+
+        _os.makedirs(bloom_sidecar, exist_ok=True)
+        build_bloom_sidecar(
+            seen, bloom_sidecar,
+            expected_items=max(n_seen_total * 2, 1 << 20),
+            ranges=bloom_ranges,
+        )
+
+        def seen_filter(c, s):
+            return bloom_not_seen_sidecar(c, s, bloom_sidecar)
+
     summary = {"rounds": [], "started_at_round": start_round + 1}
     for n in range(start_round + 1, start_round + rounds + 1):
         t0 = time.perf_counter()
         obs_c = Observation()
         obs_s = Observation()
         cands = (
-            prepare_candidates(frontier, seen, robots, cfg)
+            prepare_candidates(frontier, seen, robots, cfg, seen_filter=seen_filter)
             .observe(obs_c, F.count(F.lit(1)).alias("n_candidates"))
             .cache()
         )
@@ -224,11 +260,16 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
                 F.approx_count_distinct("host").alias("n_hosts_approx"),
             )
         )
-        scheduled = fetch_order(scheduled).cache()
+        tracker: list = []
+        scheduled = fetch_order(
+            scheduled, boundaries=order_bounds, persist_tracker=tracker
+        ).cache()
         n_scheduled = scheduled.count()
         if n_scheduled == 0:
             cands.unpersist()
             scheduled.unpersist()
+            for df in tracker:
+                df.unpersist()
             break
         n_seen_total += n_scheduled
 
@@ -266,8 +307,22 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
         )
         summary["rounds"].append(metrics)
 
+        if bloom_sidecar:
+            if compacting:
+                # rebuild from the compacted snapshot: resizes m to the grown
+                # key count and clears any stale range files
+                build_bloom_sidecar(
+                    state.read_seen(spark, n), bloom_sidecar,
+                    expected_items=max(n_seen_total * 2, 1 << 20),
+                    ranges=bloom_ranges,
+                )
+            else:
+                update_bloom_sidecar(seen_delta, bloom_sidecar)
+
         cands.unpersist()
         scheduled.unpersist()
+        for df in tracker:
+            df.unpersist()
         # read back from the snapshot so every round's inputs are exactly the
         # committed state (resume-equivalence by construction)
         seen = state.read_seen(spark, n)

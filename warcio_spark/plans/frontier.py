@@ -163,41 +163,92 @@ def schedule_round(cands: DataFrame, cfg: PolitenessConfig | None = None) -> Dat
     )
 
 
-def fetch_order(scheduled: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Global deterministic fetch sequence for a round — two-phase rank.
+def sample_order_boundaries(df: DataFrame, partitions: int | None = None,
+                            relative_error: float = 0.001) -> list:
+    """Priority split points for fetch_order's deterministic range
+    assignment: one approxQuantile pass, returning up to ``partitions - 1``
+    ascending boundaries. Compute ONCE per crawl (crawl() does) and reuse
+    across rounds — boundaries only affect load balance, never correctness,
+    so drifting priority distributions merely skew range sizes."""
+    spark = df.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    if p <= 1:
+        return []
+    probs = [i / p for i in range(1, p)]
+    qs = df.stat.approxQuantile("priority", probs, relative_error)
+    # dedupe (heavy ties produce equal quantiles; duplicates would just
+    # create empty ranges, but keep the expression minimal)
+    out, prev = [], None
+    for q in qs:
+        if q != prev:
+            out.append(float(q))
+        prev = q
+    return out
+
+
+def fetch_order(scheduled: DataFrame, partitions: int | None = None,
+                boundaries: list | None = None,
+                persist_tracker: list | None = None) -> DataFrame:
+    """Global deterministic fetch sequence for a round — two-phase rank,
+    ONE job, no driver-side count action, no cache.
 
     A bare ``Window.orderBy`` funnels the whole round through ONE task; at
     10^8 hosts x budget that single partition materializes the entire round.
-    Instead: range-partition on the ordering keys, rank locally within each
-    range, then add the count of all preceding ranges (a driver-side map of
-    #partitions integers). The result is identical to the global window for
-    any partitioning because (priority, seq, url_canon) is a total order on
-    the deduped round (url_canon is unique after dedup_candidates).
+    Instead the round is split into order-aligned ranges by a PURE
+    EXPRESSION on priority (rid = #boundaries above this priority, so
+    higher-priority rows always land in lower-or-equal range ids and equal
+    priorities share a range), ranked per range, and offset by the count of
+    all preceding ranges. Per-range counts are a branch of the SAME query
+    that reuses the range exchange (ReusedExchange — verified in
+    tests/test_frontier_parity); the running-sum window that turns counts
+    into offsets is single-partition but over at most ``partitions`` rows.
+
+    Identical to the global window for any partitioning/boundaries because
+    (priority desc, seq, url_canon) is a total order on the deduped round
+    and the range id is a deterministic function of priority alone.
+    ``boundaries``: ascending priority split points (sample_order_boundaries)
+    — pass them to skip the default one-off quantile sampling action, e.g.
+    once per crawl instead of once per round.
+
+    ``persist_tracker``: with a list supplied, the post-shuffle ranged rows
+    are persisted so the counts branch and the rank branch share ONE
+    upstream computation (both resolve to the same InMemoryRelation inside
+    the single driving job — no extra action); the persisted DataFrame is
+    appended to the list and the CALLER unpersists it after materializing
+    the result (crawl() and bench.py do). Without it, nothing is persisted
+    — the counts branch recomputes a column-pruned upstream instead; same
+    result, zero cache-lifecycle obligations.
     """
     keys = [F.desc("priority"), F.asc("seq"), F.asc("url_canon")]
     spark = scheduled.sparkSession
     p = partitions or spark.sparkContext.defaultParallelism
-    # cache pins the sampled range boundaries: the counts action and the
-    # final rank job must see the SAME exchange output
-    ranged = (
-        scheduled.repartitionByRange(p, *keys)
-        .withColumn("_range", F.spark_partition_id())
-        .cache()
+    if boundaries is None:
+        boundaries = sample_order_boundaries(scheduled, p)
+    if boundaries:
+        # rid 0 = highest priorities; equal priorities -> same rid
+        rid = None
+        for b in boundaries:
+            term = F.when(F.col("priority") < F.lit(float(b)), 1).otherwise(0)
+            rid = term if rid is None else rid + term
+    else:
+        rid = F.lit(0)
+    ranged = scheduled.withColumn("_range", rid).repartition(
+        max(2, len(boundaries) + 1), "_range"
     )
-    counts = {
-        r["_range"]: r["n"]
-        for r in ranged.groupBy("_range").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    if not counts:
-        return ranged.withColumn("fetch_order", F.lit(None).cast("long")).drop("_range")
-    rows, acc = [], 0
-    for rid in sorted(counts):
-        rows.append((rid, acc))
-        acc += counts[rid]
-    off = spark.createDataFrame(rows, "_range int, _off long")
+    if persist_tracker is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+        persist_tracker.append(ranged)
+    counts = ranged.groupBy("_range").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_range").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "_range",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).cast("long").alias("_off"),
+    )
     w = Window.partitionBy("_range").orderBy(*keys)
     return (
-        ranged.join(F.broadcast(off), "_range")
+        ranged.join(F.broadcast(offs), "_range")
         .withColumn("fetch_order", (F.row_number().over(w) + F.col("_off")))
         .drop("_range", "_off")
     )
@@ -205,18 +256,24 @@ def fetch_order(scheduled: DataFrame, partitions: int | None = None) -> DataFram
 
 def prepare_candidates(raw: DataFrame, seen: DataFrame | None,
                        robots: DataFrame | None,
-                       cfg: PolitenessConfig | None = None) -> DataFrame:
+                       cfg: PolitenessConfig | None = None,
+                       seen_filter=None) -> DataFrame:
     """Full candidate pipeline: keys -> within-batch dedup -> anti-join seen
     -> robots. ``robots`` may be the host-level table (host, allowed,
     crawl_delay) or the path-rule table (host, allow, disallow, crawl_delay)
-    from robots_table_from_pages — detected by columns."""
+    from robots_table_from_pages — detected by columns.
+
+    ``seen_filter``: optional callable(cands, seen) -> DataFrame replacing
+    the plain anti-join — crawl() passes the Bloom-sidecar variant here so
+    the never-seen majority skips the anti-join shuffle (result identical
+    by construction; the bloom only prunes)."""
     cfg = cfg or PolitenessConfig()
     # already-keyed input (a frontier snapshot that persisted its keys)
     # skips re-canonicalizing the whole carried-over frontier every round
     keyed = raw if "url_hash" in raw.columns else with_frontier_keys(raw)
     cands = dedup_candidates(keyed)
     if seen is not None:
-        cands = not_seen(cands, seen)
+        cands = seen_filter(cands, seen) if seen_filter else not_seen(cands, seen)
     if robots is not None and "disallow" in robots.columns:
         return apply_robots_rules(cands, robots, cfg)
     return apply_robots(cands, robots, cfg)
