@@ -27,6 +27,12 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 
 _SHIPPED_TO = set()
 
+# persisted DataFrames registered by query functions (shared-subplan
+# persists, e.g. minhash_dedup's shingle pass). Lifetime = this process;
+# bench clearCache()s between reps, the correctness driver exits after one
+# pass. Library callers never see this — they pass their own tracker.
+_QUERY_PERSISTS: list = []
+
 
 def _ensure_shipped(spark: SparkSession) -> None:
     """Ship warcio_spark to executor python workers via addPyFile — the
@@ -451,7 +457,11 @@ def q_minhash_dedup(spark, sf):
     # filter (pushed to the parquet scan), NOT limit: limit(n) funnels the
     # plan through a single partition
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
-    return minhash_dedup(docs, threshold=0.8, num_perm=32, bands=8)
+    # shared-shingle persist: registered here so the cache lives for this
+    # short-lived driver/bench process only (bench clearCache()s between
+    # reps); long-lived library callers pass their own tracker and unpersist
+    return minhash_dedup(docs, threshold=0.8, num_perm=32, bands=8,
+                         persist_tracker=_QUERY_PERSISTS)
 
 
 def q_fingerprint(spark, sf):
@@ -476,27 +486,36 @@ def q_lsh_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
 
-    src = os.path.join(sf, "embeddings.parquet")
-    sig = "{0}_{1}_p6".format(
-        os.path.basename(os.path.dirname(os.path.abspath(src))),
-        int(os.path.getmtime(src)),
-    )
-    path = os.path.join("/tmp", "warcio_spark_sketched", sig)
+    # cache key: full absolute source path + mtime + sketch params, rooted
+    # in the repo's build dir — immune to two sf trees sharing a leaf name
+    # and to /tmp permission clashes between users
+    import hashlib
+
+    src = os.path.abspath(os.path.join(sf, "embeddings.parquet"))
+    sig = hashlib.sha1(
+        "{0}|{1}|planes=6|seed=1337|dim={2}".format(
+            src, int(os.path.getmtime(src)), len(qvec)
+        ).encode()
+    ).hexdigest()[:16]
+    path = os.path.join(_REPO, "build", "sketched", sig)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_embeddings_sketched(emb.filter(F.col("vec_id") != 0), path, planes=6)
+        write_embeddings_sketched(emb.filter(F.col("vec_id") != 0), path,
+                                  planes=6, dim=len(qvec))
     return lsh_topk_pruned(spark, path, qvec, k=10, planes=6)
 
 
 def q_embedding_near_dup(spark, sf):
-    """Embedding-cosine near-dup pairs: hyperplane-LSH bucket (seeded sign
-    sketch) then exact cosine verify within buckets — one shuffle on the
-    bucket key, no cross join (pinned-golden oracle; bucket semantics are
-    seed-deterministic)."""
+    """Embedding-cosine near-dup pairs: BANDED hyperplane LSH — 4
+    independent 8-plane sign sketches in one Arrow hop, candidates =
+    collisions in any rep, exact cosine verify once over the distinct
+    pairs. Buckets stay 2^8-fine so within-bucket pair generation never
+    goes quadratic in corpus size; recall comes from the rep union
+    (pinned-golden oracle; sketches are seed-deterministic)."""
     from warcio_spark.operators.dedup import embedding_near_dup
 
     _ensure_shipped(spark)
     emb = _t(spark, sf, "embeddings")
-    return embedding_near_dup(emb, threshold=0.3, planes=4)
+    return embedding_near_dup(emb, threshold=0.3, planes=8, reps=4)
 
 
 def q_lang_detect(spark, sf):

@@ -90,11 +90,47 @@ def golden_sql(df) -> str:
     )
 
 
+INDEPENDENT_ORACLE_TESTS = [
+    # the semantic ground the goldens stand on: if any of these fail, a
+    # regenerated golden would pin the regression instead of catching it
+    "tests/test_dedup_quality.py",
+    "tests/test_frontier_parity.py",
+    "tests/test_kernel_parse_oracle.py",
+    "tests/test_similarity.py",
+]
+
+
+def _guard_independent_oracles() -> str:
+    """Refuse to regenerate goldens unless the independent semantic oracles
+    pass RIGHT NOW: a pinned golden proves determinism, not correctness, so
+    regeneration after a silent behavior regression would mask it. Returns
+    a provenance stamp (commit + test summary) for the golden headers."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "-x", "-q", *INDEPENDENT_ORACLE_TESTS],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    tail = (proc.stdout or "").strip().splitlines()
+    summary = tail[-1] if tail else ""
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout + proc.stderr)
+        raise SystemExit(
+            "REFUSING to regenerate goldens: independent oracle tests failed "
+            f"({summary}). Fix the regression first."
+        )
+    commit = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True, text=True
+    ).stdout.strip() or "unknown"
+    return f"commit {commit}; oracle gate: {summary}"
+
+
 def main():
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod
 
+    stamp = _guard_independent_oracles()
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("gen-goldens")
@@ -115,7 +151,8 @@ def main():
                 f"-- pinned golden oracle for '{name}' at {GOLDEN_SF}\n"
                 "-- generated by scripts/gen_goldens.py; the query output is\n"
                 "-- deterministic by construction (fixed seeds, JVM hashes,\n"
-                "-- parity-tested total ordering)\n" + sql + "\n"
+                "-- parity-tested total ordering)\n"
+                f"-- provenance: {stamp}\n" + sql + "\n"
             )
         print(f"{name}: {len(sql)} bytes -> {path}")
     spark.stop()

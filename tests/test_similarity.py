@@ -150,3 +150,69 @@ def test_lsh_topk_pruned_matches_inline_and_prunes(spark, tmp_path):
     plan = lsh_topk_pruned(spark, path, qvec, k=5, planes=4) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(sketch" in plan, plan[:2000]
+
+
+def test_embedding_near_dup_banded_recall_vs_bruteforce(spark):
+    """Banded LSH recall at the suite query's parameters (planes=8, reps=4)
+    must beat the old single-coarse-sketch recall on moderately-similar
+    pairs, and bucket fan-out must stay 2^planes-fine (the scale property
+    the banding buys)."""
+    from warcio_spark.operators.dedup import cosine_similarity, embedding_near_dup
+
+    df, X, _ = make_embeddings(spark, n=300, dim=32, planted_pairs=10)
+    sims = X @ X.T
+    iu = np.triu_indices(len(X), k=1)
+
+    def run(thr, planes, reps):
+        want = {(int(a), int(b)) for a, b in zip(*iu) if sims[a, b] >= thr}
+        got = {(r.id_a, r.id_b)
+               for r in embedding_near_dup(df, threshold=thr,
+                                           planes=planes, reps=reps).collect()}
+        assert got <= want  # exact verify: no false positives ever
+        return len(got & want) / max(1, len(want))
+
+    # near-dup regime (the operator's contract): full recall at the suite
+    # query's parameters — the old coarse planes=4 single sketch scored
+    # 1.0 here too, so this is the equal-or-better gate
+    assert run(0.9, 8, 4) == 1.0
+    # banding property at fixed bucket fineness: unioning reps strictly
+    # lifts recall on moderately-similar pairs vs one rep of the same
+    # 2^8-fine sketch (recall = 1-(1-p^planes)^reps)
+    r1 = run(0.5, 8, 1)
+    r4 = run(0.5, 8, 4)
+    assert r4 > r1, (r1, r4)
+
+
+def test_multi_sketch_dim_pinned_invariance(spark):
+    """With dim pinned, mixed-length embeddings get NULL buckets exactly for
+    wrong-length rows, independent of batch/partition composition."""
+    from warcio_spark.operators.similarity import make_multi_sketch_udf, make_sketch_udf
+
+    rows = []
+    for i in range(200):
+        d = 8 if i % 7 else 5  # every 7th vector is ragged
+        rows.append((i, [float((i * 31 + j) % 13 - 6) for j in range(d)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def collect_buckets(parts):
+        u = make_sketch_udf(4, 1337, dim=8)
+        return {
+            r.vec_id: r.b
+            for r in df.repartition(parts)
+            .select("vec_id", u(F.col("embedding")).alias("b"))
+            .collect()
+        }
+
+    b1, b8 = collect_buckets(1), collect_buckets(8)
+    assert b1 == b8  # partitioning-invariant
+    for i, b in b1.items():
+        assert (b is None) == (i % 7 == 0)
+
+    mu = make_multi_sketch_udf(4, 3, 1337, dim=8)
+    multis = {r.vec_id: r.m for r in df.repartition(5)
+              .select("vec_id", mu(F.col("embedding")).alias("m")).collect()}
+    for i, m in multis.items():
+        if i % 7 == 0:
+            assert m is None
+        else:
+            assert len(m) == 3 and all(len(s) == 4 for s in m)

@@ -37,34 +37,51 @@ def cosine_topk(emb: DataFrame, query_vec, k: int = 10,
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
-def make_sketch_udf(planes: int = 8, seed: int = 1337):
+def make_sketch_udf(planes: int = 8, seed: int = 1337, dim: int | None = None):
     """Deterministic random-hyperplane sign sketch as a string bucket key.
 
     numpy-vectorized pandas UDF: the whole Arrow batch becomes one matrix
     multiply against the seeded +-1 plane matrix — the earlier
     expression-tree variant (per-plane interpreted zip_with/aggregate) was
     ~50x slower. Both sides of any bucket join must use the SAME
-    (planes, seed) so the plane matrix matches.
+    (planes, seed, dim) so the plane matrix matches.
+
+    ``dim``: the embedding dimension. With it set (every library call path
+    does — from the query vector's length or one sampled row) rows of any
+    OTHER length get a NULL bucket, so bucket assignment is invariant to
+    batch/partition composition. Without it, the dimension is inferred per
+    Arrow batch (majority length) — fine for uniform data, but mixed-length
+    data would bucket batch-dependently; ad-hoc fallback only.
     """
+    P0 = None
+    if dim is not None:
+        P0 = np.random.RandomState(seed).choice(
+            np.array([-1.0, 1.0]), size=(planes, dim)
+        )
+
     @F.pandas_udf(T.StringType())
     def sketch_udf(vecs: pd.Series) -> pd.Series:
         # mask out NULL / wrong-length rows per-row and sketch the valid
         # subset: one bad embedding must not turn the whole Arrow batch into
         # a ragged array (ndim != 2) and silently NULL every bucket in it
-        from collections import Counter
-
         vals = vecs.tolist()
         lens = [len(v) if v is not None else -1 for v in vals]
-        positive = Counter(ln for ln in lens if ln > 0)
-        if not positive:
-            return pd.Series([None] * len(vals), dtype="object")
-        dim = positive.most_common(1)[0][0]
-        valid = np.array([ln == dim for ln in lens])
+        if P0 is not None:
+            d, P = dim, P0
+        else:
+            from collections import Counter
+
+            positive = Counter(ln for ln in lens if ln > 0)
+            if not positive:
+                return pd.Series([None] * len(vals), dtype="object")
+            d = positive.most_common(1)[0][0]
+            P = np.random.RandomState(seed).choice(
+                np.array([-1.0, 1.0]), size=(planes, d)
+            )
+        valid = np.array([ln == d for ln in lens]) if lens else np.zeros(0, bool)
         out = np.full(len(vals), None, dtype=object)
         if valid.any():
             arr = np.array([v for v, ok in zip(vals, valid) if ok], dtype=np.float64)
-            rng = np.random.RandomState(seed)
-            P = rng.choice(np.array([-1.0, 1.0]), size=(planes, arr.shape[1]))
             bits = (arr @ P.T) > 0
             digits = bits.astype(np.uint8).astype("U1")
             out[valid] = ["".join(row) for row in digits]
@@ -73,9 +90,56 @@ def make_sketch_udf(planes: int = 8, seed: int = 1337):
     return sketch_udf
 
 
-def sketch(vec_col, planes: int = 8, seed: int = 1337):
+def sketch(vec_col, planes: int = 8, seed: int = 1337, dim: int | None = None):
     col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    return make_sketch_udf(planes, seed)(col)
+    return make_sketch_udf(planes, seed, dim)(col)
+
+
+def make_multi_sketch_udf(planes: int, reps: int, seed: int = 1337,
+                          dim: int | None = None):
+    """``reps`` independent sign sketches in ONE Arrow hop: a single seeded
+    (reps*planes, dim) matrix, one matmul per batch, rep i = bit rows
+    [i*planes, (i+1)*planes). Returns array<string> of length ``reps``
+    (NULL for NULL/wrong-length vectors). The banded building block for
+    embedding_near_dup — recall comes from unioning collisions across reps
+    while each rep's bucket stays 2^planes-fine."""
+    P0 = None
+    if dim is not None:
+        P0 = np.random.RandomState(seed).choice(
+            np.array([-1.0, 1.0]), size=(reps * planes, dim)
+        )
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def multi_sketch_udf(vecs: pd.Series) -> pd.Series:
+        vals = vecs.tolist()
+        lens = [len(v) if v is not None else -1 for v in vals]
+        if P0 is not None:
+            d, P = dim, P0
+        else:
+            from collections import Counter
+
+            positive = Counter(ln for ln in lens if ln > 0)
+            if not positive:
+                return pd.Series([None] * len(vals), dtype="object")
+            d = positive.most_common(1)[0][0]
+            P = np.random.RandomState(seed).choice(
+                np.array([-1.0, 1.0]), size=(reps * planes, d)
+            )
+        valid = np.array([ln == d for ln in lens]) if lens else np.zeros(0, bool)
+        out = np.full(len(vals), None, dtype=object)
+        if valid.any():
+            arr = np.array([v for v, ok in zip(vals, valid) if ok], dtype=np.float64)
+            bits = (arr @ P.T) > 0  # (n, reps*planes)
+            digits = bits.astype(np.uint8).astype("U1")
+            joined = np.empty(len(digits), dtype=object)
+            joined[:] = [
+                ["".join(row[i * planes:(i + 1) * planes]) for i in range(reps)]
+                for row in digits
+            ]
+            out[valid] = joined
+        return pd.Series(out, dtype="object")
+
+    return multi_sketch_udf
 
 
 def lsh_topk(emb: DataFrame, query_vec, k: int = 10, planes: int = 8,
@@ -88,7 +152,9 @@ def lsh_topk(emb: DataFrame, query_vec, k: int = 10, planes: int = 8,
     qsketch = query_sketch(query_vec, planes)
 
     q = _query_lit(query_vec)
-    cand = emb.filter(sketch(vec_col, planes) == F.lit(qsketch))
+    cand = emb.filter(
+        sketch(vec_col, planes, dim=len(query_vec)) == F.lit(qsketch)
+    )
     scored = cand.select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine"))
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
@@ -105,13 +171,21 @@ def query_sketch(query_vec, planes: int = 8, seed: int = 1337) -> str:
 
 
 def write_embeddings_sketched(emb: DataFrame, path: str, planes: int = 8,
-                              seed: int = 1337, vec_col: str = "embedding") -> None:
+                              seed: int = 1337, vec_col: str = "embedding",
+                              dim: int | None = None) -> None:
     """Materialize the LSH sketch as a PARTITION COLUMN of the stored table —
     the 100 TB layout: a probe filters on sketch and the scan prunes to the
     matching bucket directories instead of recomputing sketches over the
     whole table per query (which made query-time lsh_topk the slowest bench
-    query). One pass over the embeddings; 2^planes output partitions."""
-    out = emb.withColumn("sketch", sketch(vec_col, planes, seed))
+    query). One pass over the embeddings; 2^planes output partitions.
+
+    ``dim`` pins the embedding dimension (rows of any other length get a
+    NULL sketch — partitioning-invariant bucketing); inferred once from the
+    data when omitted."""
+    if dim is None:
+        row = emb.select(F.size(vec_col).alias("d")).filter(F.col("d") > 0).first()
+        dim = int(row["d"]) if row else None
+    out = emb.withColumn("sketch", sketch(vec_col, planes, seed, dim))
     out.write.partitionBy("sketch").mode("overwrite").parquet(path)
 
 
@@ -186,15 +260,21 @@ def ivf_topk(emb: DataFrame, query_vec, k: int = 10, n_cells: int = 16,
 
 def knn_join(left: DataFrame, right: DataFrame, k: int = 5, planes: int = 6,
              id_left: str = "vec_id", id_right: str = "vec_id",
-             vec_left: str = "embedding", vec_right: str = "embedding") -> DataFrame:
+             vec_left: str = "embedding", vec_right: str = "embedding",
+             dim: int | None = None) -> DataFrame:
     """Bucketed approximate kNN join: pairs share a sketch bucket, ranked by
-    cosine per left id (windowed top-k — no cross join)."""
+    cosine per left id (windowed top-k — no cross join). ``dim`` pins the
+    embedding dimension for both sides' sketches (inferred once from the
+    left side when omitted)."""
     from pyspark.sql import Window
 
+    if dim is None:
+        row = left.select(F.size(vec_left).alias("d")).filter(F.col("d") > 0).first()
+        dim = int(row["d"]) if row else None
     l = left.select(F.col(id_left).alias("lid"), F.col(vec_left).alias("lv"),
-                    sketch(vec_left, planes).alias("b"))
+                    sketch(vec_left, planes, dim=dim).alias("b"))
     r = right.select(F.col(id_right).alias("rid"), F.col(vec_right).alias("rv"),
-                     sketch(vec_right, planes).alias("b"))
+                     sketch(vec_right, planes, dim=dim).alias("b"))
     pairs = l.join(r, "b").filter(F.col("lid") != F.col("rid"))
     scored = pairs.select(
         "lid", "rid", cosine_similarity(F.col("lv"), F.col("rv")).alias("cosine")
