@@ -281,3 +281,92 @@ def test_bucketed_fetch_join_has_no_exchange(spark, tmp_path):
     plain = sched.join(pages, "url_hash")
     plain_plan = plain._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plain_plan or "Broadcast" in plain_plan
+
+
+def _make_big_warc(tmp_path, n=1200):
+    from warcio_spark.kernels.build import build_record, serialize_record
+
+    members = []
+    for i in range(n):
+        body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+                + (b"remote-%d-" % i) * (1 + i % 25))
+        members.append(serialize_record(
+            build_record(f"http://h{i % 7}.com/r/{i}", "response",
+                         payload=body, record_id=f"<urn:uuid:r{i}>",
+                         warc_date="2024-01-01T00:00:00Z"), gzip=True))
+    blob = b"".join(members)
+    path = tmp_path / "remote.warc.gz"
+    path.write_bytes(blob)
+    return path, blob
+
+
+def test_read_warc_ranges_file_scheme_uri(spark, tmp_path):
+    """Ranged ingest through a scheme-qualified file:// URI equals the
+    bare-path parse byte for byte — the remote-FS opener contract
+    (reference's S3 shape, test/test_s3.py:129-151)."""
+    from warcio_spark.kernels.parse import parse_warc_bytes
+    from warcio_spark.sources.warc import read_warc_ranges
+
+    path, blob = _make_big_warc(tmp_path)
+    want = parse_warc_bytes(blob, filename="remote.warc.gz")["records"]
+    df = read_warc_ranges(spark, "file://" + str(path),
+                          split_bytes=1 << 17, overlap_bytes=1 << 16)
+    rows = df.select("offset", "url", "content").orderBy("offset").collect()
+    assert len(rows) == len(want)
+    assert [r.offset for r in rows] == [w["offset"] for w in want]
+    assert [bytes(r.content) for r in rows] == [w["content"] for w in want]
+
+
+@pytest.mark.parametrize("support_range", [True, False])
+def test_read_warc_ranges_http(spark, tmp_path, support_range):
+    """Ranged ingest over http:// — a genuinely remote opener with zero
+    dependencies (stdlib Range requests). Covered both ways: a server
+    honoring Range (206, the real-world path) and one ignoring it (200 —
+    the opener slices the body, correctness preserved)."""
+    import http.server
+    import threading
+
+    from warcio_spark.kernels.parse import parse_warc_bytes
+    from warcio_spark.sources.warc import read_warc_ranges
+
+    path, blob = _make_big_warc(tmp_path, n=400)
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_HEAD(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+
+        def do_GET(self):
+            rng = self.headers.get("Range")
+            if support_range and rng:
+                lo, hi = rng.split("=", 1)[1].split("-")
+                lo, hi = int(lo), min(int(hi), len(blob) - 1)
+                body = blob[lo:hi + 1]
+                self.send_response(206)
+                self.send_header(
+                    "Content-Range", f"bytes {lo}-{hi}/{len(blob)}")
+            else:
+                body = blob
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/remote.warc.gz"
+        want = parse_warc_bytes(blob, filename="remote.warc.gz")["records"]
+        df = read_warc_ranges(spark, url, split_bytes=1 << 16,
+                              overlap_bytes=1 << 15)
+        rows = df.select("offset", "url").orderBy("offset").collect()
+        assert len(rows) == len(want)
+        assert [r.offset for r in rows] == [w["offset"] for w in want]
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -1,10 +1,12 @@
 """Multimodal column operators: image/audio/video as opaque binary columns
 with typed metadata.
 
-The container has no image/audio codecs, so the decode kernels are STUBBED
-behind ``_decode_image_stub`` (deterministic fake) — the Spark-side plumbing
-(schemas, Arrow batch shapes, mapInPandas signatures, partitioning) is real
-and tested. Swap the stub for PIL/libav calls on a real cluster.
+The image codec is an OPTIONAL dependency, handled exactly like the
+reference treats brotli (warcio/bufferedreaders.py:25-36): PIL is imported
+at module load when present and ``decode_image`` uses it; otherwise the
+deterministic stub (``_decode_image_stub``) keeps the Spark-side plumbing
+(schemas, Arrow batch shapes, mapInPandas signatures, partitioning) real
+and tested. This sandbox has no codecs, so goldens pin the stub path.
 """
 
 from __future__ import annotations
@@ -16,6 +18,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # pragma: no cover - optional codec, absent in this sandbox
+    from PIL import Image as _PILImage  # noqa: N812
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -38,10 +48,39 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _decode_image_pil(data: bytes):
+    """Real decode via PIL: (width, height, channels, 16-dim feature) where
+    the feature is a 4x4 mean-luminance grid in [-1, 1] — the same shape
+    the stub emits, so downstream schemas/consumers are codec-agnostic.
+    Undecodable blobs return None (NULL feature row), never fail the task."""
+    import io
+
+    try:
+        img = _PILImage.open(io.BytesIO(data))
+        img.load()
+    except Exception:
+        return None
+    w, h = img.size
+    c = len(img.getbands())
+    g = np.asarray(img.convert("L").resize((4, 4)), dtype=np.float32)
+    feat = ((g / 255.0) * 2 - 1).flatten().tolist()
+    return w, h, c, feat
+
+
+def decode_image(data: bytes):
+    """Codec entry point: PIL when importable, the deterministic stub
+    otherwise (optional-dependency contract mirroring the reference's
+    brotli handling)."""
+    if data is None or len(data) == 0:
+        return None
+    if HAS_PIL:
+        return _decode_image_pil(bytes(data))
+    return _decode_image_stub(data)
+
+
 def _decode_image_stub(data: bytes):
     """Deterministic fake decode: derives (w, h, c, 16-dim feature) from the
-    bytes. Replace with a real codec on a cluster with PIL/turbojpeg:
-        raise NotImplementedError("image codec not available in sandbox")
+    bytes — the no-codec fallback keeping plumbing testable in this sandbox.
     """
     if data is None or len(data) == 0:
         return None
@@ -65,7 +104,7 @@ def image_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                decoded = _decode_image_stub(bytes(data) if data is not None else None)
+                decoded = decode_image(bytes(data) if data is not None else None)
                 if decoded is None:
                     rows.append(
                         {"media_id": mid, "width": None, "height": None,

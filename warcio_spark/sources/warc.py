@@ -183,6 +183,80 @@ def _find_member_boundary(data: bytes, hint: int = 0) -> int:
         pos = cand + 1
 
 
+def _split_scheme(path: str) -> tuple[str, str]:
+    if "://" not in path:
+        return "", path
+    scheme, rest = path.split("://", 1)
+    return scheme.lower(), rest
+
+
+def _open_ranged(path: str, start: int, length: int) -> bytes:
+    """Read ``length`` bytes at ``start`` through a scheme-aware opener —
+    the remote-FS hook the single-huge-WARC path needs (the reference
+    covers the same shape with its S3 loader, test/test_s3.py:129-151):
+
+    - bare paths and file:// URIs: plain seek+read
+    - http(s)://: one stdlib Range request per task (no dependencies); a
+      server that ignores Range (status 200) is handled by slicing the
+      full body — correct, though only sensible for small files
+    - any other scheme (s3://, gs://, abfs://...): fsspec when importable
+      on the executors; a clear ImportError otherwise
+
+    Runs INSIDE tasks (python workers — no JVM gateway there, so the
+    Hadoop FS API is not an option for this path)."""
+    scheme, rest = _split_scheme(path)
+    if scheme in ("", "file"):
+        p = "/" + rest.split("/", 1)[1] if scheme == "file" and not rest.startswith("/") else (rest if scheme == "file" else path)
+        with open(p, "rb") as f:
+            f.seek(start)
+            return f.read(length)
+    if scheme in ("http", "https"):
+        import urllib.request
+
+        req = urllib.request.Request(
+            path, headers={"Range": "bytes={0}-{1}".format(start, start + length - 1)}
+        )
+        with urllib.request.urlopen(req) as r:
+            body = r.read()
+            if r.status == 206:
+                return body[:length]
+            return body[start:start + length]  # Range ignored: slice
+    try:
+        import fsspec
+    except ImportError as e:
+        raise ImportError(
+            "reading scheme '{0}://' ranges needs fsspec on the executors".format(scheme)
+        ) from e
+    with fsspec.open(path, "rb") as f:
+        f.seek(start)
+        return f.read(length)
+
+
+def _path_size(path: str) -> int:
+    """File size through the same scheme-aware opener (driver-side)."""
+    import os
+
+    scheme, rest = _split_scheme(path)
+    if scheme in ("", "file"):
+        p = "/" + rest.split("/", 1)[1] if scheme == "file" and not rest.startswith("/") else (rest if scheme == "file" else path)
+        return os.path.getsize(p)
+    if scheme in ("http", "https"):
+        import urllib.request
+
+        req = urllib.request.Request(path, method="HEAD")
+        with urllib.request.urlopen(req) as r:
+            return int(r.headers["Content-Length"])
+    try:
+        import fsspec
+    except ImportError as e:
+        raise ImportError(
+            "sizing scheme '{0}://' needs fsspec".format(scheme)
+        ) from e
+    with fsspec.open(path, "rb") as f:
+        f.seek(0, 2)
+        return f.tell()
+
+
 def read_warc_ranges(
     spark: SparkSession,
     path: str,
@@ -202,12 +276,11 @@ def read_warc_ranges(
 
     Scale note: this is the path for the "one 100 GB WARC" shape; the
     common Common-Crawl shape (many ~1 GB files) uses read_warc's
-    file-per-task fan-out instead. Tasks open the file directly (local fs
-    here; swap the opener for fsspec/hadoop on a cluster).
+    file-per-task fan-out instead. Tasks read through the scheme-aware
+    ranged opener (_open_ranged): local paths, file:// URIs, http(s)://
+    Range requests, and fsspec-backed object stores when fsspec is present.
     """
-    import os
-
-    size = os.path.getsize(path)
+    size = _path_size(path)
     ranges = [
         (path, s, min(s + split_bytes, size))
         for s in range(0, size, split_bytes)
@@ -223,9 +296,7 @@ def read_warc_ranges(
         for batch in batches:
             for row in batch.to_pylist():
                 p, start, end = row["path"], int(row["start"]), int(row["end"])
-                with open(p, "rb") as f:
-                    f.seek(start)
-                    blob = f.read((end - start) + overlap_bytes)
+                blob = _open_ranged(p, start, (end - start) + overlap_bytes)
                 boundary = 0 if start == 0 else _find_member_boundary(blob)
                 if boundary == -1 or start + boundary >= end:
                     continue
