@@ -328,6 +328,24 @@ def q_quality_scores(spark, sf):
     )
 
 
+def q_repetition_stats(spark, sf):
+    """Gopher-style repetition signals: type/token ratio, duplicate-2-gram
+    fraction, most-frequent-token share. Array stats are staged codegen
+    expressions; the per-doc mode is explode + partial-count + row_number
+    (O(doc length), never a per-doc quadratic array scan)."""
+    from warcio_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf, "documents"))
+
+
+def q_term_doc_freq(spark, sf):
+    """Corpus vocabulary head: top-20 tokens by document frequency
+    (one vote per distinct token per doc), deterministic tie-break."""
+    from warcio_spark.operators.textstats import term_doc_freq
+
+    return term_doc_freq(_t(spark, sf, "documents"), k=20)
+
+
 def q_lang_markers(spark, sf):
     """Language-ID heuristic: marker-token hit counts."""
     docs = _t(spark, sf, "documents")
@@ -611,6 +629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_markers": q_lang_markers,
+        "repetition_stats": q_repetition_stats,
+        "term_doc_freq": q_term_doc_freq,
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "embedding_topk": q_embedding_topk,
@@ -801,6 +821,51 @@ def oracle_sql() -> dict[str, str]:
               len(list_filter(string_split_regex(trim(text), '\\s+'),
                   x -> lower(x) IN ('le','et','les'))) AS score_fr
             FROM documents
+        """,
+        "repetition_stats": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, toks, len(toks) AS n_tokens,
+                     ROUND(len(list_distinct(toks))::DOUBLE
+                           / GREATEST(len(toks), 1), 4) AS distinct_ratio,
+                     list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1]) AS big
+              FROM t),
+            arr AS (
+              SELECT doc_id, toks, n_tokens, distinct_ratio,
+                     CASE WHEN len(big) = 0 THEN 0.0
+                          ELSE ROUND(1.0 - len(list_distinct(big))::DOUBLE
+                                     / len(big), 4) END AS dup_2gram_frac
+              FROM s),
+            cnt AS (
+              SELECT doc_id, tok, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+              GROUP BY doc_id, tok),
+            top AS (
+              SELECT doc_id, tok AS top_token, c FROM cnt
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY c DESC, tok) = 1)
+            SELECT a.doc_id, a.n_tokens, a.distinct_ratio, a.dup_2gram_frac,
+                   top.top_token,
+                   ROUND(COALESCE(top.c, 0)::DOUBLE
+                         / GREATEST(a.n_tokens, 1), 4) AS top_token_frac
+            FROM arr a LEFT JOIN top USING (doc_id)
+        """,
+        "term_doc_freq": """
+            WITH t AS (
+              SELECT list_distinct(list_filter(
+                       string_split_regex(trim(text), '\\s+'),
+                       x -> x <> '')) AS toks
+              FROM documents)
+            SELECT tok AS token, COUNT(*) AS doc_freq
+            FROM (SELECT unnest(toks) AS tok FROM t)
+            GROUP BY tok
+            ORDER BY doc_freq DESC, tok
+            LIMIT 20
         """,
         "exact_dup_groups": """
             SELECT md5(text) AS digest, COUNT(*) AS n_dups,

@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "token_stats",
     "quality_scores",
     "lang_markers",
+    "repetition_stats",
+    "term_doc_freq",
     "exact_dup_groups",
     "ngram_jaccard_adjacent",
     "simhash",
@@ -282,44 +284,83 @@ def main():
     }
 
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING"):
-        # same job, same input, two parallelism levels (N and 4N cores) —
-        # the sandbox evidence for the north rule's cluster-size scaling.
-        # Each level runs in a FRESH SUBPROCESS with CPU affinity pinned
-        # BEFORE the JVM starts: an in-process sched_setaffinity cannot
-        # re-pin the already-running py4j JVM, and an unpinned local[8]
-        # lets python UDF workers borrow the box's 24 idle cores,
-        # overstating the small config.
-        import subprocess
-
-        n_urls = int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "16000000"))
-        child = (
-            "import os, sys, json\n"
-            "os.sched_setaffinity(0, set(range(int(sys.argv[1]))))\n"
-            f"sys.path.insert(0, {REPO!r})\n"
-            "from bench import make_spark, frontier_throughput\n"
-            "s = make_spark(sys.argv[1]); s.sparkContext.setLogLevel('ERROR')\n"
-            "s.range(1000).count()\n"
-            "sec, ups = frontier_throughput(s, int(sys.argv[2]), runs=6)\n"
-            "print(json.dumps({'sec': sec, 'ups': ups})); s.stop()\n"
-        )
-        scaling = {}
-        for cpus in ("8", "32"):
-            r = subprocess.run(
-                [sys.executable, "-c", child, cpus, str(n_urls)],
-                capture_output=True, text=True, cwd="/tmp",
-            )
-            leg = json.loads(r.stdout.strip().splitlines()[-1])
-            scaling[cpus] = {
-                "frontier_sec_warm": leg["sec"],
-                "frontier_urls_per_sec": leg["ups"],
-            }
-        eff = (scaling["32"]["frontier_urls_per_sec"]
-               / scaling["8"]["frontier_urls_per_sec"]) / 4.0
-        out["scaling"] = scaling
-        out["scaling_urls"] = n_urls
-        out["scaling_efficiency_8_to_32"] = round(eff, 3)
+        out.update(run_scaling())
 
     print(json.dumps(out))
+
+
+def _scaling_leg(spark_cores: int, pin_cores: int, n_urls: int,
+                 runs: int) -> dict:
+    """One scaling leg in a FRESH SUBPROCESS with CPU affinity pinned
+    BEFORE the JVM starts: an in-process sched_setaffinity cannot re-pin
+    the already-running py4j JVM, and an unpinned local[8] lets python UDF
+    workers borrow the box's idle cores, overstating the small config."""
+    import subprocess
+
+    child = (
+        "import os, sys, json\n"
+        "os.sched_setaffinity(0, set(range(int(sys.argv[2]))))\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "from bench import make_spark, frontier_throughput\n"
+        "s = make_spark(sys.argv[1]); s.sparkContext.setLogLevel('ERROR')\n"
+        "s.range(1000).count()\n"
+        "sec, ups = frontier_throughput(s, int(sys.argv[3]), runs=int(sys.argv[4]))\n"
+        "print(json.dumps({'sec': sec, 'ups': ups})); s.stop()\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", child, str(spark_cores), str(pin_cores),
+         str(n_urls), str(runs)],
+        capture_output=True, text=True, cwd="/tmp",
+    )
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def run_scaling() -> dict:
+    """North-rule scaling evidence: the same frontier job at N and 4N cores.
+
+    Noise handling for the shared sandbox: the legs ALTERNATE across
+    SPARK_GRAFT_SCALING_PAIRS subprocess launches (so a co-tenant load
+    burst cannot bias one side of the ratio), each leg is best-of-runs
+    internally, and the reported number is the best (min) per level.
+
+    SPARK_GRAFT_SCALING_CONTROL=1 adds the core-sharing control pair:
+    local[4] pinned to 8 cores vs local[16] pinned to 32 — python UDF
+    workers get dedicated headroom instead of time-slicing with JVM task
+    threads on the same pins (a real cluster provisions executor cores for
+    python workers explicitly; pinned local mode cannot). The spread
+    between the plain and control efficiencies isolates the local-mode
+    core-sharing artifact from genuine serial fraction."""
+    n_urls = int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "16000000"))
+    pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+
+    levels = [("8", 8), ("32", 32)]
+    if os.environ.get("SPARK_GRAFT_SCALING_CONTROL"):
+        levels += [("4", 8), ("16", 32)]
+
+    best: dict = {}
+    for _ in range(max(1, pairs)):
+        for spark_cores, pin in levels:
+            leg = _scaling_leg(spark_cores, pin, n_urls, runs)
+            key = f"{spark_cores}@{pin}"
+            if key not in best or leg["ups"] > best[key]["ups"]:
+                best[key] = leg
+
+    out: dict = {
+        "scaling": {
+            k: {"frontier_sec_warm": v["sec"], "frontier_urls_per_sec": v["ups"]}
+            for k, v in best.items()
+        },
+        "scaling_urls": n_urls,
+        "scaling_efficiency_8_to_32": round(
+            (best["32@32"]["ups"] / best["8@8"]["ups"]) / 4.0, 3
+        ),
+    }
+    if "4@8" in best and "16@32" in best:
+        out["scaling_efficiency_4_to_16_headroom"] = round(
+            (best["16@32"]["ups"] / best["4@8"]["ups"]) / 4.0, 3
+        )
+    return out
 
 
 if __name__ == "__main__":

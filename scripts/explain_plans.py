@@ -63,7 +63,15 @@ def main():
     cfg = PolitenessConfig()
     plan = grab(fetch_order(schedule_round(
         prepare_candidates(cands, seen, demo_robots(spark), cfg), cfg)))
-    out.append(f"\n## frontier round (keys -> dedup -> anti-join -> robots -> salted windows)\n\n```\n{plan}```\n")
+    out.append(
+        "\n## frontier round (keys -> dedup -> anti-join -> robots -> salted windows)\n\n"
+        "NOTE on the one `SinglePartition` exchange below: it is fetch_order's\n"
+        "running-sum window over the per-range COUNTS aggregate — at most\n"
+        "#ranges rows (= parallelism, ~32), never the data. The data-bearing\n"
+        "rank window is partitioned on the deterministic `_range` expression;\n"
+        "no per-round driver action or cached plan is involved.\n\n"
+        f"```\n{plan}```\n"
+    )
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("".join(out))

@@ -1,0 +1,61 @@
+"""Semantic unit tests for the repetition/vocabulary operators — hand-
+computed expectations on tiny corpora (independent of the DuckDB contract
+oracle in test_entry_contract.py)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from warcio_spark.operators.textstats import repetition_stats, term_doc_freq
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a"),        # 3 toks, 2 uniq; bigrams [a b, b a] all uniq
+            (2, "x x x"),        # bigrams [x x, x x] -> dup frac 0.5
+            (3, "only"),         # 1 token, no bigrams
+            (4, ""),             # empty doc
+            (5, "b a  a\tb"),    # mixed whitespace; tie a=2 b=2 -> top 'a'
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+
+    r = rows[1]
+    assert (r.n_tokens, r.top_token) == (3, "a")
+    assert abs(r.distinct_ratio - 0.6667) < 1e-9
+    assert r.dup_2gram_frac == 0.0
+    assert abs(r.top_token_frac - 0.6667) < 1e-9
+
+    r = rows[2]
+    assert (r.n_tokens, r.top_token) == (3, "x")
+    assert r.dup_2gram_frac == 0.5
+    assert r.top_token_frac == 1.0
+
+    r = rows[3]
+    assert (r.n_tokens, r.dup_2gram_frac) == (1, 0.0)
+    assert (r.top_token, r.top_token_frac) == ("only", 1.0)
+
+    r = rows[4]
+    assert (r.n_tokens, r.top_token, r.top_token_frac) == (0, None, 0.0)
+    assert (r.distinct_ratio, r.dup_2gram_frac) == (0.0, 0.0)
+
+    # tie on count -> lexicographically smallest token wins (determinism)
+    assert rows[5].top_token == "a"
+    assert rows[5].n_tokens == 4
+
+
+def test_term_doc_freq_votes_once_per_doc(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),   # 'a' appears 3x but votes once
+            (2, "a c"),
+            (3, "c c b"),
+        ],
+        "doc_id long, text string",
+    )
+    out = [(r.token, r.doc_freq) for r in term_doc_freq(df, k=2).collect()]
+    # df: a=2, b=2, c=2 -> top-2 by (freq desc, token asc) = a, b
+    assert out == [("a", 2), ("b", 2)]

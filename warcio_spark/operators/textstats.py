@@ -85,6 +85,102 @@ def lang_scores(text) -> Column:
     return F.struct(*fields)
 
 
+def bigrams(text) -> Column:
+    """Adjacent word 2-grams ("a b") from whitespace tokens, empty-safe
+    (0- and 1-token docs yield an empty array, never a negative slice)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    span = F.greatest(n - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, F.lit(1), span),
+        F.slice(toks, F.lit(2), span),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: token count,
+    distinct-token ratio (type/token), duplicate-2-gram fraction, and the
+    most frequent token with its frequency share (ties broken by the
+    lexicographically smallest token, so the output is deterministic).
+
+    Scale shape: the array stats are pure codegen expressions staged ONCE
+    (no repeated zip_with subtrees); the per-doc mode runs as explode →
+    (doc,token) partial-count → per-doc row_number — two key-partitioned
+    shuffles that stay O(doc length), never a per-doc quadratic array scan.
+    Empty docs survive via the left join (top_token NULL, share 0)."""
+    from pyspark.sql import Window
+
+    staged = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("_toks"),
+        bigrams(text_col).alias("_big"),
+    ).select(
+        id_col,
+        "_toks",
+        F.size("_toks").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).alias("_n_uniq"),
+        F.size("_big").alias("_n_big"),
+        F.size(F.array_distinct("_big")).alias("_n_big_uniq"),
+    )
+    arr_stats = staged.select(
+        id_col,
+        "_toks",
+        "n_tokens",
+        F.round(
+            F.col("_n_uniq") / F.greatest(F.col("n_tokens"), F.lit(1)), 4
+        ).alias("distinct_ratio"),
+        F.when(F.col("_n_big") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.lit(1.0) - F.col("_n_big_uniq") / F.col("_n_big"), 4)
+        )
+        .alias("dup_2gram_frac"),
+    )
+    tf = (
+        arr_stats.select(id_col, F.explode("_toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_c").desc(), F.col("tok"))
+    top = (
+        tf.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("tok").alias("top_token"), "_c")
+    )
+    return arr_stats.drop("_toks").join(top, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "distinct_ratio",
+        "dup_2gram_frac",
+        "top_token",
+        F.round(
+            F.coalesce(F.col("_c"), F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            4,
+        ).alias("top_token_frac"),
+    )
+
+
+def term_doc_freq(
+    df: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Corpus vocabulary head: top-k tokens by DOCUMENT frequency
+    (each doc votes once per distinct token), deterministic tie-break on
+    the token. Explode + one partial-agg shuffle + TakeOrderedAndProject —
+    no global sort materialization, scales with corpus size."""
+    ex = df.select(
+        F.explode(F.array_distinct(tokens(text_col))).alias("token")
+    )
+    return (
+        ex.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "token")
+        .limit(k)
+    )
+
+
 def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Projection with the full stat battery (the indexer of text land)."""
     return df.select(
