@@ -611,6 +611,28 @@ def q_warc_parse_corpus(spark, sf):
     return rec_type_census(recs).orderBy("filename", "rec_type")
 
 
+def q_wet_extract(spark, sf):
+    """WARC -> WET in one shuffle-free plan: the reference corpus parsed,
+    responses decoded to text, re-headed as deterministic conversion
+    records (operators/wet.py). Projection pins url, the refers-to source
+    id, the text digest and length — the fields a Common-Crawl-style WET
+    consumer depends on. Interop (the reference library reads our written
+    WET output, digests raised) is covered in tests/test_wet.py."""
+    from warcio_spark.operators.wet import derive_wet
+    from warcio_spark.sources import read_warc
+
+    _ensure_shipped(spark)
+    recs = read_warc(spark, "/root/reference/test/data/example*.warc*")
+    wet = derive_wet(recs)
+    return wet.select(
+        F.col("filename"),
+        F.col("url"),
+        F.element_at(F.col("rec_headers"), 3)["value"].alias("refers_to"),
+        F.md5(F.col("payload")).alias("text_md5"),
+        F.length(F.col("wet_text")).alias("n_chars"),
+    ).orderBy("filename", "url", "refers_to")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -648,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "frontier_schedule": q_frontier_schedule,
         "warc_parse_corpus": q_warc_parse_corpus,
+        "wet_extract": q_wet_extract,
     }
 
 
@@ -670,6 +693,7 @@ PINNED_GOLDEN = {
     "embedding_near_dup",
     "frontier_schedule",
     "warc_parse_corpus",
+    "wet_extract",
     "multimodal_features",
 }
 

@@ -21,6 +21,8 @@ PICKS = [
     "embedding_topk",
     "exact_dup_groups",
     "lsh_topk",  # must show PartitionFilters on the sketch column
+    "repetition_stats",  # explode + partial_count before the doc_id shuffle
+    "term_doc_freq",  # partial agg + TakeOrderedAndProject, no global sort
 ]
 
 

@@ -41,6 +41,7 @@ GOLDEN_QUERIES = [
     "embedding_near_dup",
     "frontier_schedule",
     "warc_parse_corpus",
+    "wet_extract",
     "multimodal_features",
 ]
 
