@@ -611,6 +611,29 @@ def q_warc_parse_corpus(spark, sf):
     return rec_type_census(recs).orderBy("filename", "rec_type")
 
 
+def q_cdxj_surt(spark, sf):
+    """SURT url keys (the pywb/OpenWayback CDXJ index key) over a
+    deterministic URL universe derived from doc_id — host reversal,
+    port/userinfo/fragment stripping, query-arg sorting, all JVM
+    expressions (functions.surt_key; operators/indexer.index_cdxj
+    composes the same key over a records table)."""
+    from warcio_spark.functions import surt_key
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://www.host"), (d % 97).cast("string"),
+        F.lit(".Example.com"),
+        F.when(d % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/P/"), d.cast("string"),
+        F.when(d % 10 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        d.alias("doc_id"), url.alias("url"), surt_key(url).alias("urlkey")
+    )
+
+
 def q_wet_extract(spark, sf):
     """WARC -> WET in one shuffle-free plan: the reference corpus parsed,
     responses decoded to text, re-headed as deterministic conversion
@@ -671,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": q_frontier_schedule,
         "warc_parse_corpus": q_warc_parse_corpus,
         "wet_extract": q_wet_extract,
+        "cdxj_surt": q_cdxj_surt,
     }
 
 
@@ -845,6 +869,40 @@ def oracle_sql() -> dict[str, str]:
               len(list_filter(string_split_regex(trim(text), '\\s+'),
                   x -> lower(x) IN ('le','et','les'))) AS score_fr
             FROM documents
+        """,
+        "cdxj_surt": """
+            WITH u AS (
+              SELECT doc_id,
+                     'http://www.host' || (doc_id % 97)::VARCHAR
+                     || '.Example.com'
+                     || CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END
+                     || '/P/' || doc_id::VARCHAR
+                     || CASE WHEN doc_id % 10 = 0 THEN '?b=2&a=1' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END
+                     AS url
+              FROM documents),
+            x AS (
+              SELECT doc_id, url,
+                     regexp_replace(regexp_extract(lower(url),
+                       '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1),
+                       '^www\\.', '') AS host,
+                     regexp_replace(regexp_extract(lower(url),
+                       '^[a-z][a-z0-9+.-]*://[^/?#]*([/?#].*)?$', 1),
+                       '#.*$', '') AS pathq
+              FROM u)
+            SELECT doc_id, url,
+                   array_to_string(list_reverse(string_split(host, '.')), ',')
+                   || ')'
+                   || CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = ''
+                           THEN '/'
+                           ELSE regexp_extract(pathq, '^([^?]*)', 1) END
+                   || CASE WHEN regexp_extract(pathq, '\\?(.*)$', 1) = ''
+                           THEN ''
+                           ELSE '?' || array_to_string(list_sort(
+                                  string_split(regexp_extract(pathq,
+                                    '\\?(.*)$', 1), '&')), '&') END
+                   AS urlkey
+            FROM x
         """,
         "repetition_stats": """
             WITH t AS (

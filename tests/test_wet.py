@@ -128,3 +128,25 @@ def test_wet_rows_feed_text_pipeline(spark):
     stats = wet.select("url", token_count("wet_text").alias("n_tokens"))
     rows = stats.collect()
     assert rows and all(r.n_tokens > 0 for r in rows)
+
+
+def test_index_cdxj_lines(spark):
+    """CDXJ lines: SURT urlkey + ts14 + json block over the reference
+    corpus, and (urlkey, timestamp) sorts as the CDX merge order."""
+    import json as _json
+
+    from warcio_spark.operators.indexer import index_cdxj
+    from warcio_spark.sources import read_warc
+
+    recs = read_warc(spark, CORPUS, include_payload=False,
+                     include_content=False)
+    rows = index_cdxj(recs).collect()
+    assert rows
+    for r in rows:
+        assert r.urlkey.split(")")[0].count(",") >= 1  # reversed host
+        assert len(r.timestamp) == 14 and r.timestamp.isdigit()
+        blk = _json.loads(r.block)
+        assert blk["url"].lower().startswith("http")
+        assert r.line == f"{r.urlkey} {r.timestamp} {r.block}"
+    resp = [r for r in rows if '"mime":"text/html"' in r.block]
+    assert any(r.urlkey.startswith("com,example)/") for r in resp)

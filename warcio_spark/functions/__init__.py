@@ -322,3 +322,36 @@ def gzip_member(data: pd.Series) -> pd.Series:
 def gunzip_member(data: pd.Series) -> pd.Series:
     """First-member gzip decode with not-compressed passthrough."""
     return _map_series(data, lambda b: _payload.decode_content(bytes(b), "gzip"))
+
+
+def surt_key(url) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) url key — the
+    pywb/OpenWayback CDX index key — as pure Catalyst expressions (stays
+    in whole-stage codegen, no python): lowercase; scheme, userinfo and
+    port dropped; leading ``www.`` dropped (pywb's default canon); host
+    components reversed and comma-joined; ``)`` + path; query args sorted
+    (binary order) behind ``?``; fragment dropped. Expects an absolute
+    http(s) URL — compose after ``with_canonical_url`` for messy input.
+
+    ``http://www.Host.com:80/A/b?b=2&a=1#f`` -> ``com,host)/a/b?a=1&b=2``
+    """
+    u = F.lower(_c(url))
+    host = F.regexp_replace(
+        F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1),
+        r"^www\.", "",
+    )
+    pathq = F.regexp_replace(  # path+query, fragment stripped
+        F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]*([/?#].*)?$", 1),
+        r"#.*$", "",
+    )
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    qs = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    return F.concat(
+        rev_host,
+        F.lit(")"),
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(
+            qs == "", F.lit("")
+        ).otherwise(F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(qs, "&")), "&"))),
+    )

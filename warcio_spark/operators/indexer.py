@@ -61,3 +61,38 @@ def index_ndjson(records: DataFrame, fields=None) -> DataFrame:
 
 def write_index(records: DataFrame, path: str, fields=None) -> None:
     index_ndjson(records, fields).write.mode("overwrite").text(path)
+
+
+def index_cdxj(records: DataFrame) -> DataFrame:
+    """CDXJ index lines — ``urlkey timestamp {json}`` — the
+    pywb/OpenWayback capture-index format the reference's ecosystem
+    indexers emit on top of warcio iteration. One projection per record:
+    the SURT urlkey and ts14 timestamp are JVM expressions, the json block
+    carries url/mime/status/digest/length/offset/filename (nulls dropped
+    by to_json). Sorting the output by line IS the CDX merge order
+    (urlkey, timestamp) — a plain orderBy at whatever scope needs it."""
+    ts14 = F.date_format(F.col("warc_ts"), "yyyyMMddHHmmss")
+    # cdxj mime = the PAYLOAD type: http Content-Type (parameters trimmed)
+    # for response/revisit, the WARC Content-Type otherwise
+    http_ct = WF.header_get("http_headers", "Content-Type")
+    mime = F.when(
+        F.col("rec_type").isin("response", "revisit") & http_ct.isNotNull(),
+        F.trim(F.split_part(http_ct, F.lit(";"), F.lit(1))),
+    ).otherwise(F.col("content_type"))
+    block = F.to_json(
+        F.struct(
+            F.col("url"),
+            mime.alias("mime"),
+            field_expr("http:status").alias("status"),
+            WF.header_get("rec_headers", "WARC-Payload-Digest").alias("digest"),
+            F.col("rec_length").cast("string").alias("length"),
+            F.col("offset").cast("string").alias("offset"),
+            F.col("filename"),
+        )
+    )
+    return records.filter(F.col("url").isNotNull()).select(
+        WF.surt_key("url").alias("urlkey"),
+        ts14.alias("timestamp"),
+        block.alias("block"),
+        F.concat_ws(" ", WF.surt_key("url"), ts14, block).alias("line"),
+    )
