@@ -150,3 +150,31 @@ def test_index_cdxj_lines(spark):
         assert r.line == f"{r.urlkey} {r.timestamp} {r.block}"
     resp = [r for r in rows if '"mime":"text/html"' in r.block]
     assert any(r.urlkey.startswith("com,example)/") for r in resp)
+
+
+def test_incremental_wet_factory(spark, tmp_path):
+    """WARC-dir -> WET-table factory: the incremental ingest with
+    derive_wet as the batch transform keeps exactly-once commits while
+    landing conversion-shaped rows instead of raw records."""
+    import shutil
+
+    from warcio_spark.operators.wet import derive_wet
+    from warcio_spark.sources.incremental import (
+        ingest_warc_incremental,
+        read_ingested_records,
+    )
+
+    wdir, sdir = str(tmp_path / "warcs"), str(tmp_path / "wet_state")
+    os.makedirs(wdir)
+    shutil.copy(CORPUS, wdir)
+    r1 = ingest_warc_incremental(spark, wdir, sdir, transform=derive_wet)
+    assert r1["batch"] == 1 and r1["n_records"] > 0
+    shutil.copy("/root/reference/test/data/example.warc", wdir)
+    r2 = ingest_warc_incremental(spark, wdir, sdir, transform=derive_wet)
+    assert r2["batch"] == 2 and r2["new_files"] == 1
+
+    wet = read_ingested_records(spark, sdir)
+    rows = wet.collect()
+    assert all(r.rec_type == "conversion" for r in rows)
+    assert all(r.wet_text for r in rows)
+    assert wet.count() == r1["n_records"] + r2["n_records"]

@@ -47,10 +47,16 @@ def ingested_files(state_dir: str) -> set:
 
 
 def ingest_warc_incremental(spark: SparkSession, warc_dir: str,
-                            state_dir: str, **read_opts) -> dict:
+                            state_dir: str, transform=None,
+                            **read_opts) -> dict:
     """Ingest files in ``warc_dir`` not yet committed; returns the batch
     summary ({"batch", "new_files", "n_records"}; batch None if nothing
-    new)."""
+    new).
+
+    ``transform``: optional DataFrame->DataFrame applied to the parsed
+    records before the batch lands — the incremental-derivation hook
+    (e.g. ``operators.wet.derive_wet`` turns this into a WARC-dir ->
+    WET-table factory with the same exactly-once commit semantics)."""
     import glob as _glob
 
     from warcio_spark.sources.warc import read_warc
@@ -67,6 +73,8 @@ def ingest_warc_incremental(spark: SparkSession, warc_dir: str,
     n = (_batches(state_dir)[-1] + 1) if _batches(state_dir) else 1
     bdir = os.path.join(state_dir, f"batch={n}")
     records = read_warc(spark, new, **read_opts)
+    if transform is not None:
+        records = transform(records)
     records.write.mode("overwrite").parquet(os.path.join(bdir, "records"))
     n_records = spark.read.parquet(os.path.join(bdir, "records")).count()
     os.makedirs(bdir, exist_ok=True)
