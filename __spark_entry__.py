@@ -572,7 +572,9 @@ def q_multimodal_features(spark, sf):
 
     _ensure_shipped(spark)
     media = synth_media(spark, 300, partitions=4)
-    feats = image_features(media)
+    # codec pinned to the stub: the golden must not flip when an ambient
+    # PIL install makes codec="auto" NULL the synthetic non-image blobs
+    feats = image_features(media, codec="stub")
     return feats.select(
         "media_id",
         "width",
@@ -641,6 +643,7 @@ def q_wet_extract(spark, sf):
     id, the text digest and length — the fields a Common-Crawl-style WET
     consumer depends on. Interop (the reference library reads our written
     WET output, digests raised) is covered in tests/test_wet.py."""
+    from warcio_spark.functions import header_get as WF_header_get
     from warcio_spark.operators.wet import derive_wet
     from warcio_spark.sources import read_warc
 
@@ -650,7 +653,7 @@ def q_wet_extract(spark, sf):
     return wet.select(
         F.col("filename"),
         F.col("url"),
-        F.element_at(F.col("rec_headers"), 3)["value"].alias("refers_to"),
+        WF_header_get(F.col("rec_headers"), "WARC-Refers-To").alias("refers_to"),
         F.md5(F.col("payload")).alias("text_md5"),
         F.length(F.col("wet_text")).alias("n_chars"),
     ).orderBy("filename", "url", "refers_to")

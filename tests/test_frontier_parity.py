@@ -497,3 +497,30 @@ def test_fetch_order_boundaries_and_tracker_match_default(spark):
     got2 = [(r.fetch_order, r.url_canon)
             for r in fetch_order(flat).orderBy("fetch_order").collect()]
     assert got2 == want2
+
+
+def test_fetch_order_null_priority_ranks_last(spark):
+    """NULL priorities must sort exactly like a bare desc window (NULLS
+    LAST, then seq/url tiebreak) — the range-id expression routes them to
+    the final range instead of letting `NULL < boundary` land them in
+    range 0."""
+    from pyspark.sql import Window
+
+    rows = [
+        ("u%03d" % i, float(i % 13) if i % 5 else None, i)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "url_canon string, priority double, seq long")
+    got = [
+        r.url_canon
+        for r in fetch_order(df, partitions=8).orderBy("fetch_order").collect()
+    ]
+    w = Window.orderBy(
+        F.desc("priority"), F.asc("seq"), F.asc("url_canon")
+    )
+    want = [
+        r.url_canon
+        for r in df.withColumn("fo", F.row_number().over(w))
+        .orderBy("fo").collect()
+    ]
+    assert got == want

@@ -12,9 +12,9 @@ from warcio_spark.operators import multimodal as mm
 def test_image_features_stub_deterministic(spark):
     media = mm.synth_media(spark, 90, partitions=4)
     a = {r.media_id: (r.width, r.height, r.channels, tuple(r.features))
-         for r in mm.image_features(media).collect()}
+         for r in mm.image_features(media, codec="stub").collect()}
     b = {r.media_id: (r.width, r.height, r.channels, tuple(r.features))
-         for r in mm.image_features(media.repartition(9)).collect()}
+         for r in mm.image_features(media.repartition(9), codec="stub").collect()}
     assert a == b  # partitioning-invariant
     assert len(a) == 30  # only kind == image crosses the Arrow hop
     assert all(len(v[3]) == 16 for v in a.values())

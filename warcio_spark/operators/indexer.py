@@ -70,7 +70,13 @@ def index_cdxj(records: DataFrame) -> DataFrame:
     the SURT urlkey and ts14 timestamp are JVM expressions, the json block
     carries url/mime/status/digest/length/offset/filename (nulls dropped
     by to_json). Sorting the output by line IS the CDX merge order
-    (urlkey, timestamp) — a plain orderBy at whatever scope needs it."""
+    (urlkey, timestamp) — a plain orderBy at whatever scope needs it.
+
+    Records with no url OR no parseable WARC-Date are excluded: a CDXJ
+    line is keyed on both, and concat_ws would otherwise silently emit a
+    malformed two-field line for a NULL timestamp. ts14 renders via the
+    session time zone — run with spark.sql.session.timeZone=UTC (all of
+    this repo's session builders do) for spec-correct timestamps."""
     ts14 = F.date_format(F.col("warc_ts"), "yyyyMMddHHmmss")
     # cdxj mime = the PAYLOAD type: http Content-Type (parameters trimmed)
     # for response/revisit, the WARC Content-Type otherwise
@@ -90,7 +96,9 @@ def index_cdxj(records: DataFrame) -> DataFrame:
             F.col("filename"),
         )
     )
-    return records.filter(F.col("url").isNotNull()).select(
+    return records.filter(
+        F.col("url").isNotNull() & F.col("warc_ts").isNotNull()
+    ).select(
         WF.surt_key("url").alias("urlkey"),
         ts14.alias("timestamp"),
         block.alias("block"),

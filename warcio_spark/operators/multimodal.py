@@ -67,13 +67,20 @@ def _decode_image_pil(data: bytes):
     return w, h, c, feat
 
 
-def decode_image(data: bytes):
-    """Codec entry point: PIL when importable, the deterministic stub
-    otherwise (optional-dependency contract mirroring the reference's
-    brotli handling)."""
+def decode_image(data: bytes, codec: str = "auto"):
+    """Codec entry point. ``codec``:
+
+    - ``"auto"``: PIL when importable, the deterministic stub otherwise
+      (optional-dependency contract mirroring the reference's brotli
+      handling) — right for exploratory use;
+    - ``"stub"`` / ``"pil"``: pin the codec explicitly. Anything whose
+      output is compared across environments (the pinned
+      multimodal_features golden, determinism tests) MUST pin: with
+      "auto", an ambient PIL install silently flips the semantics of
+      synthetic non-image blobs from fake-decode to NULL."""
     if data is None or len(data) == 0:
         return None
-    if HAS_PIL:
+    if codec == "pil" or (codec == "auto" and HAS_PIL):
         return _decode_image_pil(bytes(data))
     return _decode_image_stub(data)
 
@@ -94,17 +101,21 @@ def _decode_image_stub(data: bytes):
     return w, ht, c, feat
 
 
-def image_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
+def image_features(media: DataFrame, batch_hint: int = 256,
+                   codec: str = "auto") -> DataFrame:
     """Decode + feature-extract images via mapInPandas (Arrow batches of
     binary cells — the real shape a codec UDF runs at). The kind filter is
     JVM-side, BEFORE the Arrow hop: non-image rows (audio/video blobs — the
-    bulk of a multimodal table's bytes) never cross into Python."""
+    bulk of a multimodal table's bytes) never cross into Python.
+    ``codec`` as in :func:`decode_image` — pin it for reproducible output."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                decoded = decode_image(bytes(data) if data is not None else None)
+                decoded = decode_image(
+                    bytes(data) if data is not None else None, codec=codec
+                )
                 if decoded is None:
                     rows.append(
                         {"media_id": mid, "width": None, "height": None,

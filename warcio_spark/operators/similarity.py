@@ -37,55 +37,67 @@ def cosine_topk(emb: DataFrame, query_vec, k: int = 10,
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def _plane_matrix(planes_total: int, dim: int, seed: int):
+    return np.random.RandomState(seed).choice(
+        np.array([-1.0, 1.0]), size=(planes_total, dim)
+    )
+
+
+def _sketch_batch(vals, planes: int, reps: int, seed: int,
+                  dim: int | None, P0):
+    """Shared Arrow-batch core for the sign-sketch UDFs: one matmul of the
+    valid rows against the seeded +-1 plane matrix, returning an object
+    array where each valid row is a list of ``reps`` bucket strings and
+    NULL/wrong-length rows are None. Masking is per-row: one bad embedding
+    must not turn the whole batch into a ragged array (ndim != 2) and
+    silently NULL every bucket in it. With ``dim`` unset, the dimension is
+    inferred per batch (majority length) — ad-hoc fallback only; library
+    call paths always pass dim so bucketing is partitioning-invariant."""
+    lens = [len(v) if v is not None else -1 for v in vals]
+    if P0 is not None:
+        d, P = dim, P0
+    else:
+        from collections import Counter
+
+        positive = Counter(ln for ln in lens if ln > 0)
+        if not positive:
+            return np.full(len(vals), None, dtype=object)
+        d = positive.most_common(1)[0][0]
+        P = _plane_matrix(reps * planes, d, seed)
+    valid = np.array([ln == d for ln in lens]) if lens else np.zeros(0, bool)
+    out = np.full(len(vals), None, dtype=object)
+    if valid.any():
+        arr = np.array([v for v, ok in zip(vals, valid) if ok], dtype=np.float64)
+        bits = (arr @ P.T) > 0  # (n, reps*planes)
+        digits = bits.astype(np.uint8).astype("U1")
+        joined = np.empty(len(digits), dtype=object)
+        joined[:] = [
+            ["".join(row[i * planes:(i + 1) * planes]) for i in range(reps)]
+            for row in digits
+        ]
+        out[valid] = joined
+    return out
+
+
 def make_sketch_udf(planes: int = 8, seed: int = 1337, dim: int | None = None):
-    """Deterministic random-hyperplane sign sketch as a string bucket key.
+    """Deterministic random-hyperplane sign sketch as a string bucket key —
+    the reps=1 specialization of the shared core (the (planes, dim) matrix
+    drawn here is bit-identical to the pre-refactor one: RandomState draws
+    don't depend on the reps factor when reps == 1).
 
     numpy-vectorized pandas UDF: the whole Arrow batch becomes one matrix
-    multiply against the seeded +-1 plane matrix — the earlier
-    expression-tree variant (per-plane interpreted zip_with/aggregate) was
-    ~50x slower. Both sides of any bucket join must use the SAME
-    (planes, seed, dim) so the plane matrix matches.
-
-    ``dim``: the embedding dimension. With it set (every library call path
-    does — from the query vector's length or one sampled row) rows of any
-    OTHER length get a NULL bucket, so bucket assignment is invariant to
-    batch/partition composition. Without it, the dimension is inferred per
-    Arrow batch (majority length) — fine for uniform data, but mixed-length
-    data would bucket batch-dependently; ad-hoc fallback only.
+    multiply — the earlier expression-tree variant (per-plane interpreted
+    zip_with/aggregate) was ~50x slower. Both sides of any bucket join must
+    use the SAME (planes, seed, dim) so the plane matrix matches.
     """
-    P0 = None
-    if dim is not None:
-        P0 = np.random.RandomState(seed).choice(
-            np.array([-1.0, 1.0]), size=(planes, dim)
-        )
+    P0 = _plane_matrix(planes, dim, seed) if dim is not None else None
 
     @F.pandas_udf(T.StringType())
     def sketch_udf(vecs: pd.Series) -> pd.Series:
-        # mask out NULL / wrong-length rows per-row and sketch the valid
-        # subset: one bad embedding must not turn the whole Arrow batch into
-        # a ragged array (ndim != 2) and silently NULL every bucket in it
-        vals = vecs.tolist()
-        lens = [len(v) if v is not None else -1 for v in vals]
-        if P0 is not None:
-            d, P = dim, P0
-        else:
-            from collections import Counter
-
-            positive = Counter(ln for ln in lens if ln > 0)
-            if not positive:
-                return pd.Series([None] * len(vals), dtype="object")
-            d = positive.most_common(1)[0][0]
-            P = np.random.RandomState(seed).choice(
-                np.array([-1.0, 1.0]), size=(planes, d)
-            )
-        valid = np.array([ln == d for ln in lens]) if lens else np.zeros(0, bool)
-        out = np.full(len(vals), None, dtype=object)
-        if valid.any():
-            arr = np.array([v for v, ok in zip(vals, valid) if ok], dtype=np.float64)
-            bits = (arr @ P.T) > 0
-            digits = bits.astype(np.uint8).astype("U1")
-            out[valid] = ["".join(row) for row in digits]
-        return pd.Series(out, dtype="object")
+        rows = _sketch_batch(vecs.tolist(), planes, 1, seed, dim, P0)
+        return pd.Series(
+            [r[0] if r is not None else None for r in rows], dtype="object"
+        )
 
     return sketch_udf
 
@@ -103,41 +115,14 @@ def make_multi_sketch_udf(planes: int, reps: int, seed: int = 1337,
     (NULL for NULL/wrong-length vectors). The banded building block for
     embedding_near_dup — recall comes from unioning collisions across reps
     while each rep's bucket stays 2^planes-fine."""
-    P0 = None
-    if dim is not None:
-        P0 = np.random.RandomState(seed).choice(
-            np.array([-1.0, 1.0]), size=(reps * planes, dim)
-        )
+    P0 = _plane_matrix(reps * planes, dim, seed) if dim is not None else None
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def multi_sketch_udf(vecs: pd.Series) -> pd.Series:
-        vals = vecs.tolist()
-        lens = [len(v) if v is not None else -1 for v in vals]
-        if P0 is not None:
-            d, P = dim, P0
-        else:
-            from collections import Counter
-
-            positive = Counter(ln for ln in lens if ln > 0)
-            if not positive:
-                return pd.Series([None] * len(vals), dtype="object")
-            d = positive.most_common(1)[0][0]
-            P = np.random.RandomState(seed).choice(
-                np.array([-1.0, 1.0]), size=(reps * planes, d)
-            )
-        valid = np.array([ln == d for ln in lens]) if lens else np.zeros(0, bool)
-        out = np.full(len(vals), None, dtype=object)
-        if valid.any():
-            arr = np.array([v for v, ok in zip(vals, valid) if ok], dtype=np.float64)
-            bits = (arr @ P.T) > 0  # (n, reps*planes)
-            digits = bits.astype(np.uint8).astype("U1")
-            joined = np.empty(len(digits), dtype=object)
-            joined[:] = [
-                ["".join(row[i * planes:(i + 1) * planes]) for i in range(reps)]
-                for row in digits
-            ]
-            out[valid] = joined
-        return pd.Series(out, dtype="object")
+        return pd.Series(
+            _sketch_batch(vecs.tolist(), planes, reps, seed, dim, P0),
+            dtype="object",
+        )
 
     return multi_sketch_udf
 

@@ -55,7 +55,13 @@ def _derived(src: DataFrame, kind: str, content_type: str,
             F.struct(F.lit("WARC-Type").alias("name"), F.lit(kind).alias("value")),
             F.struct(
                 F.lit("WARC-Record-ID").alias("name"),
-                pseudo_uuid(F.lit(kind), F.col("record_id"), F.col("url")).alias("value"),
+                # filename+offset in the hash: the same source record can
+                # appear in several WARC files (mirrors, recompressions) and
+                # derived ids must stay globally unique within one corpus
+                pseudo_uuid(
+                    F.lit(kind), F.col("record_id"), F.col("url"),
+                    F.col("filename"), F.col("offset").cast("string"),
+                ).alias("value"),
             ),
             F.struct(F.lit("WARC-Refers-To").alias("name"), F.col("record_id").alias("value")),
             F.struct(F.lit("WARC-Target-URI").alias("name"), F.col("url").alias("value")),
@@ -101,6 +107,24 @@ def derive_wat(records: DataFrame) -> DataFrame:
     """Records -> WAT-style ``metadata`` records: a JSON envelope of the
     source record's WARC headers plus payload metadata, fully JVM-side
     (``to_json`` over a struct — no python anywhere in the plan)."""
+    # WARC allows repeated header names (e.g. multiple WARC-Concurrent-To);
+    # map_from_entries on a raw duplicate would throw DUPLICATED_MAP_KEY at
+    # runtime. Collapse duplicates by joining their values in header order
+    # (the HTTP list-header convention), all in codegen.
+    hdrs = F.col("rec_headers")
+    dedup_entries = F.transform(
+        F.array_distinct(F.transform(hdrs, lambda h: h["name"])),
+        lambda n: F.struct(
+            n.alias("key"),
+            F.array_join(
+                F.transform(
+                    F.filter(hdrs, lambda h: h["name"] == n),
+                    lambda h: h["value"],
+                ),
+                ", ",
+            ).alias("value"),
+        ),
+    )
     src = records.filter(
         F.col("rec_type").isin("response", "request", "revisit")
     ).withColumn(
@@ -108,7 +132,7 @@ def derive_wat(records: DataFrame) -> DataFrame:
         F.to_json(
             F.struct(
                 F.struct(
-                    F.map_from_entries(F.col("rec_headers")).alias(
+                    F.map_from_entries(dedup_entries).alias(
                         "WARC-Header-Metadata"
                     ),
                     F.struct(

@@ -225,11 +225,17 @@ def fetch_order(scheduled: DataFrame, partitions: int | None = None,
     if boundaries is None:
         boundaries = sample_order_boundaries(scheduled, p)
     if boundaries:
-        # rid 0 = highest priorities; equal priorities -> same rid
-        rid = None
+        # rid 0 = highest priorities; equal priorities -> same rid.
+        # NULL priority must land in the LAST range: a bare desc window
+        # orders NULLS LAST globally, and `NULL < b` is otherwise-0 in
+        # every term, which would smuggle NULLs into rid 0 (the front).
+        terms = None
         for b in boundaries:
             term = F.when(F.col("priority") < F.lit(float(b)), 1).otherwise(0)
-            rid = term if rid is None else rid + term
+            terms = term if terms is None else terms + term
+        rid = F.when(
+            F.col("priority").isNull(), F.lit(len(boundaries))
+        ).otherwise(terms)
     else:
         rid = F.lit(0)
     ranged = scheduled.withColumn("_range", rid).repartition(

@@ -206,8 +206,7 @@ def _open_ranged(path: str, start: int, length: int) -> bytes:
     Hadoop FS API is not an option for this path)."""
     scheme, rest = _split_scheme(path)
     if scheme in ("", "file"):
-        p = "/" + rest.split("/", 1)[1] if scheme == "file" and not rest.startswith("/") else (rest if scheme == "file" else path)
-        with open(p, "rb") as f:
+        with open(_local_path(scheme, rest, path), "rb") as f:
             f.seek(start)
             return f.read(length)
     if scheme in ("http", "https"):
@@ -232,20 +231,48 @@ def _open_ranged(path: str, start: int, length: int) -> bytes:
         return f.read(length)
 
 
+def _local_path(scheme: str, rest: str, path: str) -> str:
+    """file:// URI (with or without an authority component) or bare path
+    -> local filesystem path."""
+    if scheme != "file":
+        return path
+    if rest.startswith("/"):
+        return rest
+    # authority form file://host/p/a/t/h — drop the authority; a bare
+    # 'file://x' (no path at all) is malformed, say so instead of IndexError
+    if "/" not in rest:
+        raise ValueError("malformed file:// URI (no path): {0}".format(path))
+    return "/" + rest.split("/", 1)[1]
+
+
 def _path_size(path: str) -> int:
     """File size through the same scheme-aware opener (driver-side)."""
     import os
 
     scheme, rest = _split_scheme(path)
     if scheme in ("", "file"):
-        p = "/" + rest.split("/", 1)[1] if scheme == "file" and not rest.startswith("/") else (rest if scheme == "file" else path)
-        return os.path.getsize(p)
+        return os.path.getsize(_local_path(scheme, rest, path))
     if scheme in ("http", "https"):
         import urllib.request
 
-        req = urllib.request.Request(path, method="HEAD")
+        # HEAD first; fall back to a 1-byte Range GET for servers that
+        # reject HEAD (method-specific presigned URLs) or omit
+        # Content-Length — Content-Range carries the total size there
+        try:
+            req = urllib.request.Request(path, method="HEAD")
+            with urllib.request.urlopen(req) as r:
+                cl = r.headers["Content-Length"]
+                if cl is not None:
+                    return int(cl)
+        except Exception:
+            pass
+        req = urllib.request.Request(path, headers={"Range": "bytes=0-0"})
         with urllib.request.urlopen(req) as r:
-            return int(r.headers["Content-Length"])
+            cr = r.headers["Content-Range"]  # e.g. "bytes 0-0/12345"
+            if r.status == 206 and cr and "/" in cr:
+                return int(cr.rsplit("/", 1)[1])
+            body = r.read()  # Range ignored: the body IS the file
+            return len(body)
     try:
         import fsspec
     except ImportError as e:
