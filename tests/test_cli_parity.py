@@ -135,3 +135,36 @@ def test_cli_ingest_incremental(tmp_path):
     first, second = (json.loads(l) for l in buf.getvalue().strip().splitlines())
     assert first["n_records"] == 6 and first["batch"] == 1
     assert second["batch"] is None
+
+
+def test_wet_cli_reference_readable(spark, capsys, tmp_path):
+    """`wet` verb writes conversion records the reference library reads."""
+    out_dir = str(tmp_path / "wet_out")
+    code, out = run_cli(capsys, [
+        "wet", os.path.join(CORPUS, "example.warc.gz"),
+        "--output", out_dir, "--files", "1",
+    ])
+    assert code == 0
+    paths = [l for l in out.splitlines() if l.strip()]
+    assert len(paths) == 1
+    sys.path.insert(0, "/root/reference")
+    from warcio.archiveiterator import ArchiveIterator
+
+    with open(paths[0], "rb") as f:
+        types = [r.rec_type for r in ArchiveIterator(f, check_digests="raise")]
+    assert types and set(types) == {"conversion"}
+
+
+def test_cdxj_cli_sorted_lines(spark, capsys):
+    code, out = run_cli(capsys, [
+        "cdxj", os.path.join(CORPUS, "example.warc.gz"),
+    ])
+    assert code == 0
+    lines = [l for l in out.splitlines() if l.strip()]
+    # CDX merge order is (urlkey, timestamp); same-second captures of the
+    # same urlkey tie-break deterministically but not by whole-line sort.
+    keys = [tuple(l.split(" ", 2)[:2]) for l in lines]
+    assert keys and keys == sorted(keys)
+    key, ts, block = lines[0].split(" ", 2)
+    assert key.startswith("com,example)") and len(ts) == 14
+    json.loads(block)

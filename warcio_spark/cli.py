@@ -119,6 +119,39 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_wet(args) -> int:
+    """WARC(s) -> WET conversion records written as .warc.gz (the
+    Common-Crawl derivation as one shuffle-free job; operators/wet.py)."""
+    from warcio_spark.operators.wet import derive_wat, derive_wet
+    from warcio_spark.operators.writer import write_warc
+    from warcio_spark.sources import read_warc
+
+    spark = _spark()
+    recs = read_warc(spark, args.inputs)
+    derived = derive_wat(recs) if args.wat else derive_wet(recs)
+    for p in write_warc(derived, args.output, gzip=True,
+                        files=args.files):
+        sys.stdout.write(p + "\n")
+    return 0
+
+
+def cmd_cdxj(args) -> int:
+    """WARC(s) -> CDXJ capture-index lines on stdout, in (urlkey,
+    timestamp) merge order (operators/indexer.py:index_cdxj)."""
+    from warcio_spark.operators.indexer import index_cdxj
+    from warcio_spark.sources import read_warc
+
+    spark = _spark()
+    recs = read_warc(spark, args.inputs, include_payload=False,
+                     include_content=False)
+    # "line" as final key = deterministic total order for same-second
+    # captures of the same urlkey (request vs response records).
+    lines = index_cdxj(recs).orderBy("urlkey", "timestamp", "line")
+    for r in lines.select("line").toLocalIterator():
+        sys.stdout.write(r.line + "\n")
+    return 0
+
+
 def cmd_crawl(args) -> int:
     from pyspark.sql import functions as F
 
@@ -169,6 +202,19 @@ def main(argv=None) -> int:
     pg.add_argument("input_dir")
     pg.add_argument("--state", required=True)
     pg.set_defaults(fn=cmd_ingest)
+
+    pt = sub.add_parser("wet")
+    pt.add_argument("inputs", nargs="+")
+    pt.add_argument("--output", required=True)
+    pt.add_argument("--wat", action="store_true",
+                    help="emit WAT metadata records instead of WET text")
+    pt.add_argument("--files", type=int, default=None,
+                    help="repartition output into N files")
+    pt.set_defaults(fn=cmd_wet)
+
+    pj = sub.add_parser("cdxj")
+    pj.add_argument("inputs", nargs="+")
+    pj.set_defaults(fn=cmd_cdxj)
 
     pw = sub.add_parser("crawl")
     pw.add_argument("--seeds", type=int, default=1000)
