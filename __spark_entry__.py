@@ -659,6 +659,51 @@ def q_wet_extract(spark, sf):
     ).orderBy("filename", "url", "refers_to")
 
 
+def q_outlinks(spark, sf):
+    """Link discovery (operators/links.py): anchor-href extraction + RFC
+    reference resolution over a deterministic page universe derived from
+    doc_id — absolute / root-relative / doc-relative / parent-relative /
+    protocol-relative / query-relative forms plus junk (mailto, fragment)
+    that must be dropped. The oracle rebuilds the same markup in DuckDB
+    and re-implements extraction+resolution in SQL (computed, not
+    pinned); crawl-loop parity with real links is in tests/test_links.py."""
+    from warcio_spark.operators.links import extract_outlinks
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    base = F.concat(
+        F.lit("http://host"), s(d % 41), F.lit(".example.com"),
+        F.when(d % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/sec"), s(d % 13), F.lit("/pg"), s(d), F.lit(".html"),
+        F.when(d % 4 == 0, F.concat(F.lit("?q="), s(d % 9))).otherwise(F.lit("")),
+    )
+    anchors = F.concat(
+        F.lit('<a href="http://peer'), s(d % 23), F.lit(".example.org/x/y"),
+        s(d), F.lit('.html">a</a> '),
+        F.lit("<a href='/r"), s(d % 7), F.lit("/p"), s(d), F.lit(".html'>b</a> "),
+        F.lit("<a href=q"), s(d % 11), F.lit(".html>c</a> "),
+        F.lit('<a HREF="../z'), s(d % 3), F.lit('/w.html">d</a> '),
+        F.when(d % 3 == 0, F.lit("<a href=mailto:x@y.z>e</a> ")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("<a href=#top>f</a> ")).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit("<a href='//peer"), s(d % 23),
+                     F.lit(".example.org/pp.html'>g</a> ")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 6 == 0,
+            F.concat(F.lit('<a href="?ref='), s(d % 4), F.lit('">h</a>')),
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select(
+        d.alias("doc_id"), base.alias("page_url"), anchors.alias("text")
+    )
+    return extract_outlinks(pages, url_col="page_url", text_col="text").select(
+        "doc_id", "pos", "href", "outlink"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -698,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_parse_corpus": q_warc_parse_corpus,
         "wet_extract": q_wet_extract,
         "cdxj_surt": q_cdxj_surt,
+        "outlinks": q_outlinks,
     }
 
 
@@ -872,6 +918,73 @@ def oracle_sql() -> dict[str, str]:
               len(list_filter(string_split_regex(trim(text), '\\s+'),
                   x -> lower(x) IN ('le','et','les'))) AS score_fr
             FROM documents
+        """,
+        "outlinks": """
+            WITH u AS (
+              SELECT doc_id,
+                'http://host' || (doc_id % 41)::VARCHAR || '.example.com'
+                  || CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END
+                  || '/sec' || (doc_id % 13)::VARCHAR || '/pg'
+                  || doc_id::VARCHAR || '.html'
+                  || CASE WHEN doc_id % 4 = 0
+                          THEN '?q=' || (doc_id % 9)::VARCHAR ELSE '' END
+                  AS base,
+                '<a href="http://peer' || (doc_id % 23)::VARCHAR
+                  || '.example.org/x/y' || doc_id::VARCHAR || '.html">a</a> '
+                  || '<a href=''/r' || (doc_id % 7)::VARCHAR || '/p'
+                  || doc_id::VARCHAR || '.html''>b</a> '
+                  || '<a href=q' || (doc_id % 11)::VARCHAR || '.html>c</a> '
+                  || '<a HREF="../z' || (doc_id % 3)::VARCHAR
+                  || '/w.html">d</a> '
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN '<a href=mailto:x@y.z>e</a> ' ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN '<a href=#top>f</a> ' ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0
+                          THEN '<a href=''//peer' || (doc_id % 23)::VARCHAR
+                               || '.example.org/pp.html''>g</a> ' ELSE '' END
+                  || CASE WHEN doc_id % 6 = 0
+                          THEN '<a href="?ref=' || (doc_id % 4)::VARCHAR
+                               || '">h</a>' ELSE '' END
+                  AS text
+              FROM documents),
+            m AS (
+              SELECT doc_id, base,
+                regexp_extract_all(text,
+                  '(?i)<a\\b[^>]*?\\bhref\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s"''>]+)',
+                  1) AS arr
+              FROM u),
+            e AS (
+              SELECT doc_id, base, CAST(i - 1 AS INTEGER) AS pos,
+                split_part(
+                  regexp_replace(arr[i], '^["'']|["'']$', '', 'g'),
+                  '#', 1) AS href
+              FROM m, UNNEST(generate_series(1, len(arr))) AS s(i)),
+            r AS (
+              SELECT doc_id, pos, href,
+                regexp_extract(base, '^(https?://[^/?#]+)', 1) AS origin,
+                regexp_extract(base, '^(https?):', 1) AS scheme,
+                regexp_replace(
+                  substr(base,
+                    length(regexp_extract(base, '^(https?://[^/?#]+)', 1)) + 1),
+                  '[#?].*$', '') AS path
+              FROM e WHERE length(href) > 0)
+            SELECT doc_id, pos, href, outlink FROM (
+              SELECT doc_id, pos, href,
+                CASE
+                  WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\\-]*:')
+                    THEN CASE WHEN regexp_matches(href, '^https?://')
+                              THEN href END
+                  WHEN starts_with(href, '//') THEN scheme || ':' || href
+                  WHEN starts_with(href, '/') THEN origin || href
+                  WHEN starts_with(href, '?') THEN origin || path || href
+                  ELSE origin
+                    || CASE WHEN path = '' THEN '/'
+                            ELSE regexp_replace(path, '[^/]*$', '') END
+                    || href
+                END AS outlink
+              FROM r)
+            WHERE outlink IS NOT NULL
         """,
         "cdxj_surt": """
             WITH u AS (

@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "term_doc_freq",
     "exact_dup_groups",
+    "outlinks",
     "ngram_jaccard_adjacent",
     "simhash",
     "minhash_dedup",

@@ -98,6 +98,7 @@ INDEPENDENT_ORACLE_TESTS = [
     "tests/test_frontier_parity.py",
     "tests/test_kernel_parse_oracle.py",
     "tests/test_similarity.py",
+    "tests/test_links.py",
 ]
 
 

@@ -1,0 +1,155 @@
+"""Outlink extraction parity: the engine's JVM regex+resolution pipeline
+(operators/links.py) vs an independent html.parser-based oracle, and the
+full crawl loop driven by REAL extracted links vs the single-process
+oracle crawler (BASELINE.json exact fetch-ordering gate, now with link
+discovery from fetched html instead of synthetic expansion)."""
+
+from pyspark.sql import functions as F
+
+from warcio_spark.kernels.urls import canonicalize_url
+from warcio_spark.operators.links import (
+    extract_outlinks,
+    oracle_extract_hrefs,
+    oracle_page_outlinks,
+    oracle_resolve,
+    page_outlinks_fn,
+)
+from warcio_spark.plans import crawl as crawlmod
+from warcio_spark.plans import reference_crawler as oracle
+from warcio_spark.plans.frontier import PolitenessConfig
+from warcio_spark.sources import synth_pages
+from warcio_spark.sources.pages import page_hrefs
+
+CFG = PolitenessConfig(slot_seconds=60, default_crawl_delay=5.0,
+                       max_host_budget=100, salt_buckets=4)
+OCFG = oracle.OracleConfig(slot_seconds=60, default_crawl_delay=5.0,
+                           max_host_budget=100)
+
+
+def test_generator_hrefs_roundtrip_through_markup():
+    """The oracle extractor recovers exactly the generator's href list from
+    the rendered anchors (quoting/attr-case variants included)."""
+    from warcio_spark.sources.pages import _anchor_markup
+
+    for i in range(0, 300, 7):
+        assert oracle_extract_hrefs(_anchor_markup(i)) == page_hrefs(i), i
+
+
+def test_extract_outlinks_matches_oracle(spark):
+    pages = synth_pages(spark, 400, partitions=4)
+    got = {}
+    rows = (
+        extract_outlinks(pages, url_col="url", html_col="html",
+                         text_col="text")
+        .select("src_url", "pos", "outlink")
+        .collect()
+    )
+    for r in rows:
+        got.setdefault(r.src_url, set()).add((r.pos, r.outlink))
+
+    n_links = 0
+    for p in pages.collect():
+        # sets: dup-url page rows (same url, same content, later warc_ts)
+        # legitimately contribute identical link rows twice
+        want = set()
+        for pos, href in enumerate(oracle_extract_hrefs(p.text)):
+            resolved = oracle_resolve(p.url, href)
+            if resolved is not None:
+                want.add((pos, resolved))
+        assert got.get(p.url, set()) == want, p.url
+        n_links += len(want)
+    assert n_links > 300  # the corpus genuinely exercises extraction
+
+
+def test_extract_outlinks_decodes_html_when_no_text_column(spark):
+    """Without a text column the operator pays the Arrow decode itself —
+    same results (gzip/chunked/charset payload variants included)."""
+    pages = synth_pages(spark, 120, partitions=2)
+    with_text = (
+        extract_outlinks(pages, url_col="url", text_col="text")
+        .select("src_url", "pos", "outlink")
+    )
+    decoded = (
+        extract_outlinks(pages.drop("text"), url_col="url", html_col="html")
+        .select("src_url", "pos", "outlink")
+    )
+    assert sorted(map(tuple, with_text.collect())) == sorted(
+        map(tuple, decoded.collect())
+    )
+
+
+def test_resolution_contract_cases():
+    base = "http://h.example.com/a/b/page.html?q=1"
+    cases = [
+        ("http://x.com/p", "http://x.com/p"),
+        ("HTTPS://x.com/p", None),  # non-lowercase scheme: dropped
+        ("mailto:a@b", None),
+        ("javascript:void(0)", None),
+        ("//x.com/p", "http://x.com/p"),
+        ("/root.html", "http://h.example.com/root.html"),
+        ("?q=2", "http://h.example.com/a/b/page.html?q=2"),
+        ("sib.html", "http://h.example.com/a/b/sib.html"),
+        ("../up.html", "http://h.example.com/a/b/../up.html"),
+        ("#frag", None),
+        ("sib.html#frag", "http://h.example.com/a/b/sib.html"),
+    ]
+    for href, want in cases:
+        assert oracle_resolve(base, href) == want, href
+    # relative refs against a non-http(s) base are dropped; absolute pass
+    assert oracle_resolve("HTTP://H.COM/a", "x.html") is None
+    assert oracle_resolve("HTTP://H.COM/a", "http://x.com/p") == "http://x.com/p"
+    # ../ resolves at canonicalization time
+    assert (
+        canonicalize_url("http://h.example.com/a/b/../up.html")
+        == "http://h.example.com/a/up.html"
+    )
+
+
+def test_crawl_with_real_outlinks_matches_oracle(spark, tmp_path):
+    """Multi-round crawl parity with link discovery from the fetched html:
+    the Spark loop (fetch join -> JVM href extraction -> frontier) must
+    reproduce the oracle crawler's exact fetch order + seen set."""
+    pages = synth_pages(spark, 500, partitions=4).cache()
+    page_rows = pages.collect()
+    pages_by_canon = {canonicalize_url(r.url): r for r in page_rows}
+
+    seeds_list = [
+        {"url": r.url, "priority": float((i * 13) % 100) / 2, "seq": i}
+        for i, r in enumerate(page_rows)
+        if i % 3 == 0
+    ]
+
+    def oracle_fn(c):
+        p = pages_by_canon.get(c["url_canon"])
+        if p is None:
+            return []
+        return oracle_page_outlinks({"url": p.url, "text": p.text}, c["seq"])
+
+    want_log, want_seen = oracle.crawl(seeds_list, {}, oracle_fn, rounds=3,
+                                       cfg=OCFG)
+
+    seeds = spark.createDataFrame(
+        [(c["url"], c["priority"], c["seq"]) for c in seeds_list],
+        "url string, priority double, seq long",
+    ).repartition(5)
+    state_dir = str(tmp_path / "crawl_links")
+    crawlmod.crawl(spark, seeds, None, state_dir, rounds=3, cfg=CFG,
+                   outlinks_fn=page_outlinks_fn(pages))
+
+    got = [
+        (r.round, r.fetch_order, r.url_canon)
+        for r in crawlmod.fetch_log(spark, state_dir)
+        .orderBy("round", "fetch_order")
+        .collect()
+    ]
+    assert got == sorted(want_log, key=lambda t: (t[0], t[1]))
+
+    state = crawlmod.RoundState(state_dir)
+    got_seen = {
+        r.url_canon
+        for r in state.read(spark, state.last_round(), "seen").collect()
+    }
+    assert got_seen == want_seen
+    # link discovery actually grew the crawl beyond the seed set
+    assert len(want_seen) > len(seeds_list)
+    pages.unpersist()

@@ -159,14 +159,32 @@ def cmd_crawl(args) -> int:
     from warcio_spark.plans.frontier import demo_robots
 
     spark = _spark()
-    seeds = spark.range(args.seeds).select(
-        F.concat(F.lit("http://host"), F.pmod("id", F.lit(97)).cast("string"),
-                 F.lit(".example.com/seed/"), F.col("id").cast("string")).alias("url"),
-        (F.pmod(F.col("id") * 7919, F.lit(1000)) / 10.0).alias("priority"),
-        F.col("id").alias("seq"),
-    )
+    if args.pages:
+        # real link discovery: seeds are urls of a synthetic pages corpus;
+        # each round fetches scheduled urls from it and feeds the anchors
+        # extracted from the fetched html back into the frontier
+        from warcio_spark.operators.links import page_outlinks_fn
+        from warcio_spark.sources import synth_pages
+
+        pages = synth_pages(spark, args.pages)
+        # deterministic seed set: the urls of pages 0..seeds-1 (limit()
+        # without an order would be partitioning-dependent)
+        seeds = synth_pages(spark, min(args.seeds, args.pages)).select(
+            "url",
+            (F.pmod(F.xxhash64("url"), F.lit(1000)) / 10.0).alias("priority"),
+            F.xxhash64("url").alias("seq"),
+        )
+        outlinks_fn = page_outlinks_fn(pages)
+    else:
+        seeds = spark.range(args.seeds).select(
+            F.concat(F.lit("http://host"), F.pmod("id", F.lit(97)).cast("string"),
+                     F.lit(".example.com/seed/"), F.col("id").cast("string")).alias("url"),
+            (F.pmod(F.col("id") * 7919, F.lit(1000)) / 10.0).alias("priority"),
+            F.col("id").alias("seq"),
+        )
+        from warcio_spark.plans.crawl import default_outlinks as outlinks_fn
     summary = crawl(spark, seeds, demo_robots(spark), args.state,
-                    rounds=args.rounds)
+                    rounds=args.rounds, outlinks_fn=outlinks_fn)
     sys.stdout.write(json.dumps(summary) + "\n")
     return 0
 
@@ -220,6 +238,9 @@ def main(argv=None) -> int:
     pw.add_argument("--seeds", type=int, default=1000)
     pw.add_argument("--rounds", type=int, default=3)
     pw.add_argument("--state", required=True)
+    pw.add_argument("--pages", type=int, default=0,
+                    help="crawl a synthetic pages corpus of this size with "
+                         "real link extraction (0 = synthetic expansion)")
     pw.set_defaults(fn=cmd_crawl)
 
     args = p.parse_args(argv)

@@ -1,0 +1,238 @@
+"""Outlink extraction: fetched html -> resolved absolute urls -> frontier
+candidates. This is the real-crawl link-discovery stage the reference
+ecosystem performs downstream of warcio iteration (the crawler consumes
+`record.content_stream().read()` and feeds hrefs back into its queue).
+
+Spark-first shape: ONE Arrow hop (the html->text decode that the fetch
+stage already needs — shared, not repeated) and everything else pure JVM
+codegen: regexp_extract_all for hrefs, posexplode, string expressions for
+RFC-3986 reference resolution, with dot-segment removal delegated to the
+existing canonicalization split-union (functions.with_canonical_url).
+At 100 TB this runs as a map-only stage over fetched partitions — no
+shuffle until the frontier's own dedup.
+
+Resolution contract (mirrored exactly by the oracle extractor in
+tests/test_links.py):
+  * fragments are stripped first; an empty remainder is dropped
+  * absolute http:// / https:// (lowercase scheme) pass through
+  * other explicit schemes (mailto:, javascript:, HTTPS:// uppercase...)
+    are dropped — non-fetchable or outside the loader's case-sensitive
+    scheme gate (warcio/recordloader.py:59,183-185)
+  * protocol-relative // inherits the base scheme
+  * root-relative / resolves against the base origin
+  * ?query resolves against the base path
+  * everything else resolves against the base directory
+  * relative forms require a lowercase http(s) base; pages fetched via a
+    non-conforming base url (e.g. uppercase scheme) emit absolute links only
+
+Extraction is the crawler heuristic (anchor-tag hrefs via one vectorized
+regex), not an HTML5 tree parse: attribute-quoting variants are covered,
+exotic markup (href split across entities, <base> tags) is not — the
+pytest oracle uses Python's html.parser as an independent implementation
+to pin the semantics on the synthetic corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# quoted-or-bare href value inside an anchor tag, in document order
+_HREF_RX = "(?i)<a\\b[^>]*?\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)"
+
+# a link position cap so outlink seq assignment is collision-free:
+# seq = OUTLINK_SEQ_BASE + src_seq * MAX_LINKS_PER_PAGE + pos
+MAX_LINKS_PER_PAGE = 64
+OUTLINK_SEQ_BASE = 20_000_000
+
+
+def _resolved(base: Column, href: Column) -> Column:
+    """RFC-3986 reference resolution as pure JVM expressions (dot-segment
+    removal happens later, in canonicalization)."""
+    origin = F.regexp_extract(base, r"^(https?://[^/?#]+)", 1)
+    scheme = F.regexp_extract(base, r"^(https?):", 1)
+    base_path_full = F.regexp_replace(
+        base.substr(F.length(origin) + 1, F.lit(1 << 30)), r"[#?].*$", ""
+    )
+    base_dir = F.concat(
+        origin,
+        F.when(base_path_full == "", F.lit("/")).otherwise(
+            F.regexp_replace(base_path_full, r"[^/]*$", "")
+        ),
+    )
+    has_origin = F.length(origin) > 0
+    null = F.lit(None).cast("string")
+    return (
+        F.when(
+            href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"),
+            F.when(href.rlike(r"^https?://"), href).otherwise(null),
+        )
+        .when(
+            href.startswith("//"),
+            F.when(has_origin, F.concat(scheme, F.lit(":"), href)).otherwise(null),
+        )
+        .when(
+            href.startswith("/"),
+            F.when(has_origin, F.concat(origin, href)).otherwise(null),
+        )
+        .when(
+            href.startswith("?"),
+            F.when(has_origin, F.concat(origin, base_path_full, href)).otherwise(null),
+        )
+        .otherwise(F.when(has_origin, F.concat(base_dir, href)).otherwise(null))
+    )
+
+
+def extract_outlinks(fetched: DataFrame, url_col: str = "page_url",
+                     html_col: str = "html",
+                     text_col: str | None = None) -> DataFrame:
+    """(src_url, pos, href, outlink) per anchor of each fetched page.
+
+    ``text_col``: name of an already-decoded text column to reuse (the
+    fetch stage materializes one — never pay the Arrow decode twice).
+    Without it, the html binary is decoded here via the same kernel.
+    Rows whose href is junk (fragment-only, mailto:, unknown scheme, or
+    relative against a non-http(s) base) are dropped.
+    """
+    if text_col is None:
+        from warcio_spark import functions as WF
+
+        fetched = fetched.withColumn(
+            "__text", WF.extract_http_text(F.col(html_col), F.col(url_col))
+        )
+        text_col = "__text"
+
+    hrefs = F.regexp_extract_all(F.col(text_col), F.lit(_HREF_RX), F.lit(1))
+    out = (
+        fetched.filter(F.col(url_col).isNotNull())
+        .select(F.col(url_col).alias("src_url"), "*")
+        .drop(url_col)
+        .select(
+            "*",
+            F.posexplode(F.slice(hrefs, 1, MAX_LINKS_PER_PAGE)).alias(
+                "pos", "__raw"
+            ),
+        )
+        .withColumn(
+            "href",
+            F.regexp_replace(
+                F.split_part(
+                    F.regexp_replace("__raw", "^[\"']|[\"']$", ""),
+                    F.lit("#"), F.lit(1),
+                ),
+                r"^\s+|\s+$", "",
+            ),
+        )
+        .filter(F.length("href") > 0)
+        .withColumn("outlink", _resolved(F.col("src_url"), F.col("href")))
+        .filter(F.col("outlink").isNotNull())
+        .drop("__raw")
+    )
+    if text_col == "__text":
+        out = out.drop("__text")
+    return out
+
+
+def page_outlinks_fn(pages: DataFrame):
+    """outlinks_fn for plans.crawl.crawl(): fetch each scheduled url from
+    the pages corpus and feed its REAL extracted links back to the
+    frontier (replaces the synthetic default_outlinks expansion).
+
+    priority/seq are deterministic arithmetic of (src seq, link position)
+    so the single-process oracle crawler can reproduce them exactly; the
+    source seq is bounded to 40 bits first so the arithmetic can never
+    overflow int64 under ANSI mode even for full-range hash-derived seqs:
+      s        = src_seq mod 2^40   (non-negative, both sides)
+      seq      = OUTLINK_SEQ_BASE + s * MAX_LINKS_PER_PAGE + pos
+      priority = ((s * 37 + pos * 11) % 1000) / 10.0
+    """
+    from warcio_spark.plans.crawl import fetch_from_pages
+
+    def fn(scheduled: DataFrame) -> DataFrame:
+        fetched = fetch_from_pages(scheduled, pages)
+        links = extract_outlinks(
+            fetched.filter(F.col("page_url").isNotNull()),
+            url_col="page_url", html_col="html", text_col="text",
+        )
+        s = F.pmod(F.col("seq"), F.lit(1 << 40))
+        return links.select(
+            F.col("outlink").alias("url"),
+            (F.pmod(s * 37 + F.col("pos") * 11, F.lit(1000)) / 10.0).alias(
+                "priority"
+            ),
+            (
+                F.lit(OUTLINK_SEQ_BASE) + s * MAX_LINKS_PER_PAGE + F.col("pos")
+            ).alias("seq"),
+        )
+
+    return fn
+
+
+def oracle_page_outlinks(page: dict, src_seq: int) -> list:
+    """The oracle-crawler twin of ``page_outlinks_fn`` for one fetched page
+    dict (url, text): extract + resolve hrefs with an INDEPENDENT
+    implementation (html.parser + explicit resolution), then assign the
+    same deterministic priority/seq. Used by crawl-parity tests."""
+    out = []
+    s = src_seq % (1 << 40)
+    for pos, href in enumerate(
+        oracle_extract_hrefs(page["text"])[:MAX_LINKS_PER_PAGE]
+    ):
+        resolved = oracle_resolve(page["url"], href)
+        if resolved is None:
+            continue
+        out.append(
+            {
+                "url": resolved,
+                "priority": ((s * 37 + pos * 11) % 1000) / 10.0,
+                "seq": OUTLINK_SEQ_BASE + s * MAX_LINKS_PER_PAGE + pos,
+            }
+        )
+    return out
+
+
+def oracle_extract_hrefs(text: str) -> list:
+    """Anchor hrefs in document order via Python's html.parser — the
+    independent implementation the engine's regex is validated against."""
+    from html.parser import HTMLParser
+
+    found = []
+
+    class _A(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            if tag == "a":
+                for name, value in attrs:
+                    if name == "href" and value is not None:
+                        found.append(value)
+                        break
+
+    p = _A()
+    p.feed(text or "")
+    return found
+
+
+def oracle_resolve(base: str, href: str):
+    """The resolution contract, independently implemented (no urljoin: its
+    RFC-3986 merge is the SPEC both sides approximate, but the engine's
+    JVM expressions define the contract — e.g. relative refs against a
+    non-http(s)-lowercase base are dropped, not resolved)."""
+    import re
+
+    href = re.split("#", href, 1)[0].strip()
+    if not href:
+        return None
+    m = re.match(r"^(https?)://([^/?#]+)(.*)$", base or "")
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", href):
+        return href if re.match(r"^https?://", href) else None
+    if m is None:
+        return None
+    scheme, authority, rest = m.group(1), m.group(2), m.group(3)
+    origin = "{0}://{1}".format(scheme, authority)
+    path = re.sub(r"[#?].*$", "", rest)
+    if href.startswith("//"):
+        return scheme + ":" + href
+    if href.startswith("/"):
+        return origin + href
+    if href.startswith("?"):
+        return origin + path + href
+    base_dir = "/" if path == "" else re.sub(r"[^/]*$", "", path)
+    return origin + base_dir + href

@@ -64,6 +64,58 @@ def _body_text(i: int) -> str:
     )
 
 
+def page_hrefs(i: int, n_hosts: int = 1000) -> list:
+    """Deterministic anchor hrefs for page i, IN DOCUMENT ORDER — the
+    contract shared by the engine (operators/links.py) and the oracle
+    extractor. Mix of absolute / root-relative / doc-relative /
+    parent-relative / protocol-relative / query-relative forms, plus
+    non-fetchable junk (mailto:, javascript:, bare fragments) that link
+    extraction must drop."""
+    k = _mix(i, 13)
+    out = []
+    for j in range(k % 5):  # 0..4 real links
+        m = _mix(i, 14 + j)
+        target = "/section{0}/page{1}.html".format(m % 20, m % 9999)
+        t = m % 6
+        if t == 0:
+            out.append("http://{0}{1}".format(_host_for(m, n_hosts), target))
+        elif t == 1:
+            out.append(target)  # root-relative
+        elif t == 2:
+            out.append("page{0}.html".format(m % 9999))  # doc-relative
+        elif t == 3:
+            out.append("../section{0}/page{1}.html".format(m % 20, m % 9999))
+        elif t == 4:
+            out.append("//{0}{1}".format(_host_for(m, n_hosts), target))
+        else:
+            out.append("{0}?ref={1}".format(target, k % 7))
+    if k % 3 == 0:
+        out.append("mailto:owner@example.com")
+    if k % 4 == 0:
+        out.append("javascript:void(0)")
+    if k % 5 == 0:
+        out.append("#top")
+    return out
+
+
+def _anchor_markup(i: int, n_hosts: int = 1000) -> str:
+    """The hrefs rendered with varied quoting (double / single / bare) and
+    attribute case, so extraction is tested against real-world markup."""
+    parts = []
+    for j, h in enumerate(page_hrefs(i, n_hosts)):
+        q = _mix(i, 40 + j) % 3
+        attr = "HREF" if _mix(i, 50 + j) % 4 == 0 else "href"
+        if q == 0:
+            parts.append('<a {0}="{1}">l{2}</a>\n'.format(attr, h, j))
+        elif q == 1:
+            parts.append("<a {0}='{1}'>l{2}</a>\n".format(attr, h, j))
+        elif " " not in h:
+            parts.append("<a {0}={1}>l{2}</a>\n".format(attr, h, j))
+        else:
+            parts.append('<a {0}="{1}">l{2}</a>\n'.format(attr, h, j))
+    return "".join(parts)
+
+
 def _chunked(data: bytes, i: int) -> bytes:
     out = bytearray()
     pos = 0
@@ -89,7 +141,7 @@ def _gzip(data: bytes) -> bytes:
 def make_page(i: int, n_hosts: int = 1000):
     """One deterministic page row; pure function of (i, n_hosts)."""
     host = _host_for(i, n_hosts)
-    text = _body_text(i)
+    text = _body_text(i) + _anchor_markup(i, n_hosts)
     variant = _mix(i, 5) % 8
     lang = _LANGS[_mix(i, 6) % len(_LANGS)]
 
