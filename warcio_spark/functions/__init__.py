@@ -191,6 +191,58 @@ def extract_http_text(html: pd.Series, url: pd.Series) -> pd.Series:
     return pd.Series(map(run, zip(html, url)), dtype="object")
 
 
+_HTTP_META_TYPE = T.StructType(
+    [
+        T.StructField("status", T.IntegerType()),
+        T.StructField("location", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_HTTP_META_TYPE)
+def parse_http_response(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+    """extract_http_text plus the response metadata a crawler acts on —
+    status code and Location header — in the SAME single Arrow hop (never
+    decode the payload twice to learn its status). Non-http(s) urls get
+    NULL status/location and the raw-block fallback text, mirroring the
+    loader's case-sensitive scheme gate."""
+    from warcio_spark.kernels.parse import (
+        _Cursor,
+        _parse_status_headers,
+        header_get,
+    )
+
+    def run(row):
+        b, u = row
+        if b is None:
+            return (None, None, None)
+        body = bytes(b)
+        if not (u or "").startswith(("http:", "https:")):
+            return (None, None, _textcodec.decode_fallback(body))
+        cur = _Cursor(body)
+        try:
+            block = _parse_status_headers(cur, None, (), False)
+        except EOFError:
+            return (None, None, _textcodec.decode_fallback(body))
+        if not block["statusline"] and not block["headers"]:
+            return (None, None, _textcodec.decode_fallback(body[cur.pos:]))
+        status = None
+        first = block["statusline"].split(" ", 1)[0]
+        if first.isdigit():
+            status = int(first)
+        location = header_get(block["headers"], "location")
+        content = _payload.extract_content(
+            body[cur.pos:],
+            header_get(block["headers"], "content-encoding"),
+            header_get(block["headers"], "transfer-encoding"),
+        )
+        return (status, location, _textcodec.decode_fallback(content))
+
+    out = [run(r) for r in zip(html, url)]
+    return pd.DataFrame(out, columns=["status", "location", "text"])
+
+
 @F.pandas_udf(T.StringType())
 def decode_text(data: pd.Series) -> pd.Series:
     """bytes -> str with the utf-8 / iso-8859-1 fallback

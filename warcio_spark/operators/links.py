@@ -43,6 +43,8 @@ _HREF_RX = "(?i)<a\\b[^>]*?\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)"
 # seq = OUTLINK_SEQ_BASE + src_seq * MAX_LINKS_PER_PAGE + pos
 MAX_LINKS_PER_PAGE = 64
 OUTLINK_SEQ_BASE = 20_000_000
+# redirect targets get their own seq namespace (one per fetched page)
+REDIRECT_SEQ_BASE = 10_000_000
 
 
 def _resolved(base: Column, href: Column) -> Column:
@@ -132,10 +134,43 @@ def extract_outlinks(fetched: DataFrame, url_col: str = "page_url",
     return out
 
 
+def redirect_candidates(fetched: DataFrame, url_col: str = "page_url") -> DataFrame:
+    """3xx responses -> (src_url, outlink) for the Location target,
+    resolved with the same reference-resolution contract as hrefs (real
+    servers send relative Locations despite RFC 2616's absolute-URI rule;
+    RFC 7231 legalized them). Requires fetch_from_pages' http_status /
+    redirect_location columns (one shared Arrow hop, no extra decode)."""
+    return (
+        fetched.filter(
+            F.col("http_status").between(300, 399)
+            & (
+                F.length(
+                    F.split_part(F.col("redirect_location"), F.lit("#"), F.lit(1))
+                )
+                > 0
+            )
+        )
+        .select(F.col(url_col).alias("src_url"), "*")
+        .drop(url_col)
+        .withColumn(
+            "outlink",
+            _resolved(
+                F.col("src_url"),
+                F.split_part(F.col("redirect_location"), F.lit("#"), F.lit(1)),
+            ),
+        )
+        .filter(F.col("outlink").isNotNull())
+    )
+
+
 def page_outlinks_fn(pages: DataFrame):
     """outlinks_fn for plans.crawl.crawl(): fetch each scheduled url from
     the pages corpus and feed its REAL extracted links back to the
     frontier (replaces the synthetic default_outlinks expansion).
+    3xx responses contribute their resolved Location target as one more
+    candidate (redirect following):
+      seq      = REDIRECT_SEQ_BASE + (src_seq mod 2^40)
+      priority = (((src_seq mod 2^40) * 41 + 7) % 1000) / 10.0
 
     priority/seq are deterministic arithmetic of (src seq, link position)
     so the single-process oracle crawler can reproduce them exactly; the
@@ -154,7 +189,7 @@ def page_outlinks_fn(pages: DataFrame):
             url_col="page_url", html_col="html", text_col="text",
         )
         s = F.pmod(F.col("seq"), F.lit(1 << 40))
-        return links.select(
+        link_cands = links.select(
             F.col("outlink").alias("url"),
             (F.pmod(s * 37 + F.col("pos") * 11, F.lit(1000)) / 10.0).alias(
                 "priority"
@@ -163,6 +198,12 @@ def page_outlinks_fn(pages: DataFrame):
                 F.lit(OUTLINK_SEQ_BASE) + s * MAX_LINKS_PER_PAGE + F.col("pos")
             ).alias("seq"),
         )
+        redir_cands = redirect_candidates(fetched).select(
+            F.col("outlink").alias("url"),
+            (F.pmod(s * 41 + 7, F.lit(1000)) / 10.0).alias("priority"),
+            (F.lit(REDIRECT_SEQ_BASE) + s).alias("seq"),
+        )
+        return link_cands.unionByName(redir_cands)
 
     return fn
 
@@ -188,6 +229,46 @@ def oracle_page_outlinks(page: dict, src_seq: int) -> list:
             }
         )
     return out
+
+
+def oracle_http_meta(html) -> tuple:
+    """(status, location) parsed independently of the engine kernel —
+    plain regex over the raw header block."""
+    import re
+
+    head = bytes(html).split(b"\r\n\r\n", 1)[0].decode("iso-8859-1")
+    m = re.match(r"^HTTP/\d\.\d (\d{3})", head)
+    status = int(m.group(1)) if m else None
+    loc = None
+    for line in head.split("\r\n")[1:]:
+        if line.lower().startswith("location:"):
+            loc = line.split(":", 1)[1].strip()
+            break
+    return status, loc
+
+
+def oracle_redirect_candidates(page: dict, src_seq: int) -> list:
+    """The oracle twin of redirect_candidates for one fetched page dict
+    (url, html). Mirrors the loader's case-sensitive scheme gate: pages
+    fetched via a non-http(s)-lowercase url never parse http metadata."""
+    if not (page["url"] or "").startswith(("http:", "https:")):
+        return []
+    status, loc = oracle_http_meta(page["html"])
+    if status is None or not 300 <= status <= 399 or loc is None:
+        return []
+    import re
+
+    resolved = oracle_resolve(page["url"], re.split("#", loc, 1)[0])
+    if resolved is None:
+        return []
+    s = src_seq % (1 << 40)
+    return [
+        {
+            "url": resolved,
+            "priority": ((s * 41 + 7) % 1000) / 10.0,
+            "seq": REDIRECT_SEQ_BASE + s,
+        }
+    ]
 
 
 def oracle_extract_hrefs(text: str) -> list:

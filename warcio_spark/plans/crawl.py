@@ -352,8 +352,15 @@ def fetch_from_pages(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
         F.col("html"),
     )
     fetched = scheduled.join(page_side, "url_hash", "left")
-    return fetched.withColumn(
-        "text", WF.extract_http_text(F.col("html"), F.col("page_url"))
+    # one Arrow hop yields text AND the response metadata a crawler acts
+    # on (status, Location) — redirect following costs no extra decode
+    meta = WF.parse_http_response(F.col("html"), F.col("page_url"))
+    return (
+        fetched.withColumn("__meta", meta)
+        .withColumn("text", F.col("__meta.text"))
+        .withColumn("http_status", F.col("__meta.status"))
+        .withColumn("redirect_location", F.col("__meta.location"))
+        .drop("__meta")
     )
 
 

@@ -165,6 +165,33 @@ def make_page(i: int, n_hosts: int = 1000):
             "warc_ts": _EPOCH + timedelta(seconds=i, microseconds=_mix(i, 12) % 1000000)
         }
 
+    if _mix(i, 20) % 19 == 0:
+        # ~5% of pages are 3xx redirects: Location header, empty body —
+        # text is the (empty) extracted payload. Targets mix absolute and
+        # root-relative Location values (real servers send both).
+        t = _mix(i, 21)
+        target = "/section{0}/page{1}.html".format(t % 20, t % 9999)
+        if t % 3 == 0:
+            target = "http://{0}{1}".format(_host_for(t, n_hosts), target)
+        status = "302 Found" if t % 4 == 0 else "301 Moved Permanently"
+        html = (
+            "HTTP/1.1 {0}\r\nLocation: {1}\r\nContent-Length: 0\r\n\r\n".format(
+                status, target
+            )
+        ).encode("ascii")
+        text = ""
+        if not url.startswith(("http:", "https:")):
+            from warcio_spark.kernels.textcodec import decode_fallback
+
+            text = decode_fallback(html)
+        return {
+            "url": url,
+            "warc_ts": _EPOCH + timedelta(seconds=i, microseconds=_mix(i, 12) % 1000000),
+            "html": html,
+            "text": text,
+            "lang": lang,
+        }
+
     if variant == 7:
         body = text.encode("iso-8859-1", "replace")
         charset = "iso-8859-1"
@@ -217,6 +244,57 @@ def make_page(i: int, n_hosts: int = 1000):
         "text": text,
         "lang": lang,
     }
+
+
+def make_robots_body(h: int) -> str:
+    """Deterministic robots.txt body for host h: full-deny hosts, per-section
+    denies with Allow overrides, wildcard rules, Crawl-delay — the rule
+    shapes kernels/robots.py longest-match evaluation handles."""
+    lines = ["User-agent: *"]
+    if h % 13 == 1:
+        lines.append("Disallow: /")
+    else:
+        lines.append("Disallow: /section{0}/".format(h % 20))
+        if h % 3 == 0:
+            lines.append("Allow: /section{0}/page1".format(h % 20))
+        if h % 4 == 0:
+            lines.append("Disallow: /*.cgi$")
+    lines.append("Crawl-delay: {0}".format(2.0 + (h % 4) * 3.0))
+    return "\n".join(lines) + "\n"
+
+
+def make_robots_page(h: int) -> dict:
+    """/robots.txt response row for host h: (host, url, html) with a full
+    HTTP 200 text/plain response — fetchable through the same decode path
+    as any page."""
+    host = "host{0}.example{1}.com".format(h, h % 7)
+    body = make_robots_body(h).encode("ascii")
+    html = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        "Content-Length: {0}\r\n\r\n".format(len(body))
+    ).encode("ascii") + body
+    return {
+        "host": host,
+        "url": "http://{0}/robots.txt".format(host),
+        "html": html,
+    }
+
+
+def synth_robots_pages(spark: SparkSession, n_hosts: int,
+                       partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic robots.txt corpus for hosts 0..n_hosts-1
+    (the hosts synth_pages urls live on)."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_hosts, 1, min(parts, max(1, n_hosts)))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [make_robots_page(int(h)) for h in pdf["id"]],
+                columns=["host", "url", "html"],
+            )
+
+    return base.mapInPandas(gen, "host string, url string, html binary")
 
 
 def synth_pages(spark: SparkSession, n: int, n_hosts: int = 1000,
