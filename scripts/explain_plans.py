@@ -23,6 +23,7 @@ PICKS = [
     "lsh_topk",  # must show PartitionFilters on the sketch column
     "repetition_stats",  # explode + partial_count before the doc_id shuffle
     "term_doc_freq",  # partial agg + TakeOrderedAndProject, no global sort
+    "outlinks",  # href extraction+resolution: one codegen span, no Arrow
 ]
 
 
@@ -72,6 +73,32 @@ def main():
         "#ranges rows (= parallelism, ~32), never the data. The data-bearing\n"
         "rank window is partitioned on the deterministic `_range` expression;\n"
         "no per-round driver action or cached plan is involved.\n\n"
+        f"```\n{plan}```\n"
+    )
+
+    # fetch + link discovery: the real-crawl expansion stage — exactly one
+    # ArrowEvalPython for parse_http_response (text+status+location in one
+    # hop); href extraction/resolution is pure codegen on top
+    from warcio_spark.operators.links import page_outlinks_fn
+    from warcio_spark.plans.frontier import with_frontier_keys
+    from warcio_spark.sources import synth_pages
+
+    pages = synth_pages(spark, 1000, partitions=8)
+    sched = with_frontier_keys(
+        pages.select("url", F.lit(1.0).alias("priority"),
+                     F.xxhash64("url").alias("seq"))
+    )
+    import re
+
+    plan = grab(page_outlinks_fn(pages)(sched))
+    # count plan NODES (detail entries), not raw string occurrences
+    n_arrow = len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
+    out.append(
+        "\n## fetch + outlink/redirect expansion (page_outlinks_fn)\n\n"
+        f"ArrowEvalPython nodes: {n_arrow} — one parse_http_response on the\n"
+        "fetch side (text+status+Location in a single hop, shared by the\n"
+        "href and redirect branches) plus the canonicalization slow-path\n"
+        "legs of with_frontier_keys.\n\n"
         f"```\n{plan}```\n"
     )
 

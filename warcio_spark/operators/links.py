@@ -179,31 +179,79 @@ def page_outlinks_fn(pages: DataFrame):
       s        = src_seq mod 2^40   (non-negative, both sides)
       seq      = OUTLINK_SEQ_BASE + s * MAX_LINKS_PER_PAGE + pos
       priority = ((s * 37 + pos * 11) % 1000) / 10.0
+
+    Fused single-pass plan: a union of the link and redirect branches
+    would evaluate the fetch join (and its Arrow decode) TWICE — instead
+    the hrefs are wrapped into (pos, raw) structs by a trivial transform
+    HOF, the redirect Location is appended as a pos = -1 entry, and ONE
+    explode feeds a codegen Project that does all cleanup + resolution.
     """
     from warcio_spark.plans.crawl import fetch_from_pages
 
     def fn(scheduled: DataFrame) -> DataFrame:
-        fetched = fetch_from_pages(scheduled, pages)
-        links = extract_outlinks(
-            fetched.filter(F.col("page_url").isNotNull()),
-            url_col="page_url", html_col="html", text_col="text",
+        fetched = fetch_from_pages(scheduled, pages).filter(
+            F.col("page_url").isNotNull()
+        )
+        hrefs = F.slice(
+            F.regexp_extract_all(F.col("text"), F.lit(_HREF_RX), F.lit(1)),
+            1, MAX_LINKS_PER_PAGE,
+        )
+        entries = F.concat(
+            F.transform(
+                hrefs,
+                lambda h, i: F.struct(i.alias("pos"), h.alias("raw")),
+            ),
+            F.when(
+                F.col("http_status").between(300, 399)
+                & F.col("redirect_location").isNotNull(),
+                F.array(
+                    F.struct(
+                        F.lit(-1).alias("pos"),
+                        F.col("redirect_location").alias("raw"),
+                    )
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<pos:int,raw:string>>")
+            ),
         )
         s = F.pmod(F.col("seq"), F.lit(1 << 40))
-        link_cands = links.select(
+        exploded = fetched.select(
+            F.col("page_url").alias("src_url"), "seq",
+            F.explode(entries).alias("e"),
+        ).select(
+            "src_url", "seq", F.col("e.pos").alias("pos"),
+            F.col("e.raw").alias("raw"),
+        )
+        is_link = F.col("pos") >= 0
+        cleaned = F.regexp_replace(
+            F.split_part(
+                F.when(
+                    is_link,
+                    F.regexp_replace("raw", "^[\"']|[\"']$", ""),
+                ).otherwise(F.col("raw")),
+                F.lit("#"), F.lit(1),
+            ),
+            r"^\s+|\s+$", "",
+        )
+        out = (
+            exploded.withColumn("href", cleaned)
+            .filter(F.length("href") > 0)
+            .withColumn("outlink", _resolved(F.col("src_url"), F.col("href")))
+            .filter(F.col("outlink").isNotNull())
+        )
+        return out.select(
             F.col("outlink").alias("url"),
-            (F.pmod(s * 37 + F.col("pos") * 11, F.lit(1000)) / 10.0).alias(
+            F.when(
+                is_link,
+                F.pmod(s * 37 + F.col("pos") * 11, F.lit(1000)) / 10.0,
+            ).otherwise(F.pmod(s * 41 + 7, F.lit(1000)) / 10.0).alias(
                 "priority"
             ),
-            (
-                F.lit(OUTLINK_SEQ_BASE) + s * MAX_LINKS_PER_PAGE + F.col("pos")
-            ).alias("seq"),
+            F.when(
+                is_link,
+                F.lit(OUTLINK_SEQ_BASE) + s * MAX_LINKS_PER_PAGE + F.col("pos"),
+            ).otherwise(F.lit(REDIRECT_SEQ_BASE) + s).alias("seq"),
         )
-        redir_cands = redirect_candidates(fetched).select(
-            F.col("outlink").alias("url"),
-            (F.pmod(s * 41 + 7, F.lit(1000)) / 10.0).alias("priority"),
-            (F.lit(REDIRECT_SEQ_BASE) + s).alias("seq"),
-        )
-        return link_cands.unionByName(redir_cands)
 
     return fn
 
