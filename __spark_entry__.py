@@ -704,6 +704,47 @@ def q_outlinks(spark, sf):
     )
 
 
+def q_sitemap_locs(spark, sf):
+    """Sitemap ingestion (operators/links.py:sitemap_locs): <loc> entries
+    of deterministic urlset/sitemapindex XML derived from doc_id —
+    entity-decoded, whitespace-trimmed, http(s)-gated, document order
+    preserved with pre-filter positions. Oracle rebuilds the XML and the
+    extraction chain in DuckDB; xml.etree parity is in tests/test_links.py."""
+    from warcio_spark.operators.links import sitemap_locs
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.lit("<url><loc>http://host"), s(d % 41), F.lit(".example.com/pg"),
+        s(d), F.lit(".html</loc><lastmod>2024-01-01</lastmod></url>"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("<url><loc> http://host"), s(d % 41),
+                     F.lit(".example.com/q?a=1&amp;b="), s(d % 5),
+                     F.lit(" </loc></url>")),
+        ).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("<url><loc>ftp://skip.example.com/f</loc></url>"))
+        .otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit("<url><loc>https://host"), s(d % 41),
+                     F.lit(".example.com/alt"), s(d), F.lit("</loc></url>")),
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    sm = docs.select(
+        d.alias("doc_id"),
+        F.concat(F.lit("http://host"), s(d % 41),
+                 F.lit(".example.com/sitemap.xml")).alias("url"),
+        xml.alias("xml"),
+    )
+    return sitemap_locs(sm).select(
+        F.col("doc_id"), F.col("pos"), F.col("loc")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -744,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_extract": q_wet_extract,
         "cdxj_surt": q_cdxj_surt,
         "outlinks": q_outlinks,
+        "sitemap_locs": q_sitemap_locs,
     }
 
 
@@ -918,6 +960,41 @@ def oracle_sql() -> dict[str, str]:
               len(list_filter(string_split_regex(trim(text), '\\s+'),
                   x -> lower(x) IN ('le','et','les'))) AS score_fr
             FROM documents
+        """,
+        "sitemap_locs": """
+            WITH u AS (
+              SELECT doc_id,
+                '<?xml version="1.0"?><urlset>'
+                || '<url><loc>http://host' || (doc_id % 41)::VARCHAR
+                || '.example.com/pg' || doc_id::VARCHAR
+                || '.html</loc><lastmod>2024-01-01</lastmod></url>'
+                || CASE WHEN doc_id % 3 = 0
+                        THEN '<url><loc> http://host' || (doc_id % 41)::VARCHAR
+                             || '.example.com/q?a=1&amp;b='
+                             || (doc_id % 5)::VARCHAR || ' </loc></url>'
+                        ELSE '' END
+                || CASE WHEN doc_id % 5 = 0
+                        THEN '<url><loc>ftp://skip.example.com/f</loc></url>'
+                        ELSE '' END
+                || CASE WHEN doc_id % 7 = 0
+                        THEN '<url><loc>https://host' || (doc_id % 41)::VARCHAR
+                             || '.example.com/alt' || doc_id::VARCHAR
+                             || '</loc></url>'
+                        ELSE '' END
+                || '</urlset>' AS xml
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                regexp_extract_all(xml, '<loc>\\s*([^<]*?)\\s*</loc>', 1) AS arr
+              FROM u),
+            e AS (
+              SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                replace(replace(replace(replace(replace(arr[i],
+                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&apos;', ''''), '&amp;', '&') AS loc
+              FROM m, UNNEST(generate_series(1, len(arr))) AS s(i))
+            SELECT doc_id, pos, loc FROM e
+            WHERE regexp_matches(loc, '^https?://')
         """,
         "outlinks": """
             WITH u AS (

@@ -144,6 +144,46 @@ def test_redirect_candidates_match_oracle(spark):
                for s, t in want), "no same-host resolution exercised"
 
 
+def test_sitemap_locs_match_oracle(spark):
+    """Sitemap <loc> extraction (JVM regexp + entity decode) vs an
+    independent xml.etree implementation, over urlset and sitemapindex
+    documents with entities, whitespace, and non-http locs."""
+    from warcio_spark.operators.links import oracle_sitemap_locs, sitemap_locs
+
+    docs = [
+        ("http://h0.example.com/sitemap.xml",
+         '<?xml version="1.0"?>'
+         '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+         "<url><loc>http://h0.example.com/a.html</loc>"
+         "<lastmod>2024-01-01</lastmod></url>"
+         "<url><loc> http://h0.example.com/x?a=1&amp;b=2 </loc></url>"
+         "<url><loc>ftp://skip.example.com/f</loc></url>"
+         "<url><LOC>https://h0.example.com/case</LOC></url>"
+         "<url><loc>https://h0.example.com/last</loc></url>"
+         "</urlset>"),
+        ("http://h1.example.com/sitemap_index.xml",
+         "<sitemapindex><sitemap>"
+         "<loc>http://h1.example.com/sitemap-1.xml</loc>"
+         "</sitemap><sitemap>"
+         "<loc>http://h1.example.com/sitemap-2.xml</loc>"
+         "</sitemap></sitemapindex>"),
+        ("http://h2.example.com/empty.xml", "<urlset></urlset>"),
+    ]
+    df = spark.createDataFrame(docs, "url string, xml string")
+    got = {}
+    for r in sitemap_locs(df).select("src_url", "pos", "loc").collect():
+        got.setdefault(r.src_url, []).append((r.pos, r.loc))
+    for url, xml in docs:
+        want = oracle_sitemap_locs(xml)
+        assert [l for _, l in sorted(got.get(url, []))] == want, url
+    # entity decode + trim + scheme gate + XML case-sensitivity all hit
+    locs0 = [l for _, l in sorted(got[docs[0][0]])]
+    assert "http://h0.example.com/x?a=1&b=2" in locs0
+    assert "https://h0.example.com/case" not in locs0  # <LOC> != <loc>
+    assert "https://h0.example.com/last" in locs0
+    assert not any(l.startswith("ftp:") for l in locs0)
+
+
 def test_crawl_with_real_outlinks_matches_oracle(spark, tmp_path):
     """Multi-round crawl parity with link discovery from the fetched html:
     the Spark loop (fetch join -> JVM href extraction -> frontier) must

@@ -163,6 +163,64 @@ def redirect_candidates(fetched: DataFrame, url_col: str = "page_url") -> DataFr
     )
 
 
+# XML is case-sensitive: <loc> only, per the sitemaps.org schema
+_LOC_RX = "<loc>\\s*([^<]*?)\\s*</loc>"
+
+
+def sitemap_locs(sitemaps: DataFrame, url_col: str = "url",
+                 xml_col: str = "xml") -> DataFrame:
+    """Sitemap ingestion (the crawler's third discovery channel beside
+    anchors and redirects): ``<loc>`` entries of a sitemap.xml / sitemap
+    index, in document order — (src_url, pos, loc). Pure JVM regexp +
+    explode; per the sitemaps.org protocol locs are absolute URLs, so the
+    only post-processing is the http(s) scheme gate (a <loc> pointing at
+    a child sitemap is a valid row — the caller decides whether to
+    recurse on .xml targets or enqueue). Entity-decodes the five XML
+    escapes the protocol requires."""
+    locs = F.regexp_extract_all(F.col(xml_col), F.lit(_LOC_RX), F.lit(1))
+    out = (
+        sitemaps.select(F.col(url_col).alias("src_url"), "*")
+        .drop(url_col)
+        .select("*", F.posexplode(locs).alias("pos", "raw"))
+        .drop(xml_col)
+        .withColumn(
+            "loc",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.regexp_replace("raw", "&lt;", "<"),
+                            "&gt;", ">",
+                        ),
+                        "&quot;", "\""),
+                    "&apos;", "'"),
+                "&amp;", "&",
+            ),
+        )
+        .filter(F.col("loc").rlike("^https?://"))
+        .drop("raw")
+    )
+    return out
+
+
+def oracle_sitemap_locs(xml: str) -> list:
+    """Independent implementation: xml.etree over the sitemap namespace(s),
+    falling back to a namespace-agnostic local-name scan."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(xml)
+    except ET.ParseError:
+        return []
+    out = []
+    for el in root.iter():
+        if el.tag.rsplit("}", 1)[-1] == "loc" and el.text:
+            t = el.text.strip()
+            if t.startswith(("http://", "https://")):
+                out.append(t)
+    return out
+
+
 def page_outlinks_fn(pages: DataFrame):
     """outlinks_fn for plans.crawl.crawl(): fetch each scheduled url from
     the pages corpus and feed its REAL extracted links back to the
