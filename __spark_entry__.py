@@ -745,6 +745,34 @@ def q_sitemap_locs(spark, sf):
     )
 
 
+def q_url_hygiene(spark, sf):
+    """Crawl-trap heuristics (plans/frontier.py:url_trap_signals): path
+    depth, url length, query-param count, repeated path segments, and the
+    composite is_trap gate over a deterministic url universe that
+    exercises every signal. Oracle recomputes all five in DuckDB."""
+    from warcio_spark.plans.frontier import url_trap_signals
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("http://host"), s(d % 41), F.lit(".example.com"),
+        F.repeat(F.concat(F.lit("/seg"), s(d % 3)), (1 + d % 16).cast("int")),
+        F.when(d % 5 == 0, F.lit("/dup/dup/dup")).otherwise(F.lit("")),
+        F.lit("/p"), s(d), F.lit(".html"),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit("?a=0"),
+                     F.repeat(F.lit("&k=1"), (d % 20).cast("int"))),
+        ).otherwise(F.lit("")),
+    )
+    u = docs.select(d.alias("doc_id"), url.alias("url"))
+    return url_trap_signals(u).select(
+        "doc_id", "path_depth", "url_len", "n_params", "dup_segments",
+        "is_trap",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -786,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdxj_surt": q_cdxj_surt,
         "outlinks": q_outlinks,
         "sitemap_locs": q_sitemap_locs,
+        "url_hygiene": q_url_hygiene,
     }
 
 
@@ -960,6 +989,43 @@ def oracle_sql() -> dict[str, str]:
               len(list_filter(string_split_regex(trim(text), '\\s+'),
                   x -> lower(x) IN ('le','et','les'))) AS score_fr
             FROM documents
+        """,
+        "url_hygiene": """
+            WITH u AS (
+              SELECT doc_id,
+                'http://host' || (doc_id % 41)::VARCHAR || '.example.com'
+                || repeat('/seg' || (doc_id % 3)::VARCHAR,
+                          (1 + doc_id % 16)::INTEGER)
+                || CASE WHEN doc_id % 5 = 0 THEN '/dup/dup/dup' ELSE '' END
+                || '/p' || doc_id::VARCHAR || '.html'
+                || CASE WHEN doc_id % 4 = 0
+                        THEN '?a=0' || repeat('&k=1', (doc_id % 20)::INTEGER)
+                        ELSE '' END AS url
+              FROM documents),
+            x AS (
+              SELECT doc_id, url,
+                list_filter(
+                  string_split(
+                    regexp_extract(url,
+                      '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]+([^?#]*)', 1),
+                    '/'),
+                  s -> length(s) > 0) AS segs,
+                regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM u),
+            y AS (
+              SELECT doc_id,
+                CAST(len(segs) AS INTEGER) AS path_depth,
+                CAST(length(url) AS INTEGER) AS url_len,
+                CAST(CASE WHEN length(query) > 0
+                          THEN len(string_split(query, '&'))
+                          ELSE 0 END AS INTEGER) AS n_params,
+                CAST(len(segs) - len(list_distinct(segs)) AS INTEGER)
+                  AS dup_segments
+              FROM x)
+            SELECT doc_id, path_depth, url_len, n_params, dup_segments,
+                   (path_depth > 12 OR url_len > 512 OR n_params > 12
+                    OR dup_segments > 2) AS is_trap
+            FROM y
         """,
         "sitemap_locs": """
             WITH u AS (

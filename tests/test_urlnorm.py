@@ -110,3 +110,30 @@ def test_split_union_canonicalization_equals_pudf(spark):
             for r in df.select("i", WF.canonicalize_url("url").alias("c")).collect()}
     assert len(split) == len(urls)
     assert split == pudf
+
+
+def test_url_trap_signals_hand_cases(spark):
+    """Crawl-trap heuristics against hand-computed expectations."""
+    from warcio_spark.plans.frontier import url_trap_signals
+
+    cases = [
+        # url, depth, n_params, dup_segments, is_trap
+        ("http://h.com/a/b/c.html", 3, 0, 0, False),
+        ("http://h.com/", 0, 0, 0, False),
+        ("http://h.com/x?a=1&b=2", 1, 2, 0, False),
+        ("http://h.com/loop/loop/loop/loop/p", 5, 0, 3, True),
+        ("http://h.com" + "/s" * 13 + "/p", 14, 0, 12, True),
+        ("http://h.com/q?" + "&".join(f"p{i}=1" for i in range(13)),
+         1, 13, 0, True),
+        ("http://h.com/a/a/b", 3, 0, 1, False),
+    ]
+    df = spark.createDataFrame(
+        [(u, i) for i, (u, *_) in enumerate(cases)], "url string, i long"
+    )
+    got = {r.i: r for r in url_trap_signals(df).collect()}
+    for i, (u, depth, n_params, dups, trap) in enumerate(cases):
+        r = got[i]
+        assert (r.path_depth, r.n_params, r.dup_segments, r.is_trap) == (
+            depth, n_params, dups, trap
+        ), u
+        assert r.url_len == len(u)

@@ -260,6 +260,45 @@ def fetch_order(scheduled: DataFrame, partitions: int | None = None,
     )
 
 
+def url_trap_signals(df: DataFrame, url_col: str = "url",
+                     max_depth: int = 12, max_len: int = 512,
+                     max_params: int = 12,
+                     max_dup_segments: int = 2) -> DataFrame:
+    """Crawl-trap heuristics (calendar pages, session-id mazes, cyclic
+    path generators) as pure JVM expressions — the frontier hygiene gate
+    every production crawler runs before enqueueing. Adds:
+      path_depth    number of path segments
+      url_len       total url length
+      n_params      query parameters (0 without a query)
+      dup_segments  repeated path segments (len - len(distinct))
+      is_trap       any signal over its threshold
+    Opt-in: compose BEFORE prepare_candidates (the oracle crawler models
+    the politeness contract, not this heuristic)."""
+    u = F.col(url_col)
+    path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
+    segs = F.filter(
+        F.split(path, "/"), lambda x: F.length(x) > 0
+    )
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    n_params = F.when(F.length(query) > 0, F.size(F.split(query, "&"))).otherwise(
+        F.lit(0)
+    )
+    out = df.select(
+        "*",
+        F.size(segs).alias("path_depth"),
+        F.length(u).alias("url_len"),
+        n_params.alias("n_params"),
+        (F.size(segs) - F.size(F.array_distinct(segs))).alias("dup_segments"),
+    )
+    return out.withColumn(
+        "is_trap",
+        (F.col("path_depth") > max_depth)
+        | (F.col("url_len") > max_len)
+        | (F.col("n_params") > max_params)
+        | (F.col("dup_segments") > max_dup_segments),
+    )
+
+
 def prepare_candidates(raw: DataFrame, seen: DataFrame | None,
                        robots: DataFrame | None,
                        cfg: PolitenessConfig | None = None,
