@@ -137,7 +137,7 @@ def test_cli_ingest_incremental(tmp_path):
     assert second["batch"] is None
 
 
-def test_wet_cli_reference_readable(spark, capsys, tmp_path):
+def test_wet_cli_reference_readable(spark, capsys, tmp_path, warcio):
     """`wet` verb writes conversion records the reference library reads."""
     out_dir = str(tmp_path / "wet_out")
     code, out = run_cli(capsys, [
@@ -147,7 +147,6 @@ def test_wet_cli_reference_readable(spark, capsys, tmp_path):
     assert code == 0
     paths = [l for l in out.splitlines() if l.strip()]
     assert len(paths) == 1
-    sys.path.insert(0, "/root/reference")
     from warcio.archiveiterator import ArchiveIterator
 
     with open(paths[0], "rb") as f:

@@ -85,6 +85,54 @@ def test_extract_outlinks_decodes_html_when_no_text_column(spark):
     )
 
 
+def test_hostile_markup_extraction_matches_html_parser(spark):
+    """Attribute-aware extraction on markup the synthetic corpus never
+    renders: href= inside other attribute NAMES (data-href, xlink:href),
+    inside quoted attribute VALUES (title=\"href=nope\"), non-anchor tags
+    whose name starts with 'a' (<abbr>), unquoted attrs ahead of href."""
+    docs = [
+        '<a data-href="/tracked" href="/real">x</a>',
+        '<a title="href=nope" href="/real">x</a>',
+        '<abbr href="/not-an-anchor">x</abbr>',
+        '<a xlink:href="/svg" href="/real">x</a>',
+        '<a class=c id=z href="/real">x</a>',
+        "<a title='has href=deep inside' href=/bare>x</a>",
+        '<a href="/one">a</a> text <a href="/two">b</a>',
+        '<area href="/map">',
+    ]
+    df = spark.createDataFrame(
+        [(f"http://h{i}.example.com/p/x.html", d) for i, d in enumerate(docs)],
+        "page_url string, text string",
+    )
+    got = {}
+    for r in (
+        extract_outlinks(df, url_col="page_url", text_col="text")
+        .select("src_url", "pos", "href")
+        .collect()
+    ):
+        got.setdefault(r.src_url, []).append((r.pos, r.href))
+    for i, d in enumerate(docs):
+        url = f"http://h{i}.example.com/p/x.html"
+        want = [
+            (pos, h.split("#", 1)[0].strip())
+            for pos, h in enumerate(oracle_extract_hrefs(d))
+        ]
+        assert sorted(got.get(url, [])) == want, d
+
+
+def test_sitemap_numeric_refs_documented_gap():
+    """Numeric character references are the DOCUMENTED engine/oracle
+    divergence: the ET oracle decodes them, the engine passes them
+    through (sitemaps.org only requires the five named escapes). This
+    test pins the gap so a silent behavior change is caught."""
+    from warcio_spark.operators.links import oracle_sitemap_locs
+
+    xml = "<urlset><url><loc>http://h/x?a=1&#38;b=2</loc></url></urlset>"
+    assert oracle_sitemap_locs(xml) == ["http://h/x?a=1&b=2"]
+    # engine-side regexp+named-entity chain leaves &#38; verbatim — see
+    # sitemap_locs docstring; only the named five are decoded
+
+
 def test_resolution_contract_cases():
     base = "http://h.example.com/a/b/page.html?q=1"
     cases = [

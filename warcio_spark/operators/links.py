@@ -36,15 +36,38 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# quoted-or-bare href value inside an anchor tag, in document order
-_HREF_RX = "(?i)<a\\b[^>]*?\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)"
+# quoted-or-bare href value inside an anchor tag, in document order.
+# Attribute-aware: the prefix alternation consumes quoted attribute VALUES
+# atomically (so "href=" inside title="..." can never match) and href must
+# be preceded by whitespace (so data-href= / xlink:href= never match —
+# '\bhref' alone treats the hyphen/colon as a word boundary).
+_HREF_RX = (
+    "(?i)<a\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*?"
+    "\\shref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)"
+)
 
 # a link position cap so outlink seq assignment is collision-free:
 # seq = OUTLINK_SEQ_BASE + src_seq * MAX_LINKS_PER_PAGE + pos
+# with src_seq bounded to 2^40, link seqs top out below 2^47 — redirect
+# seqs start AT 2^47 so the two namespaces can never collide even for
+# hash-derived seeds
 MAX_LINKS_PER_PAGE = 64
 OUTLINK_SEQ_BASE = 20_000_000
-# redirect targets get their own seq namespace (one per fetched page)
-REDIRECT_SEQ_BASE = 10_000_000
+# redirect targets get their own disjoint seq namespace (one per page)
+REDIRECT_SEQ_BASE = 1 << 47
+
+
+def _cleaned_href(col, strip_quotes: bool = True) -> Column:
+    """The single cleanup contract for any raw link target: optional
+    quote-strip (anchor hrefs only — header values are never quoted),
+    then fragment-split, then whitespace trim. Mirrored by the oracles'
+    .strip()/fragment handling — change here and there together."""
+    h = F.col(col) if isinstance(col, str) else col
+    if strip_quotes:
+        h = F.regexp_replace(h, "^[\"']|[\"']$", "")
+    return F.regexp_replace(
+        F.split_part(h, F.lit("#"), F.lit(1)), r"^\s+|\s+$", ""
+    )
 
 
 def _resolved(base: Column, href: Column) -> Column:
@@ -114,16 +137,7 @@ def extract_outlinks(fetched: DataFrame, url_col: str = "page_url",
                 "pos", "__raw"
             ),
         )
-        .withColumn(
-            "href",
-            F.regexp_replace(
-                F.split_part(
-                    F.regexp_replace("__raw", "^[\"']|[\"']$", ""),
-                    F.lit("#"), F.lit(1),
-                ),
-                r"^\s+|\s+$", "",
-            ),
-        )
+        .withColumn("href", _cleaned_href("__raw"))
         .filter(F.length("href") > 0)
         .withColumn("outlink", _resolved(F.col("src_url"), F.col("href")))
         .filter(F.col("outlink").isNotNull())
@@ -145,7 +159,7 @@ def redirect_candidates(fetched: DataFrame, url_col: str = "page_url") -> DataFr
             F.col("http_status").between(300, 399)
             & (
                 F.length(
-                    F.split_part(F.col("redirect_location"), F.lit("#"), F.lit(1))
+                    _cleaned_href("redirect_location", strip_quotes=False)
                 )
                 > 0
             )
@@ -156,7 +170,7 @@ def redirect_candidates(fetched: DataFrame, url_col: str = "page_url") -> DataFr
             "outlink",
             _resolved(
                 F.col("src_url"),
-                F.split_part(F.col("redirect_location"), F.lit("#"), F.lit(1)),
+                _cleaned_href("redirect_location", strip_quotes=False),
             ),
         )
         .filter(F.col("outlink").isNotNull())
@@ -175,8 +189,12 @@ def sitemap_locs(sitemaps: DataFrame, url_col: str = "url",
     explode; per the sitemaps.org protocol locs are absolute URLs, so the
     only post-processing is the http(s) scheme gate (a <loc> pointing at
     a child sitemap is a valid row — the caller decides whether to
-    recurse on .xml targets or enqueue). Entity-decodes the five XML
-    escapes the protocol requires."""
+    recurse on .xml targets or enqueue). Entity-decodes the five NAMED
+    XML escapes — the only escaping sitemaps.org requires. Numeric
+    character references (&#38; / &#x26;), legal XML but not required by
+    the protocol, pass through VERBATIM — a documented divergence from a
+    full XML parser (pinned by
+    tests/test_links.py::test_sitemap_numeric_refs_documented_gap)."""
     locs = F.regexp_extract_all(F.col(xml_col), F.lit(_LOC_RX), F.lit(1))
     out = (
         sitemaps.select(F.col(url_col).alias("src_url"), "*")
@@ -281,15 +299,8 @@ def page_outlinks_fn(pages: DataFrame):
             F.col("e.raw").alias("raw"),
         )
         is_link = F.col("pos") >= 0
-        cleaned = F.regexp_replace(
-            F.split_part(
-                F.when(
-                    is_link,
-                    F.regexp_replace("raw", "^[\"']|[\"']$", ""),
-                ).otherwise(F.col("raw")),
-                F.lit("#"), F.lit(1),
-            ),
-            r"^\s+|\s+$", "",
+        cleaned = F.when(is_link, _cleaned_href("raw")).otherwise(
+            _cleaned_href("raw", strip_quotes=False)
         )
         out = (
             exploded.withColumn("href", cleaned)
