@@ -167,3 +167,20 @@ def test_cdxj_cli_sorted_lines(spark, capsys):
     key, ts, block = lines[0].split(" ", 2)
     assert key.startswith("com,example)") and len(ts) == 14
     json.loads(block)
+
+
+def test_archive_cli_reference_readable(spark, capsys, tmp_path, warcio):
+    """`archive` verb writes response records the reference reads with
+    digests raised."""
+    out_dir = str(tmp_path / "arch")
+    code, out = run_cli(capsys, [
+        "archive", "--pages", "40", "--output", out_dir, "--files", "1",
+    ])
+    assert code == 0
+    paths = [l for l in out.splitlines() if l.strip()]
+    assert len(paths) == 1
+    from warcio.archiveiterator import ArchiveIterator
+
+    with open(paths[0], "rb") as f:
+        types = [r.rec_type for r in ArchiveIterator(f, check_digests="raise")]
+    assert len(types) == 40 and set(types) == {"response"}

@@ -152,6 +152,24 @@ def cmd_cdxj(args) -> int:
     return 0
 
 
+def cmd_archive(args) -> int:
+    """pages table (parquet path or --pages N synthetic) -> .warc.gz
+    archives the reference library reads back (operators/writer.py:
+    archive_pages), one file per partition."""
+    spark = _spark()
+    from warcio_spark.operators.writer import archive_pages
+
+    if args.pages:
+        from warcio_spark.sources import synth_pages
+
+        pages = synth_pages(spark, args.pages)
+    else:
+        pages = spark.read.parquet(args.input)
+    for p in archive_pages(pages, args.output, files=args.files):
+        sys.stdout.write(p + "\n")
+    return 0
+
+
 def cmd_crawl(args) -> int:
     from pyspark.sql import functions as F
 
@@ -233,6 +251,15 @@ def main(argv=None) -> int:
     pj = sub.add_parser("cdxj")
     pj.add_argument("inputs", nargs="+")
     pj.set_defaults(fn=cmd_cdxj)
+
+    pa = sub.add_parser("archive")
+    pa.add_argument("input", nargs="?", default=None,
+                    help="pages parquet path (omit with --pages)")
+    pa.add_argument("--output", required=True)
+    pa.add_argument("--pages", type=int, default=0,
+                    help="archive a synthetic pages corpus of this size")
+    pa.add_argument("--files", type=int, default=None)
+    pa.set_defaults(fn=cmd_archive)
 
     pw = sub.add_parser("crawl")
     pw.add_argument("--seeds", type=int, default=1000)

@@ -141,6 +141,94 @@ def write_warc(records: DataFrame, out_dir: str, gzip: bool = True,
     return sorted(paths)
 
 
+ARCHIVE_RECORDS_DDL = (
+    "format string, rec_type string,"
+    " rec_headers array<struct<name:string,value:string>>, url string,"
+    " http_protocol string, http_statusline string,"
+    " http_headers array<struct<name:string,value:string>>,"
+    " content_type string, length long, payload_length long,"
+    " payload binary, filename string, offset long"
+)
+
+
+def pages_to_records(pages: DataFrame) -> DataFrame:
+    """Fetched pages (url, warc_ts, html) -> writer-shaped WARC response
+    records: the archiving leg of the crawl loop (fetch -> extract ->
+    ARCHIVE). Each row runs the same builder as the reference
+    (kernels/build.py:build_record — http block parsed from the payload,
+    both digests computed, Content-Length recomputed), with a
+    DETERMINISTIC name-based record id (md5 of url|date — uuid4 would
+    break run-to-run reproducibility and the bench's determinism gates).
+    Feed the result to write_warc; one Arrow hop, no shuffle, so the
+    whole pages->WARC job is file-parallel end to end."""
+    import pandas as pd
+
+    from warcio_spark.kernels.build import build_record
+    from warcio_spark.kernels.chrono import datetime_to_iso
+
+    cols = [f.split(" ")[0] for f in ARCHIVE_RECORDS_DDL.split(", ")]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                date = datetime_to_iso(ts.to_pydatetime())
+                h = hashlib.md5(
+                    "{0}|{1}".format(url, date).encode("utf-8", "replace")
+                ).hexdigest()
+                rid = "<urn:uuid:{0}-{1}-{2}-{3}-{4}>".format(
+                    h[:8], h[8:12], h[12:16], h[16:20], h[20:32]
+                )
+                rec = build_record(
+                    url, "response", payload=bytes(html),
+                    record_id=rid, warc_date=date,
+                )
+                rows.append(
+                    {
+                        "format": rec["format"],
+                        "rec_type": rec["rec_type"],
+                        "rec_headers": [
+                            {"name": n, "value": v}
+                            for n, v in rec["rec_headers"]
+                        ],
+                        "url": rec["url"],
+                        "http_protocol": rec["http_protocol"],
+                        "http_statusline": rec["http_statusline"],
+                        "http_headers": (
+                            None
+                            if rec["http_headers"] is None
+                            else [
+                                {"name": n, "value": v}
+                                for n, v in rec["http_headers"]
+                            ]
+                        ),
+                        "content_type": rec["content_type"],
+                        "length": rec["length"],
+                        "payload_length": rec["payload_length"],
+                        "payload": rec["payload"],
+                        "filename": None,
+                        "offset": 0,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        pages.select("url", "warc_ts", "html")
+        .filter(F.col("html").isNotNull())
+        .mapInPandas(run, ARCHIVE_RECORDS_DDL)
+    )
+
+
+def archive_pages(pages: DataFrame, out_dir: str, gzip: bool = True,
+                  files: int | None = None, mode: str = "overwrite") -> list:
+    """pages -> .warc(.gz) archives the reference library reads back with
+    digests verified. Returns written paths."""
+    return write_warc(pages_to_records(pages), out_dir, gzip=gzip,
+                      files=files, mode=mode)
+
+
 def recompress(spark: SparkSession, in_paths, out_dir: str) -> list:
     """The reference's recompress CLI as a job: read any parseable archive
     (even invalid single-member gzip), emit per-record-gzip-member WARCs."""
