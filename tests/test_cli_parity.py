@@ -184,3 +184,26 @@ def test_archive_cli_reference_readable(spark, capsys, tmp_path, warcio):
     with open(paths[0], "rb") as f:
         types = [r.rec_type for r in ArchiveIterator(f, check_digests="raise")]
     assert len(types) == 40 and set(types) == {"response"}
+
+
+def test_crawl_archive_pipeline(spark, capsys, tmp_path, warcio):
+    """crawl --pages --archive: the full pipeline — link-discovery crawl,
+    then every fetched page archived as reference-readable WARC."""
+    import glob
+
+    from warcio.archiveiterator import ArchiveIterator
+
+    code, out = run_cli(capsys, [
+        "crawl", "--seeds", "40", "--pages", "200", "--rounds", "2",
+        "--state", str(tmp_path / "st"), "--archive", str(tmp_path / "arch"),
+    ])
+    assert code == 0
+    summary = json.loads(out.splitlines()[-1])
+    assert summary["archived_files"] >= 1
+    n = 0
+    for p in glob.glob(str(tmp_path / "arch" / "*.warc.gz")):
+        with open(p, "rb") as f:
+            for rec in ArchiveIterator(f, check_digests="raise"):
+                assert rec.rec_type == "response"
+                n += 1
+    assert 0 < n <= summary["rounds"][-1]["n_seen"]

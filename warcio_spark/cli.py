@@ -203,6 +203,22 @@ def cmd_crawl(args) -> int:
         from warcio_spark.plans.crawl import default_outlinks as outlinks_fn
     summary = crawl(spark, seeds, demo_robots(spark), args.state,
                     rounds=args.rounds, outlinks_fn=outlinks_fn)
+    if args.archive and args.pages:
+        # archive every fetched page as reference-readable WARC: join the
+        # crawl's fetch log back to the corpus on the canonical-url hash
+        from warcio_spark.operators.writer import archive_pages
+        from warcio_spark.plans.crawl import fetch_log
+        from warcio_spark.plans.frontier import with_frontier_keys
+
+        log = fetch_log(spark, args.state).select(
+            F.xxhash64("url_canon").alias("url_hash")
+        )
+        keyed = with_frontier_keys(pages)
+        fetched = keyed.join(log.distinct(), "url_hash")
+        paths = archive_pages(
+            fetched.select("url", "warc_ts", "html"), args.archive
+        )
+        summary["archived_files"] = len(paths)
     sys.stdout.write(json.dumps(summary) + "\n")
     return 0
 
@@ -268,6 +284,9 @@ def main(argv=None) -> int:
     pw.add_argument("--pages", type=int, default=0,
                     help="crawl a synthetic pages corpus of this size with "
                          "real link extraction (0 = synthetic expansion)")
+    pw.add_argument("--archive", default=None,
+                    help="with --pages: write every fetched page as "
+                         ".warc.gz to this directory after the crawl")
     pw.set_defaults(fn=cmd_crawl)
 
     args = p.parse_args(argv)
