@@ -359,3 +359,38 @@ def test_archive_pages_deterministic_ids(spark, tmp_path):
     b = {r.url: [h for h in r.rec_headers if h.name == "WARC-Record-ID"][0].value
          for r in pages_to_records(pages).collect()}
     assert a == b and len(a) > 50
+
+
+def test_archive_pages_dedup_revisits(spark, warcio, tmp_path):
+    """dedup=True: duplicate payloads become revisit records the reference
+    reads back — WARC-Profile + WARC-Refers-To-*, empty block, originals
+    intact."""
+    from warcio.archiveiterator import ArchiveIterator
+
+    from warcio_spark.operators.writer import archive_pages
+
+    # the generator plants dup-url pages (i and i-37 share content)
+    pages = synth_pages(spark, 300, partitions=3)
+    out = str(tmp_path / "dedup_arch")
+    paths = archive_pages(pages, out, gzip=True, files=2, dedup=True)
+
+    responses, revisits = 0, {}
+    for p in paths:
+        with open(p, "rb") as f:
+            for rec in ArchiveIterator(f, check_digests="raise"):
+                if rec.rec_type == "response":
+                    responses += 1
+                else:
+                    assert rec.rec_type == "revisit"
+                    h = rec.rec_headers
+                    assert "identical-payload-digest" in h.get_header("WARC-Profile")
+                    revisits[h.get_header("WARC-Target-URI")] = h.get_header(
+                        "WARC-Refers-To-Target-URI"
+                    )
+                    assert rec.content_stream().read() == b""
+    assert responses + len(revisits) == 300
+    assert len(revisits) > 0
+    # every revisit refers to a url that exists as a full response capture
+    urls = {r.url for r in pages.collect()}
+    for src, orig in revisits.items():
+        assert orig in urls

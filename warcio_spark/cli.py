@@ -165,7 +165,8 @@ def cmd_archive(args) -> int:
         pages = synth_pages(spark, args.pages)
     else:
         pages = spark.read.parquet(args.input)
-    for p in archive_pages(pages, args.output, files=args.files):
+    for p in archive_pages(pages, args.output, files=args.files,
+                           dedup=args.dedup):
         sys.stdout.write(p + "\n")
     return 0
 
@@ -275,6 +276,8 @@ def main(argv=None) -> int:
     pa.add_argument("--pages", type=int, default=0,
                     help="archive a synthetic pages corpus of this size")
     pa.add_argument("--files", type=int, default=None)
+    pa.add_argument("--dedup", action="store_true",
+                    help="write duplicate payloads as revisit records")
     pa.set_defaults(fn=cmd_archive)
 
     pw = sub.add_parser("crawl")

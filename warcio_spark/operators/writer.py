@@ -147,7 +147,8 @@ ARCHIVE_RECORDS_DDL = (
     " http_protocol string, http_statusline string,"
     " http_headers array<struct<name:string,value:string>>,"
     " content_type string, length long, payload_length long,"
-    " payload binary, filename string, offset long"
+    " payload binary, filename string, offset long,"
+    " warc_ts timestamp, record_id string"
 )
 
 
@@ -210,6 +211,8 @@ def pages_to_records(pages: DataFrame) -> DataFrame:
                         "payload": rec["payload"],
                         "filename": None,
                         "offset": 0,
+                        "warc_ts": ts,
+                        "record_id": rid,
                     }
                 )
             yield pd.DataFrame(rows, columns=cols)
@@ -222,11 +225,22 @@ def pages_to_records(pages: DataFrame) -> DataFrame:
 
 
 def archive_pages(pages: DataFrame, out_dir: str, gzip: bool = True,
-                  files: int | None = None, mode: str = "overwrite") -> list:
+                  files: int | None = None, mode: str = "overwrite",
+                  dedup: bool = False) -> list:
     """pages -> .warc(.gz) archives the reference library reads back with
-    digests verified. Returns written paths."""
-    return write_warc(pages_to_records(pages), out_dir, gzip=gzip,
-                      files=files, mode=mode)
+    digests verified. Returns written paths.
+
+    ``dedup=True`` is storage dedup-on-write: any page whose payload
+    digest matches an EARLIER capture is written as a ``revisit`` record
+    (WARC-Profile identical-payload-digest, WARC-Refers-To-*) instead of
+    a full response — the Common-Crawl dedup pattern, via
+    operators.dedup.substitute_revisits (one shuffle on the digest)."""
+    recs = pages_to_records(pages)
+    if dedup:
+        from warcio_spark.operators.dedup import substitute_revisits
+
+        recs = substitute_revisits(recs)
+    return write_warc(recs, out_dir, gzip=gzip, files=files, mode=mode)
 
 
 def recompress(spark: SparkSession, in_paths, out_dir: str) -> list:
