@@ -156,6 +156,9 @@ def cmd_archive(args) -> int:
     """pages table (parquet path or --pages N synthetic) -> .warc.gz
     archives the reference library reads back (operators/writer.py:
     archive_pages), one file per partition."""
+    if not args.pages and args.input is None:
+        sys.stderr.write("archive: provide a pages parquet path or --pages N\n")
+        return 2
     spark = _spark()
     from warcio_spark.operators.writer import archive_pages
 
@@ -204,22 +207,41 @@ def cmd_crawl(args) -> int:
         from warcio_spark.plans.crawl import default_outlinks as outlinks_fn
     summary = crawl(spark, seeds, demo_robots(spark), args.state,
                     rounds=args.rounds, outlinks_fn=outlinks_fn)
-    if args.archive and args.pages:
+    if args.archive and not args.pages:
+        sys.stderr.write("crawl: --archive requires --pages "
+                         "(only corpus fetches can be archived)\n")
+        return 2
+    if args.archive:
         # archive every fetched page as reference-readable WARC: join the
         # crawl's fetch log back to the corpus on the canonical-url hash
+        from pyspark.sql import Window
+
         from warcio_spark.operators.writer import archive_pages
         from warcio_spark.plans.crawl import fetch_log
         from warcio_spark.plans.frontier import with_frontier_keys
 
-        log = fetch_log(spark, args.state).select(
-            F.xxhash64("url_canon").alias("url_hash")
-        )
-        keyed = with_frontier_keys(pages)
-        fetched = keyed.join(log.distinct(), "url_hash")
-        paths = archive_pages(
-            fetched.select("url", "warc_ts", "html"), args.archive
-        )
-        summary["archived_files"] = len(paths)
+        log = fetch_log(spark, args.state)
+        if log is None:
+            summary["archived_files"] = 0
+        else:
+            hashes = log.select(
+                F.xxhash64("url_canon").alias("url_hash")
+            ).distinct()
+            # one archived capture per fetch: a corpus with duplicate-url
+            # rows (re-crawled captures) keeps only the LATEST one
+            w = Window.partitionBy("url_hash").orderBy(
+                F.col("warc_ts").desc(), "url"
+            )
+            keyed = (
+                with_frontier_keys(pages)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+            )
+            paths = archive_pages(
+                keyed.join(hashes, "url_hash").select("url", "warc_ts", "html"),
+                args.archive,
+            )
+            summary["archived_files"] = len(paths)
     sys.stdout.write(json.dumps(summary) + "\n")
     return 0
 

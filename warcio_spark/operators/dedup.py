@@ -106,7 +106,19 @@ def substitute_revisits(records: DataFrame) -> DataFrame:
     )
 
     profile = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
-    is_dup = F.col("_rn") > 1
+    # empty payloads are NOT dedup candidates: every 3xx/204/HEAD capture
+    # shares the empty-body digest, and rewriting them as revisits would
+    # point unrelated urls at each other (real dedup pipelines exclude
+    # zero-length payloads for exactly this reason). The flag must be
+    # MATERIALIZED before any rewrite: it reads `payload`, which the
+    # rewrite chain below replaces — referencing the expression lazily in
+    # later withColumns would re-evaluate it against the emptied column.
+    flagged = flagged.withColumn(
+        "_is_dup",
+        (F.col("_rn") > 1)
+        & (F.coalesce(F.length(F.col("payload")), F.lit(0)) > 0),
+    )
+    is_dup = F.col("_is_dup")
     new_headers = F.when(
         is_dup,
         F.concat(
@@ -140,7 +152,7 @@ def substitute_revisits(records: DataFrame) -> DataFrame:
             "length",
             F.when(is_dup, F.lit(None).cast("long")).otherwise(F.col("length")),
         )
-        .drop("_digest", "_rn", "_orig_url", "_orig_ts")
+        .drop("_digest", "_rn", "_orig_url", "_orig_ts", "_is_dup")
     )
     return rewritten.unionByName(other)
 

@@ -161,27 +161,40 @@ def pages_to_records(pages: DataFrame) -> DataFrame:
     DETERMINISTIC name-based record id (md5 of url|date — uuid4 would
     break run-to-run reproducibility and the bench's determinism gates).
     Feed the result to write_warc; one Arrow hop, no shuffle, so the
-    whole pages->WARC job is file-parallel end to end."""
+    whole pages->WARC job is file-parallel end to end. Rows with a NULL
+    html or warc_ts are skipped (no record can be built for them)."""
     import pandas as pd
 
     from warcio_spark.kernels.build import build_record
     from warcio_spark.kernels.chrono import datetime_to_iso
 
-    cols = [f.split(" ")[0] for f in ARCHIVE_RECORDS_DDL.split(", ")]
+    cols = [
+        "format", "rec_type", "rec_headers", "url", "http_protocol",
+        "http_statusline", "http_headers", "content_type", "length",
+        "payload_length", "payload", "filename", "offset",
+        "warc_ts", "record_id",
+    ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import uuid
+
+        from warcio_spark.kernels.parse import make_record_id
 
         for pdf in batches:
             rows = []
             for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
-                date = datetime_to_iso(ts.to_pydatetime())
+                dt = ts.to_pydatetime()
+                date = datetime_to_iso(dt)
+                # hash the FULL timestamp (micros included) so sub-second
+                # refetches of one url keep distinct record ids even though
+                # WARC-Date is written at second precision
                 h = hashlib.md5(
-                    "{0}|{1}".format(url, date).encode("utf-8", "replace")
+                    "{0}|{1}".format(url, dt.isoformat()).encode(
+                        "utf-8", "replace"
+                    )
                 ).hexdigest()
-                rid = "<urn:uuid:{0}-{1}-{2}-{3}-{4}>".format(
-                    h[:8], h[8:12], h[12:16], h[16:20], h[20:32]
-                )
+                rid = make_record_id(uuid.UUID(h))
                 rec = build_record(
                     url, "response", payload=bytes(html),
                     record_id=rid, warc_date=date,
@@ -219,7 +232,7 @@ def pages_to_records(pages: DataFrame) -> DataFrame:
 
     return (
         pages.select("url", "warc_ts", "html")
-        .filter(F.col("html").isNotNull())
+        .filter(F.col("html").isNotNull() & F.col("warc_ts").isNotNull())
         .mapInPandas(run, ARCHIVE_RECORDS_DDL)
     )
 
@@ -236,11 +249,20 @@ def archive_pages(pages: DataFrame, out_dir: str, gzip: bool = True,
     a full response — the Common-Crawl dedup pattern, via
     operators.dedup.substitute_revisits (one shuffle on the digest)."""
     recs = pages_to_records(pages)
-    if dedup:
-        from warcio_spark.operators.dedup import substitute_revisits
+    if not dedup:
+        return write_warc(recs, out_dir, gzip=gzip, files=files, mode=mode)
 
-        recs = substitute_revisits(recs)
-    return write_warc(recs, out_dir, gzip=gzip, files=files, mode=mode)
+    from warcio_spark.operators.dedup import substitute_revisits
+
+    # persist: substitute_revisits splits response/other branches of the
+    # same plan, which would re-run the per-row build kernel twice over
+    # an uncached mapInPandas source
+    recs = recs.persist()
+    try:
+        return write_warc(substitute_revisits(recs), out_dir, gzip=gzip,
+                          files=files, mode=mode)
+    finally:
+        recs.unpersist()
 
 
 def recompress(spark: SparkSession, in_paths, out_dir: str) -> list:
