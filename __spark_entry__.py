@@ -1094,7 +1094,7 @@ def oracle_sql() -> dict[str, str]:
             m AS (
               SELECT doc_id, base,
                 regexp_extract_all(text,
-                  '(?i)<a\\b(?:[^>"'']|"[^"]*"|''[^'']*'')*?\\shref\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s"''>]+)',
+                  '(?i)<a\\b(?:[^<>"'']|"[^"]*"|''[^'']*'')*?\\shref\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s"''>]+)',
                   1) AS arr
               FROM u),
             e AS (

@@ -207,3 +207,45 @@ def test_crawl_archive_pipeline(spark, capsys, tmp_path, warcio):
                 assert rec.rec_type == "response"
                 n += 1
     assert 0 < n <= summary["rounds"][-1]["n_seen"]
+
+
+def test_crawl_archive_wet_cdxj_pipeline(spark, capsys, tmp_path, warcio):
+    """The composed Common-Crawl-style pipeline: link-discovery crawl ->
+    WARC archive -> WET conversion records + CDXJ index, all
+    reference-readable."""
+    import glob
+
+    from warcio.archiveiterator import ArchiveIterator
+
+    code, out = run_cli(capsys, [
+        "crawl", "--seeds", "40", "--pages", "200", "--rounds", "2",
+        "--state", str(tmp_path / "st"), "--archive", str(tmp_path / "arch"),
+    ])
+    assert code == 0
+    warcs = sorted(glob.glob(str(tmp_path / "arch" / "*.warc.gz")))
+    assert warcs
+    n_responses = 0
+    for p in warcs:
+        with open(p, "rb") as f:
+            n_responses += sum(
+                1 for r in ArchiveIterator(f) if r.rec_type == "response"
+            )
+
+    code, out = run_cli(capsys, [
+        "wet", *warcs, "--output", str(tmp_path / "wet"), "--files", "1",
+    ])
+    assert code == 0
+    wet_paths = [l for l in out.splitlines() if l.strip()]
+    n_conversions = 0
+    with open(wet_paths[0], "rb") as f:
+        for rec in ArchiveIterator(f, check_digests="raise"):
+            assert rec.rec_type == "conversion"
+            n_conversions += 1
+    assert n_conversions == n_responses > 0
+
+    code, out = run_cli(capsys, ["cdxj", *warcs])
+    assert code == 0
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert len(lines) == n_responses
+    keys = [tuple(l.split(" ", 2)[:2]) for l in lines]
+    assert keys == sorted(keys)

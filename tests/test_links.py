@@ -99,6 +99,7 @@ def test_hostile_markup_extraction_matches_html_parser(spark):
         "<a title='has href=deep inside' href=/bare>x</a>",
         '<a href="/one">a</a> text <a href="/two">b</a>',
         '<area href="/map">',
+        '<a <a href=/x>',  # malformed nesting: scan stops at tag-open
     ]
     df = spark.createDataFrame(
         [(f"http://h{i}.example.com/p/x.html", d) for i, d in enumerate(docs)],

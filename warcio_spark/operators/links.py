@@ -40,9 +40,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 # Attribute-aware: the prefix alternation consumes quoted attribute VALUES
 # atomically (so "href=" inside title="..." can never match) and href must
 # be preceded by whitespace (so data-href= / xlink:href= never match —
-# '\bhref' alone treats the hyphen/colon as a word boundary).
+# '\bhref' alone treats the hyphen/colon as a word boundary). '<' is
+# EXCLUDED from the unquoted class: a scan may never cross the next
+# tag-open, which keeps matching linear — with '<' allowed, poison pages
+# like '<a <a <a ...' made every start position rescan the rest of the
+# document (quadratic; ~5s at 27 KB, measured).
 _HREF_RX = (
-    "(?i)<a\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*?"
+    "(?i)<a\\b(?:[^<>\"']|\"[^\"]*\"|'[^']*')*?"
     "\\shref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)"
 )
 
