@@ -233,6 +233,39 @@ def test_sitemap_locs_match_oracle(spark):
     assert not any(l.startswith("ftp:") for l in locs0)
 
 
+def test_seeds_from_sitemaps_feed_frontier(spark):
+    """Sitemap-sourced seeds flow through prepare_candidates like any
+    frontier input: deterministic seq, junk locs dropped, dedup works."""
+    from warcio_spark.operators.links import seeds_from_sitemaps
+    from warcio_spark.plans.frontier import prepare_candidates
+
+    sm = spark.createDataFrame(
+        [
+            ("http://h0.example.com/sitemap.xml",
+             "<urlset><url><loc>http://h0.example.com/a.html</loc></url>"
+             "<url><loc>http://h0.example.com/b.html</loc></url>"
+             "<url><loc>ftp://skip/f</loc></url></urlset>"),
+            ("http://h1.example.com/sitemap.xml",
+             "<urlset><url><loc>http://h0.example.com/a.html</loc></url>"
+             "</urlset>"),  # same loc from a second sitemap -> dedup
+        ],
+        "url string, xml string",
+    )
+    seeds = seeds_from_sitemaps(sm)
+    rows = {(r.url, r.seq) for r in seeds.collect()}
+    assert len(rows) == 3  # two from h0's map, one dup from h1's
+    assert all(r[1] >= (1 << 48) for r in rows)
+    # deterministic across re-evaluation
+    assert rows == {(r.url, r.seq) for r in seeds.collect()}
+
+    prepped = prepare_candidates(seeds, None, None, CFG)
+    got = {r.url_canon for r in prepped.collect()}
+    assert got == {
+        "http://h0.example.com/a.html",
+        "http://h0.example.com/b.html",
+    }
+
+
 def test_crawl_with_real_outlinks_matches_oracle(spark, tmp_path):
     """Multi-round crawl parity with link discovery from the fetched html:
     the Spark loop (fetch join -> JVM href extraction -> frontier) must

@@ -225,6 +225,31 @@ def sitemap_locs(sitemaps: DataFrame, url_col: str = "url",
     return out
 
 
+SITEMAP_SEQ_BASE = 1 << 48
+
+
+def seeds_from_sitemaps(sitemaps: DataFrame, url_col: str = "url",
+                        xml_col: str = "xml",
+                        priority: float = 90.0) -> DataFrame:
+    """Sitemap <loc> entries as frontier seed candidates (url, priority,
+    seq): the sitemap discovery channel feeding crawl(). Deterministic
+    seq from (source url hash, document position) in a namespace disjoint
+    from link (< 2^47) and redirect (2^47..2^48) candidates; high default
+    priority — sitemaps are the site's own curation. Collision-free while
+    pos < 65536 (the sitemaps.org protocol caps a file at 50,000 urls)."""
+    locs = sitemap_locs(sitemaps, url_col=url_col, xml_col=xml_col)
+    s = F.pmod(F.xxhash64("src_url"), F.lit(1 << 40))
+    return locs.select(
+        F.col("loc").alias("url"),
+        F.lit(float(priority)).alias("priority"),
+        (
+            F.lit(SITEMAP_SEQ_BASE)
+            + s * (MAX_LINKS_PER_PAGE * 1024)
+            + F.col("pos")
+        ).alias("seq"),
+    )
+
+
 def oracle_sitemap_locs(xml: str) -> list:
     """Independent implementation: xml.etree over the sitemap namespace(s),
     falling back to a namespace-agnostic local-name scan."""
