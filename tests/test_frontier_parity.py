@@ -524,3 +524,33 @@ def test_fetch_order_null_priority_ranks_last(spark):
         .orderBy("fo").collect()
     ]
     assert got == want
+
+
+def test_recrawl_ttl_matches_oracle(spark, tmp_path):
+    """Freshness semantics: with recrawl_ttl, urls age out of the seen-set
+    and are re-enqueued + refetched — engine fetch log must match the
+    oracle crawler exactly, including refetch rounds and ordering."""
+    cands = make_candidates(200)
+    robots = make_robots()
+
+    want_log, _ = oracle.crawl(cands, robots, crawlmod.oracle_outlinks,
+                               rounds=5, cfg=OCFG, recrawl_ttl=2)
+    # the scenario actually exercises refetching
+    canons = [t[2] for t in want_log]
+    assert len(canons) > len(set(canons)), "no url was ever refetched"
+
+    seeds = spark.createDataFrame(
+        [(c["url"], c["priority"], c["seq"]) for c in cands],
+        "url string, priority double, seq long",
+    ).repartition(4)
+    state_dir = str(tmp_path / "crawl_ttl")
+    crawlmod.crawl(spark, seeds, robots_df(spark, robots), state_dir,
+                   rounds=5, cfg=CFG, recrawl_ttl=2)
+
+    got = [
+        (r.round, r.fetch_order, r.url_canon)
+        for r in crawlmod.fetch_log(spark, state_dir)
+        .orderBy("round", "fetch_order")
+        .collect()
+    ]
+    assert got == sorted(want_log, key=lambda t: (t[0], t[1]))

@@ -33,7 +33,11 @@ FRONTIER_COLS = ["url", "priority", "seq"]
 # checkpointed frontiers persist their canonical keys so later rounds skip
 # re-canonicalizing the carried-over majority (prepare_candidates detects it)
 FRONTIER_KEYED_COLS = ["url", "priority", "seq", "url_canon", "url_hash", "host"]
-SEEN_COLS = ["url_hash", "url_canon"]
+# fetch_round + the scheduled seq ride along in the seen-set so freshness
+# (recrawl_ttl) can age urls out and re-enqueue them deterministically
+SEEN_COLS = ["url_hash", "url_canon", "fetch_round", "seq"]
+SEEN_SCHEMA = "url_hash long, url_canon string, fetch_round int, seq long"
+RECRAWL_SEQ_BASE = 1 << 50  # mirrored in reference_crawler.py
 
 
 @dataclass
@@ -109,7 +113,7 @@ class RoundState:
             if os.path.isdir(d):
                 paths.append(d)
         if not paths:
-            return spark.createDataFrame([], "url_hash long, url_canon string")
+            return spark.createDataFrame([], SEEN_SCHEMA)
         return spark.read.parquet(*paths)
 
     def read_metrics(self, n: int) -> dict:
@@ -175,7 +179,8 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
           state_dir: str, rounds: int, cfg: PolitenessConfig | None = None,
           outlinks_fn=default_outlinks, resume: bool = True,
           compact_every: int = 8, bloom_sidecar: str | None = None,
-          bloom_ranges: int = 16) -> dict:
+          bloom_ranges: int = 16, recrawl_ttl: int | None = None,
+          recrawl_priority: float = 95.0) -> dict:
     """Run (or resume) a checkpointed crawl. Returns summary metrics.
 
     seeds: DataFrame(url, priority, seq). Each round:
@@ -214,7 +219,7 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
         if n_seen_total is None:
             n_seen_total = seen.count()
     else:
-        seen = spark.createDataFrame([], "url_hash long, url_canon string")
+        seen = spark.createDataFrame([], SEEN_SCHEMA)
         frontier = seeds.select(*FRONTIER_COLS)
         n_seen_total = 0
 
@@ -247,8 +252,34 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
         t0 = time.perf_counter()
         obs_c = Observation()
         obs_s = Observation()
+        frontier_in, seen_in = frontier, seen
+        if recrawl_ttl:
+            from warcio_spark.plans.frontier import with_frontier_keys
+
+            # freshness: a url blocks re-fetching only while its last fetch
+            # is younger than ttl rounds; aged-out urls are re-enqueued
+            # every round with a deterministic seq until refetched
+            # (mirrored by reference_crawler.crawl(recrawl_ttl=...))
+            seen_in = seen.filter(F.col("fetch_round") > n - recrawl_ttl)
+            due = (
+                seen.groupBy("url_hash", "url_canon")
+                .agg(F.max("fetch_round").alias("_lf"), F.min("seq").alias("_s0"))
+                .filter(F.col("_lf") <= n - recrawl_ttl)
+                .select(
+                    F.col("url_canon").alias("url"),
+                    F.lit(float(recrawl_priority)).alias("priority"),
+                    (
+                        F.lit(RECRAWL_SEQ_BASE) + F.pmod("_s0", F.lit(1 << 40))
+                    ).alias("seq"),
+                )
+            )
+            frontier_in = frontier.unionByName(
+                with_frontier_keys(due).select(*FRONTIER_KEYED_COLS)
+                if "url_hash" in frontier.columns
+                else due.select(*FRONTIER_COLS)
+            )
         cands = (
-            prepare_candidates(frontier, seen, robots, cfg, seen_filter=seen_filter)
+            prepare_candidates(frontier_in, seen_in, robots, cfg, seen_filter=seen_filter)
             .observe(obs_c, F.count(F.lit(1)).alias("n_candidates"))
             .cache()
         )
@@ -273,7 +304,9 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
             break
         n_seen_total += n_scheduled
 
-        seen_delta = scheduled.select(*SEEN_COLS)
+        seen_delta = scheduled.select(
+            "url_hash", "url_canon", "seq"
+        ).withColumn("fetch_round", F.lit(n)).select(*SEEN_COLS)
         # robots-denied urls leave the frontier for good (same rule in the
         # oracle crawler); unscheduled eligible candidates carry over WITH
         # their canonical keys (no re-canonicalization next round)
@@ -301,9 +334,23 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
             "wall_sec": round(time.perf_counter() - t0, 3),
             "scheduled_partition_lineage": partition_lineage(scheduled),
         }
+        seen_full = None
+        if compacting:
+            # compaction folds refetch history to one row per url (latest
+            # fetch round, smallest historical seq) — a no-op when deltas
+            # are disjoint (recrawl off)
+            seen_full = (
+                seen.unionByName(seen_delta)
+                .groupBy("url_hash", "url_canon")
+                .agg(
+                    F.max("fetch_round").alias("fetch_round"),
+                    F.min("seq").alias("seq"),
+                )
+                .select(*SEEN_COLS)
+            )
         state.write_round(
             spark, n, scheduled, seen_delta, next_frontier, metrics,
-            seen_full=seen.unionByName(seen_delta) if compacting else None,
+            seen_full=seen_full,
         )
         summary["rounds"].append(metrics)
 

@@ -94,33 +94,60 @@ def schedule(cands, seen_canon: set, robots: dict,
     return picked
 
 
+# recrawl candidates live above every other seq namespace (links < 2^47,
+# redirects 2^47.., sitemaps 2^48..)
+RECRAWL_SEQ_BASE = 1 << 50
+
+
 def crawl(seed_cands, robots: dict, outlinks_fn, rounds: int,
-          cfg: OracleConfig | None = None):
+          cfg: OracleConfig | None = None,
+          recrawl_ttl: int | None = None,
+          recrawl_priority: float = 95.0):
     """Multi-round oracle crawl. ``outlinks_fn(fetched_dict) -> list of
     candidate dicts`` must be the same deterministic function the Spark crawl
     uses. Returns (fetch_log, seen_canon):
-    fetch_log = list of (round, fetch_order, url_canon)."""
+    fetch_log = list of (round, fetch_order, url_canon).
+
+    ``recrawl_ttl``: freshness semantics — a url blocks re-fetching only
+    while ``round - last_fetch_round < ttl``; once aged out it is
+    re-enqueued every round (priority=recrawl_priority, deterministic seq
+    from the url's smallest historical seq) until refetched."""
     cfg = cfg or OracleConfig()
-    seen = set()
+    seen = {}  # canon -> [last_fetch_round, min historical seq]
     frontier = list(seed_cands)
     log = []
     for r in range(1, rounds + 1):
-        picked = schedule(frontier, seen, robots, cfg)
+        if recrawl_ttl:
+            blocked = {c for c, (lr, _) in seen.items()
+                       if lr > r - recrawl_ttl}
+            due = [
+                {
+                    "url": c,
+                    "priority": recrawl_priority,
+                    "seq": RECRAWL_SEQ_BASE + (s0 % (1 << 40)),
+                }
+                for c, (lr, s0) in seen.items()
+                if lr <= r - recrawl_ttl
+            ]
+        else:
+            blocked = set(seen)
+            due = []
+        cands_in = frontier + due
+        picked = schedule(cands_in, blocked, robots, cfg)
         if not picked:
             break
-        picked_canon = {c["url_canon"] for c in picked}
         for c in picked:
             log.append((r, c["fetch_order"], c["url_canon"]))
-            seen.add(c["url_canon"])
+            prev = seen.get(c["url_canon"])
+            seen[c["url_canon"]] = [
+                r, c["seq"] if prev is None else min(prev[1], c["seq"])
+            ]
         # unscheduled candidates stay in the frontier; fetched pages emit
         # outlinks as new candidates
-        remaining = [
-            c
-            for c in prepare(frontier, seen, robots, cfg)
-            if c["url_canon"] not in picked_canon
-        ]
+        blocked_after = blocked | {c["url_canon"] for c in picked}
+        remaining = list(prepare(cands_in, blocked_after, robots, cfg))
         new = []
         for c in picked:
             new.extend(outlinks_fn(c))
         frontier = remaining + new
-    return log, seen
+    return log, set(seen)
