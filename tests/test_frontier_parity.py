@@ -554,3 +554,38 @@ def test_recrawl_ttl_matches_oracle(spark, tmp_path):
         .collect()
     ]
     assert got == sorted(want_log, key=lambda t: (t[0], t[1]))
+
+
+def test_recrawl_resume_is_exact(spark, tmp_path):
+    """Freshness + checkpointing: stop after round 2, resume for 2 more —
+    identical fetch log to 4 straight rounds (the due-set derives from the
+    committed seen snapshots, so resume is exact by construction)."""
+    cands = make_candidates(150)
+    seeds = spark.createDataFrame(
+        [(c["url"], c["priority"], c["seq"]) for c in cands],
+        "url string, priority double, seq long",
+    ).repartition(3)
+    rdf = robots_df(spark, make_robots())
+
+    d_full = str(tmp_path / "ttl_full")
+    d_res = str(tmp_path / "ttl_res")
+    crawlmod.crawl(spark, seeds, rdf, d_full, rounds=4, cfg=CFG,
+                   recrawl_ttl=2)
+    crawlmod.crawl(spark, seeds, rdf, d_res, rounds=2, cfg=CFG,
+                   recrawl_ttl=2)
+    crawlmod.crawl(spark, seeds, rdf, d_res, rounds=2, cfg=CFG,
+                   recrawl_ttl=2, resume=True)
+
+    full = [
+        (r.round, r.fetch_order, r.url_canon)
+        for r in crawlmod.fetch_log(spark, d_full)
+        .orderBy("round", "fetch_order").collect()
+    ]
+    res = [
+        (r.round, r.fetch_order, r.url_canon)
+        for r in crawlmod.fetch_log(spark, d_res)
+        .orderBy("round", "fetch_order").collect()
+    ]
+    assert full == res
+    canons = [t[2] for t in full]
+    assert len(canons) > len(set(canons))  # refetches crossed the boundary

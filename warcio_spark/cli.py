@@ -206,7 +206,8 @@ def cmd_crawl(args) -> int:
         )
         from warcio_spark.plans.crawl import default_outlinks as outlinks_fn
     summary = crawl(spark, seeds, demo_robots(spark), args.state,
-                    rounds=args.rounds, outlinks_fn=outlinks_fn)
+                    rounds=args.rounds, outlinks_fn=outlinks_fn,
+                    recrawl_ttl=args.recrawl_ttl or None)
     if args.archive and not args.pages:
         sys.stderr.write("crawl: --archive requires --pages "
                          "(only corpus fetches can be archived)\n")
@@ -312,6 +313,9 @@ def main(argv=None) -> int:
     pw.add_argument("--archive", default=None,
                     help="with --pages: write every fetched page as "
                          ".warc.gz to this directory after the crawl")
+    pw.add_argument("--recrawl-ttl", type=int, default=0,
+                    help="re-fetch urls whose last fetch is at least this "
+                         "many rounds old (0 = never re-fetch)")
     pw.set_defaults(fn=cmd_crawl)
 
     args = p.parse_args(argv)
