@@ -589,3 +589,39 @@ def test_recrawl_resume_is_exact(spark, tmp_path):
     assert full == res
     canons = [t[2] for t in full]
     assert len(canons) > len(set(canons))  # refetches crossed the boundary
+
+
+def test_recrawl_survives_drained_frontier(spark, tmp_path):
+    """With recrawl, an idle round must COMMIT and keep ticking so fetched
+    urls age toward their ttl — a drained frontier (no outlinks) still
+    refetches once urls age out, matching the oracle exactly."""
+    cands = [
+        {"url": f"http://host{i}.example.com/only/{i}",
+         "priority": 10.0 + i, "seq": i}
+        for i in range(3)
+    ]
+
+    def no_outlinks_oracle(c):
+        return []
+
+    def no_outlinks_engine(scheduled):
+        return scheduled.select("url", "priority", "seq").limit(0)
+
+    want_log, _ = oracle.crawl(cands, {}, no_outlinks_oracle, rounds=5,
+                               cfg=OCFG, recrawl_ttl=2)
+    rounds_seen = {t[0] for t in want_log}
+    assert rounds_seen == {1, 3, 5}, rounds_seen  # refetch every ttl rounds
+
+    seeds = spark.createDataFrame(
+        [(c["url"], c["priority"], c["seq"]) for c in cands],
+        "url string, priority double, seq long",
+    )
+    state_dir = str(tmp_path / "drained")
+    crawlmod.crawl(spark, seeds, None, state_dir, rounds=5, cfg=CFG,
+                   outlinks_fn=no_outlinks_engine, recrawl_ttl=2)
+    got = [
+        (r.round, r.fetch_order, r.url_canon)
+        for r in crawlmod.fetch_log(spark, state_dir)
+        .orderBy("round", "fetch_order").collect()
+    ]
+    assert got == sorted(want_log, key=lambda t: (t[0], t[1]))

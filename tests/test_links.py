@@ -283,17 +283,13 @@ def test_resolution_engine_vs_oracle_randomized(spark):
         [(i, b, h) for i, (b, h) in enumerate(pairs)],
         "i long, base string, href string",
     )
+    from warcio_spark.operators.links import _cleaned_href
+
     got = {
         r.i: r.out
         for r in df.select(
             "i",
-            _resolved(
-                F.col("base"),
-                F.regexp_replace(
-                    F.split_part(F.col("href"), F.lit("#"), F.lit(1)),
-                    r"^\s+|\s+$", "",
-                ),
-            ).alias("out"),
+            _resolved(F.col("base"), _cleaned_href("href")).alias("out"),
         ).collect()
     }
     for i, (b, h) in enumerate(pairs):

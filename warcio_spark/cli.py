@@ -177,6 +177,11 @@ def cmd_archive(args) -> int:
 def cmd_crawl(args) -> int:
     from pyspark.sql import functions as F
 
+    if args.archive and not args.pages:
+        sys.stderr.write("crawl: --archive requires --pages "
+                         "(only corpus fetches can be archived)\n")
+        return 2
+
     from warcio_spark.plans.crawl import crawl
     from warcio_spark.plans.frontier import demo_robots
 
@@ -208,10 +213,6 @@ def cmd_crawl(args) -> int:
     summary = crawl(spark, seeds, demo_robots(spark), args.state,
                     rounds=args.rounds, outlinks_fn=outlinks_fn,
                     recrawl_ttl=args.recrawl_ttl or None)
-    if args.archive and not args.pages:
-        sys.stderr.write("crawl: --archive requires --pages "
-                         "(only corpus fetches can be archived)\n")
-        return 2
     if args.archive:
         # archive every fetched page as reference-readable WARC: join the
         # crawl's fetch log back to the corpus on the canonical-url hash

@@ -238,7 +238,10 @@ def seeds_from_sitemaps(sitemaps: DataFrame, url_col: str = "url",
     priority — sitemaps are the site's own curation. Collision-free while
     pos < 65536 (the sitemaps.org protocol caps a file at 50,000 urls)."""
     locs = sitemap_locs(sitemaps, url_col=url_col, xml_col=xml_col)
-    s = F.pmod(F.xxhash64("src_url"), F.lit(1 << 40))
+    # 30-bit source bucket x 64Ki positions stays strictly inside
+    # [2^48, 2^48 + 2^46): below RECRAWL_SEQ_BASE (2^50) so the documented
+    # namespace layering (links < redirects < sitemaps < recrawl) holds
+    s = F.pmod(F.xxhash64("src_url"), F.lit(1 << 30))
     return locs.select(
         F.col("loc").alias("url"),
         F.lit(float(priority)).alias("priority"),

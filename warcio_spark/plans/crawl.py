@@ -47,13 +47,14 @@ class RoundState:
     metrics.json, committed by writing _COMMIT last.
 
     The seen-set is APPEND-ONLY: each round commits only its newly
-    scheduled urls as ``seen_delta`` (they are disjoint from all prior seen
-    by the anti-join, and unique within the round by candidate dedup — so
-    the merged view needs no dropDuplicates and the per-round write is
-    proportional to new urls, not to the whole 10^10-key history). Every
-    ``compact_every`` rounds a full ``seen`` snapshot is rewritten so the
-    merged read never unions more than compact_every delta files — the
-    shim-level equivalent of Iceberg MERGE + compaction."""
+    scheduled urls as ``seen_delta`` (disjoint from all prior seen WHEN
+    recrawl is off; with ``recrawl_ttl`` a refetched url appears once per
+    fetch and readers aggregate by url — the per-round write is
+    proportional to this round's fetches either way, never to the whole
+    10^10-key history). Every ``compact_every`` rounds a full ``seen``
+    snapshot is rewritten — folding refetch history to one row per url —
+    so the merged read never unions more than compact_every delta files:
+    the shim-level equivalent of Iceberg MERGE + compaction."""
 
     state_dir: str
 
@@ -96,7 +97,8 @@ class RoundState:
 
     def read_seen(self, spark: SparkSession, n: int) -> DataFrame:
         """Merged seen view at round n: latest full snapshot <= n plus the
-        deltas after it. Duplicate-free by construction."""
+        deltas after it. Duplicate-free without recrawl; with recrawl_ttl
+        a url carries one row per fetch until the next compaction."""
         rounds = [r for r in self.committed_rounds() if r <= n]
         base = max(
             (r for r in rounds
@@ -114,7 +116,20 @@ class RoundState:
                 paths.append(d)
         if not paths:
             return spark.createDataFrame([], SEEN_SCHEMA)
-        return spark.read.parquet(*paths)
+        # mergeSchema + fills: a state dir written before the seen-set
+        # carried (fetch_round, seq) reads back with those columns null —
+        # normalize to fetch_round=0 ("age unknown => stale", so recrawl
+        # treats pre-migration urls as immediately due) and seq=0
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        for col, default in (
+            ("fetch_round", F.lit(0).cast("int")),
+            ("seq", F.lit(0).cast("long")),
+        ):
+            if col not in df.columns:
+                df = df.withColumn(col, default)
+            else:
+                df = df.withColumn(col, F.coalesce(F.col(col), default))
+        return df.select(*SEEN_COLS)
 
     def read_metrics(self, n: int) -> dict:
         with open(os.path.join(self.round_dir(n), "metrics.json")) as f:
@@ -193,7 +208,9 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
     Metrics ride the round's one driving action via DataFrame observations
     (candidate count on the prepare stage, host cardinality on the schedule
     stage) instead of separate count() jobs; the seen total is
-    prev + n_scheduled, exact because deltas are disjoint by construction.
+    prev + n_scheduled — exact distinct-url count while recrawl is off
+    (deltas disjoint); with ``recrawl_ttl`` it counts cumulative FETCH
+    events (refetches recount), which is also what bloom sizing wants.
     fetch_order's range boundaries are sampled ONCE per crawl() call and
     reused every round — no per-round sampling or count actions.
 
@@ -208,6 +225,8 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
 
     from warcio_spark.plans.frontier import sample_order_boundaries
 
+    if recrawl_ttl is not None and recrawl_ttl < 1:
+        raise ValueError("recrawl_ttl must be >= 1 (or None to disable)")
     cfg = cfg or PolitenessConfig()
     state = RoundState(state_dir)
 
@@ -253,7 +272,7 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
         obs_c = Observation()
         obs_s = Observation()
         frontier_in, seen_in = frontier, seen
-        if recrawl_ttl:
+        if recrawl_ttl and n > recrawl_ttl:
             from warcio_spark.plans.frontier import with_frontier_keys
 
             # freshness: a url blocks re-fetching only while its last fetch
@@ -296,12 +315,15 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
             scheduled, boundaries=order_bounds, persist_tracker=tracker
         ).cache()
         n_scheduled = scheduled.count()
-        if n_scheduled == 0:
+        if n_scheduled == 0 and not recrawl_ttl:
+            # drained frontier, nothing will ever become eligible again
             cands.unpersist()
             scheduled.unpersist()
             for df in tracker:
                 df.unpersist()
             break
+        # under recrawl an idle round still COMMITS (empty delta): rounds
+        # must keep ticking so fetched urls age toward their ttl
         n_seen_total += n_scheduled
 
         seen_delta = scheduled.select(
@@ -323,11 +345,21 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
         next_frontier = remaining.unionByName(expanded)
 
         compacting = compact_every > 0 and n % compact_every == 0
+
+        def _obs(o, key, fallback):
+            # AQE empty-relation propagation can prune an observe node out
+            # of an idle round's plan entirely; Observation.get then fails
+            # on a result that never fired
+            try:
+                return int(o.get[key])
+            except Exception:
+                return int(fallback())
+
         metrics = {
             "round": n,
-            "n_candidates": int(obs_c.get["n_candidates"]),
+            "n_candidates": _obs(obs_c, "n_candidates", cands.count),
             "n_scheduled": n_scheduled,
-            "n_hosts_approx": int(obs_s.get["n_hosts_approx"]),
+            "n_hosts_approx": _obs(obs_s, "n_hosts_approx", lambda: 0),
             "n_seen": n_seen_total,
             "n_seen_delta": n_scheduled,
             "compacted": compacting,

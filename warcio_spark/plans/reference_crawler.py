@@ -135,6 +135,10 @@ def crawl(seed_cands, robots: dict, outlinks_fn, rounds: int,
         cands_in = frontier + due
         picked = schedule(cands_in, blocked, robots, cfg)
         if not picked:
+            if recrawl_ttl:
+                # idle round still ticks: urls keep aging toward the ttl
+                frontier = list(prepare(cands_in, blocked, robots, cfg))
+                continue
             break
         for c in picked:
             log.append((r, c["fetch_order"], c["url_canon"]))
