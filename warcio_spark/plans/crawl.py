@@ -214,6 +214,12 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
     fetch_order's range boundaries are sampled ONCE per crawl() call and
     reused every round — no per-round sampling or count actions.
 
+    ``recrawl_ttl`` cost note: the due-set is an aggregation over the
+    merged seen view each round once n > ttl (skipped before that). At
+    10^10 keys you'd maintain an incremental last-fetch table instead —
+    the same compaction hook is where it would live; plan shape otherwise
+    unchanged.
+
     ``bloom_sidecar``: directory for the range-partitioned Bloom sidecar
     (plans/bloom.py — the 10^10 seen-set layout). When set, the seen-set
     anti-join is pre-pruned by the sidecar (identical results; false
