@@ -74,15 +74,20 @@ def index_cdxj(records: DataFrame) -> DataFrame:
 
     Records with no url OR no parseable WARC-Date are excluded: a CDXJ
     line is keyed on both, and concat_ws would otherwise silently emit a
-    malformed two-field line for a NULL timestamp. ts14 renders via the
-    session time zone — run with spark.sql.session.timeZone=UTC (all of
-    this repo's session builders do) for spec-correct timestamps."""
+    malformed two-field line for a NULL timestamp. Only capture-bearing
+    record types (response/revisit/resource/metadata) are indexed —
+    pywb's cdx-indexer excludes request records by default, and a CDXJ
+    stream merged with pywb output must agree on which records exist.
+    ts14 renders via the session time zone — run with
+    spark.sql.session.timeZone=UTC (all of this repo's session builders
+    do) for spec-correct timestamps."""
     ts14 = F.date_format(F.col("warc_ts"), "yyyyMMddHHmmss")
-    # cdxj mime = the PAYLOAD type: http Content-Type (parameters trimmed)
-    # for response/revisit, the WARC Content-Type otherwise
+    # cdxj mime: pywb emits the literal 'warc/revisit' for revisit
+    # records; responses carry the PAYLOAD type — http Content-Type with
+    # parameters trimmed; everything else the WARC Content-Type
     http_ct = WF.header_get("http_headers", "Content-Type")
-    mime = F.when(
-        F.col("rec_type").isin("response", "revisit") & http_ct.isNotNull(),
+    mime = F.when(F.col("rec_type") == "revisit", F.lit("warc/revisit")).when(
+        (F.col("rec_type") == "response") & http_ct.isNotNull(),
         F.trim(F.split_part(http_ct, F.lit(";"), F.lit(1))),
     ).otherwise(F.col("content_type"))
     block = F.to_json(
@@ -97,7 +102,9 @@ def index_cdxj(records: DataFrame) -> DataFrame:
         )
     )
     return records.filter(
-        F.col("url").isNotNull() & F.col("warc_ts").isNotNull()
+        F.col("url").isNotNull()
+        & F.col("warc_ts").isNotNull()
+        & F.col("rec_type").isin("response", "revisit", "resource", "metadata")
     ).select(
         WF.surt_key("url").alias("urlkey"),
         ts14.alias("timestamp"),

@@ -235,9 +235,14 @@ def seeds_from_sitemaps(sitemaps: DataFrame, url_col: str = "url",
     seq): the sitemap discovery channel feeding crawl(). Deterministic
     seq from (source url hash, document position) in a namespace disjoint
     from link (< 2^47) and redirect (2^47..2^48) candidates; high default
-    priority — sitemaps are the site's own curation. Collision-free while
-    pos < 65536 (the sitemaps.org protocol caps a file at 50,000 urls)."""
-    locs = sitemap_locs(sitemaps, url_col=url_col, xml_col=xml_col)
+    priority — sitemaps are the site's own curation. The sitemaps.org
+    protocol caps a file at 50,000 urls; a malformed sitemap exceeding
+    the 65,536-position bucket is TRUNCATED there (mirroring
+    extract_outlinks' MAX_LINKS_PER_PAGE slice) so one bad file can
+    never bleed seqs into another source's bucket."""
+    locs = sitemap_locs(sitemaps, url_col=url_col, xml_col=xml_col).filter(
+        F.col("pos") < MAX_LINKS_PER_PAGE * 1024
+    )
     # 30-bit source bucket x 64Ki positions stays strictly inside
     # [2^48, 2^48 + 2^46): below RECRAWL_SEQ_BASE (2^50) so the documented
     # namespace layering (links < redirects < sitemaps < recrawl) holds

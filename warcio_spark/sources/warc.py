@@ -219,6 +219,7 @@ def _open_ranged(path: str, start: int, length: int) -> bytes:
             body = r.read()
             if r.status == 206:
                 return body[:length]
+            _warn_range_ignored(path)
             return body[start:start + length]  # Range ignored: slice
     try:
         import fsspec
@@ -229,6 +230,28 @@ def _open_ranged(path: str, start: int, length: int) -> bytes:
     with fsspec.open(path, "rb") as f:
         f.seek(start)
         return f.read(length)
+
+
+_RANGE_IGNORED_WARNED: set = set()
+
+
+def _warn_range_ignored(path: str) -> None:
+    """Warn ONCE per process per URL when a server ignores Range: every
+    ranged task then re-downloads the whole file — correct but
+    O(tasks x filesize), which the user should see, not discover from
+    network bills."""
+    if path in _RANGE_IGNORED_WARNED:
+        return
+    _RANGE_IGNORED_WARNED.add(path)
+    import warnings
+
+    warnings.warn(
+        "server for {0} ignores Range requests; each ranged read "
+        "downloads the whole file (use read_warc on many files, or a "
+        "Range-capable server, for large inputs)".format(path),
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def _local_path(scheme: str, rest: str, path: str) -> str:
@@ -257,22 +280,32 @@ def _path_size(path: str) -> int:
 
         # HEAD first; fall back to a 1-byte Range GET for servers that
         # reject HEAD (method-specific presigned URLs) or omit
-        # Content-Length — Content-Range carries the total size there
+        # Content-Length — Content-Range carries the total size there.
+        # Only URL/HTTP errors trigger the fallback, and the HEAD failure
+        # is CHAINED onto any GET failure so a genuine error (DNS, 403,
+        # 404) surfaces its original cause instead of the fallback's.
+        import urllib.error
+
+        head_err = None
         try:
             req = urllib.request.Request(path, method="HEAD")
             with urllib.request.urlopen(req) as r:
                 cl = r.headers["Content-Length"]
                 if cl is not None:
                     return int(cl)
-        except Exception:
-            pass
+        except (urllib.error.URLError, OSError) as e:
+            head_err = e
         req = urllib.request.Request(path, headers={"Range": "bytes=0-0"})
-        with urllib.request.urlopen(req) as r:
-            cr = r.headers["Content-Range"]  # e.g. "bytes 0-0/12345"
-            if r.status == 206 and cr and "/" in cr:
-                return int(cr.rsplit("/", 1)[1])
-            body = r.read()  # Range ignored: the body IS the file
-            return len(body)
+        try:
+            with urllib.request.urlopen(req) as r:
+                cr = r.headers["Content-Range"]  # e.g. "bytes 0-0/12345"
+                if r.status == 206 and cr and "/" in cr:
+                    return int(cr.rsplit("/", 1)[1])
+                body = r.read()  # Range ignored: the body IS the file
+                _warn_range_ignored(path)
+                return len(body)
+        except Exception as e:
+            raise e from head_err
     try:
         import fsspec
     except ImportError as e:
