@@ -2,6 +2,7 @@
 oracle crawler's fetch ordering + URL-seen set exactly, at any partitioning
 (BASELINE.json:2,6 correctness gate)."""
 
+import os
 import shutil
 import tempfile
 
@@ -625,3 +626,133 @@ def test_recrawl_survives_drained_frontier(spark, tmp_path):
         .orderBy("round", "fetch_order").collect()
     ]
     assert got == sorted(want_log, key=lambda t: (t[0], t[1]))
+
+
+def test_recrawl_across_compaction_matches_oracle(spark, tmp_path):
+    """The incremental due-set (fetch_round-partitioned base snapshot,
+    pruned to stale partitions, plus post-compaction deltas) must
+    reproduce the oracle exactly when compaction lands mid-recrawl —
+    including exact resume across both boundaries."""
+    cands = make_candidates(200)
+    robots = make_robots()
+    want_log, _ = oracle.crawl(cands, robots, crawlmod.oracle_outlinks,
+                               rounds=7, cfg=OCFG, recrawl_ttl=2)
+    canons = [t[2] for t in want_log]
+    assert len(canons) > len(set(canons)), "no url was ever refetched"
+
+    seeds = spark.createDataFrame(
+        [(c["url"], c["priority"], c["seq"]) for c in cands],
+        "url string, priority double, seq long",
+    ).repartition(4)
+    rdf = robots_df(spark, robots)
+
+    d_full = str(tmp_path / "ttl_compact")
+    crawlmod.crawl(spark, seeds, rdf, d_full, rounds=7, cfg=CFG,
+                   recrawl_ttl=2, compact_every=2)
+    st = crawlmod.RoundState(d_full)
+    base_path, _deltas = st.seen_paths(st.last_round())
+    assert base_path is not None, "compaction never produced a snapshot"
+    assert any(
+        d.startswith("fetch_round=") for d in os.listdir(base_path)
+    ), "snapshot is not partitioned by fetch_round"
+
+    got = [
+        (r.round, r.fetch_order, r.url_canon)
+        for r in crawlmod.fetch_log(spark, d_full)
+        .orderBy("round", "fetch_order").collect()
+    ]
+    assert got == sorted(want_log, key=lambda t: (t[0], t[1]))
+
+    # resume leg: 4 rounds, then 3 more, crossing compaction AND ttl
+    d_res = str(tmp_path / "ttl_compact_res")
+    crawlmod.crawl(spark, seeds, rdf, d_res, rounds=4, cfg=CFG,
+                   recrawl_ttl=2, compact_every=2)
+    crawlmod.crawl(spark, seeds, rdf, d_res, rounds=3, cfg=CFG,
+                   recrawl_ttl=2, compact_every=2, resume=True)
+    res = [
+        (r.round, r.fetch_order, r.url_canon)
+        for r in crawlmod.fetch_log(spark, d_res)
+        .orderBy("round", "fetch_order").collect()
+    ]
+    assert res == got
+
+
+def test_recrawl_due_prunes_snapshot_partitions(spark, tmp_path):
+    """recrawl_due's scan of the compacted snapshot must carry a
+    fetch_round partition filter — the property that caps its cost at
+    O(stale + delta) instead of O(total seen) at 10^10 keys."""
+    cands = make_candidates(120)
+    seeds = spark.createDataFrame(
+        [(c["url"], c["priority"], c["seq"]) for c in cands],
+        "url string, priority double, seq long",
+    )
+    d = str(tmp_path / "prune")
+    crawlmod.crawl(spark, seeds, None, d, rounds=6, cfg=CFG,
+                   recrawl_ttl=3, compact_every=2)
+    st = crawlmod.RoundState(d)
+    last = st.last_round()
+    due = crawlmod.recrawl_due(spark, st, last, last + 1, 3, 95.0)
+    plan = due._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "fetch_round" in plan, plan[:2000]
+    # and the due-set itself matches the full-aggregation definition
+    seen = st.read_seen(spark, last)
+    want = {
+        (r.url_canon, r._s0)
+        for r in seen.groupBy("url_hash", "url_canon")
+        .agg(F.max("fetch_round").alias("_lf"), F.min("seq").alias("_s0"))
+        .filter(F.col("_lf") <= last + 1 - 3)
+        .collect()
+    }
+    got = {
+        (r.url, r.seq - crawlmod.RECRAWL_SEQ_BASE)
+        for r in due.collect()
+    }
+    assert got == {(c, s % (1 << 40)) for c, s in want}
+
+
+def test_concurrent_writer_fails_fast(spark, tmp_path):
+    """A second crawl() against a leased state_dir errors cleanly (no
+    partial writes), the state stays resumable, and a stale lease from a
+    crashed writer is taken over."""
+    import json
+    import time as _time
+
+    seeds = spark.createDataFrame(
+        [(c["url"], c["priority"], c["seq"]) for c in make_candidates(60)],
+        "url string, priority double, seq long",
+    )
+    d = str(tmp_path / "leased")
+    crawlmod.crawl(spark, seeds, None, d, rounds=2, cfg=CFG)
+    assert not os.path.exists(os.path.join(d, "_LEASE"))  # released
+
+    holder = crawlmod.acquire_lease(d, ttl_sec=3600)
+    before = crawlmod.RoundState(d).committed_rounds()
+    with pytest.raises(crawlmod.CrawlLeaseError):
+        crawlmod.crawl(spark, seeds, None, d, rounds=2, cfg=CFG, resume=True)
+    assert crawlmod.RoundState(d).committed_rounds() == before  # untouched
+
+    crawlmod.release_lease(d, holder)
+    crawlmod.crawl(spark, seeds, None, d, rounds=2, cfg=CFG, resume=True)
+    assert crawlmod.RoundState(d).last_round() == 4
+
+    # crashed writer: heartbeat older than ttl => takeover succeeds
+    with open(os.path.join(d, "_LEASE"), "w") as f:
+        json.dump({"token": "dead", "pid": 0, "ts": _time.time() - 9999}, f)
+    crawlmod.crawl(spark, seeds, None, d, rounds=1, cfg=CFG, resume=True,
+                   lease_ttl_sec=60)
+    assert crawlmod.RoundState(d).last_round() == 5
+    assert not os.path.exists(os.path.join(d, "_LEASE"))
+
+
+def test_lease_fencing_detects_takeover(tmp_path):
+    """If our lease is stolen mid-stall, renew_lease (called before every
+    round commit) must abort rather than write over the thief's state."""
+    import json
+    import time as _time
+
+    d = str(tmp_path / "fence")
+    token = crawlmod.acquire_lease(d, ttl_sec=3600)
+    with open(os.path.join(d, "_LEASE"), "w") as f:
+        json.dump({"token": "thief", "pid": 1, "ts": _time.time()}, f)
+    with pytest.raises(crawlmod.CrawlLeaseError):
+        crawlmod.renew_lease(d, token)

@@ -473,3 +473,27 @@ def not_allowed(robots_dict, canon):
         return False
     m = re.match(r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)$", canon)
     return not robots_allowed(m.group(1) if m else "/", rule)
+
+
+def test_outlink_structs_matches_extract_outlinks(spark):
+    """The array-valued WAT helper and the exploding frontier extractor
+    must agree row-for-row (pos, href, resolved url) — one extraction
+    contract, two consumption shapes."""
+    from warcio_spark.operators.links import outlink_structs
+
+    pages = synth_pages(spark, 300, partitions=4)
+    arr = (
+        pages.select(
+            F.col("url").alias("src_url"),
+            F.explode(
+                outlink_structs(F.col("url"), F.col("text"))
+            ).alias("e"),
+        )
+        .select("src_url", "e.pos", "e.href", F.col("e.url").alias("outlink"))
+    )
+    exploded = extract_outlinks(
+        pages, url_col="url", html_col="html", text_col="text"
+    ).select("src_url", "pos", "href", "outlink")
+    a = sorted(map(tuple, arr.collect()))
+    b = sorted(map(tuple, exploded.collect()))
+    assert a == b and len(a) > 200

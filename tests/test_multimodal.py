@@ -50,3 +50,86 @@ def test_decode_image_optional_codec_contract():
     assert len(feat) == 16
     # undecodable bytes -> NULL row, not a task failure
     assert mm.decode_image(b"not an image") is None
+
+
+def _ppm_bytes(w, h, rgb_fn, maxval=255):
+    """Binary P6 with a comment line (header-tolerance coverage)."""
+    head = f"P6\n# synth\n{w} {h}\n{maxval}\n".encode()
+    body = bytearray()
+    for y in range(h):
+        for x in range(w):
+            body.extend(rgb_fn(x, y))
+    return head + bytes(body)
+
+
+def test_ppm_codec_real_decode_through_spark(spark):
+    """The builtin netpbm codec is a REAL pixel decode running the same
+    mapInPandas path a PIL-equipped cluster runs: known pixels in, exact
+    dimensions + luminance features out, undecodable rows NULL."""
+    white = _ppm_bytes(8, 8, lambda x, y: (255, 255, 255))
+    black = _ppm_bytes(4, 4, lambda x, y: (0, 0, 0))
+    rows = [
+        (0, "image", "image/x-portable-pixmap", bytearray(white), None),
+        (1, "image", "image/x-portable-pixmap", bytearray(black), None),
+        (2, "image", "application/octet-stream", bytearray(b"junk"), None),
+        (3, "audio", "audio/wav", bytearray(b"not touched"), None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in
+           mm.image_features(media, codec="ppm").collect()}
+    assert set(out) == {0, 1, 2}  # audio pruned JVM-side
+    assert (out[0].width, out[0].height, out[0].channels) == (8, 8, 3)
+    assert all(abs(f - 1.0) < 1e-6 for f in out[0].features)
+    assert (out[1].width, out[1].height, out[1].channels) == (4, 4, 3)
+    assert all(abs(f + 1.0) < 1e-6 for f in out[1].features)
+    assert out[2].width is None and out[2].features is None
+
+
+def test_ppm_codec_grayscale_and_maxval():
+    g = _ppm_bytes(4, 2, lambda x, y: (7,), maxval=7).replace(b"P6", b"P5", 1)
+    w, h, c, feat = mm._decode_image_ppm(g)
+    assert (w, h, c) == (4, 2, 1)
+    assert all(abs(f - 1.0) < 1e-6 for f in feat)  # maxval rescales to 255
+    assert mm._decode_image_ppm(b"P6 oops") is None
+
+
+def test_pil_branch_executes_with_standin_module(monkeypatch):
+    """_decode_image_pil's real lines (open/load/size/getbands/convert/
+    resize) run against a minimal PIL stand-in when the sandbox has no
+    PIL — a PIL-equipped cluster runs the same lines against the real
+    module (test_decode_image_optional_codec_contract)."""
+    import numpy as np
+
+    class _Gray:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def resize(self, size):
+            w, h = size
+            return np.full((h, w), float(self.arr.mean()), dtype=np.float32)
+
+    class _Img:
+        size = (6, 4)
+
+        def load(self):
+            pass
+
+        def getbands(self):
+            return ("R", "G", "B")
+
+        def convert(self, mode):
+            assert mode == "L"
+            return _Gray(np.full((4, 6), 127.5, dtype=np.float32))
+
+    class _ImageMod:
+        @staticmethod
+        def open(fp):
+            if fp.read(4) != b"IMG!":
+                raise OSError("cannot identify image file")
+            return _Img()
+
+    monkeypatch.setattr(mm, "_PILImage", _ImageMod)
+    w, h, c, feat = mm._decode_image_pil(b"IMG!....")
+    assert (w, h, c) == (6, 4, 3)
+    assert len(feat) == 16 and all(abs(f) < 1e-6 for f in feat)
+    assert mm._decode_image_pil(b"nope") is None

@@ -370,3 +370,60 @@ def test_read_warc_ranges_http(spark, tmp_path, support_range):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_read_warc_ranges_object_store_scheme(spark, tmp_path):
+    """Ranged ingest through the generic remote-scheme branch (the s3://
+    / gs:// code path, reference shape test/test_s3.py:129-151): the
+    builtin mock:// opener stands in for an object store, so scheme
+    dispatch + open/seek/read execute inside executor tasks and in the
+    driver-side size probe — byte-equal to the bare-path parse."""
+    from warcio_spark.kernels.parse import parse_warc_bytes
+    from warcio_spark.sources.warc import _path_size, read_warc_ranges
+
+    path, blob = _make_big_warc(tmp_path)
+    uri = "mock://" + str(path)
+    assert _path_size(uri) == len(blob)
+    want = parse_warc_bytes(blob, filename="remote.warc.gz")["records"]
+    df = read_warc_ranges(spark, uri, split_bytes=1 << 17,
+                          overlap_bytes=1 << 16)
+    rows = df.select("offset", "url", "content").orderBy("offset").collect()
+    assert len(rows) == len(want)
+    assert [r.offset for r in rows] == [w["offset"] for w in want]
+    assert [bytes(r.content) for r in rows] == [w["content"] for w in want]
+
+
+def test_remote_fs_unknown_scheme_errors_clearly(tmp_path):
+    """No registered opener and no fsspec => ImportError naming fsspec,
+    not a bare failure (this sandbox has no fsspec, so the fallback
+    import path itself is what's under test)."""
+    import pytest as _pytest
+
+    from warcio_spark.sources.remote_fs import open_stream
+
+    try:
+        import fsspec  # noqa: F401
+        _pytest.skip("fsspec present; fallback branch not reachable")
+    except ImportError:
+        pass
+    with _pytest.raises(ImportError, match="fsspec"):
+        open_stream("s3://bucket/key.warc.gz")
+
+
+def test_remote_fs_custom_registration(tmp_path):
+    """register_filesystem plugs a user scheme into the same branch."""
+    from warcio_spark.sources import remote_fs
+    from warcio_spark.sources.warc import _open_ranged, _path_size
+
+    p = tmp_path / "blob.bin"
+    p.write_bytes(b"0123456789abcdef")
+
+    def opener(path, mode="rb"):
+        return open(str(p), mode)
+
+    remote_fs.register_filesystem("teststore", opener)
+    try:
+        assert _path_size("teststore://whatever") == 16
+        assert _open_ranged("teststore://whatever", 4, 6) == b"456789"
+    finally:
+        remote_fs._REGISTRY.pop("teststore", None)

@@ -99,6 +99,7 @@ def test_wat_envelope_reference_readable(spark, tmp_path):
     paths = write_warc(derive_wat(recs).repartition(1), out_dir, gzip=True)
 
     n = 0
+    links_seen = []
     with open(paths[0], "rb") as f:
         for rec in ArchiveIterator(f, check_digests="raise"):
             assert rec.rec_type == "metadata"
@@ -112,8 +113,40 @@ def test_wat_envelope_reference_readable(spark, tmp_path):
                 "WARC-Refers-To"
             )
             assert "Payload-Metadata" in env
+            if meta.get("WARC-Type") == "response":
+                html_meta = (
+                    env["Payload-Metadata"]
+                    .get("HTTP-Response-Metadata", {})
+                    .get("HTML-Metadata")
+                )
+                if html_meta is not None:
+                    links_seen.extend(
+                        (meta["WARC-Target-URI"], e["url"])
+                        for e in html_meta["Links"]
+                    )
+                    assert all(
+                        e["url"].startswith(("http://", "https://"))
+                        and e["path"] == "A@/href"
+                        for e in html_meta["Links"]
+                    )
             n += 1
     assert n == n_src
+
+    # the Links blocks must agree with the frontier-side extractor over
+    # the same corpus (resolved absolute urls, same pages)
+    from warcio_spark import functions as WF
+    from warcio_spark.operators.links import extract_outlinks
+
+    resp = recs.filter(
+        (recs.rec_type == "response") & recs.content.isNotNull()
+    ).withColumn("__text", WF.decode_text(recs.content))
+    want = sorted(
+        (r.src_url, r.outlink)
+        for r in extract_outlinks(
+            resp, url_col="url", text_col="__text"
+        ).select("src_url", "outlink").collect()
+    )
+    assert sorted(links_seen) == want and len(want) > 0
 
 
 def test_wet_rows_feed_text_pipeline(spark):

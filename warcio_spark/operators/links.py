@@ -152,6 +152,41 @@ def extract_outlinks(fetched: DataFrame, url_col: str = "page_url",
     return out
 
 
+def outlink_structs(url: Column, text: Column) -> Column:
+    """Per-page outlinks as ONE array column — no explode, for consumers
+    that embed links inside a per-record envelope (WAT's HTML-Metadata
+    Links block) instead of fanning out frontier rows.
+
+    Same extraction contract as ``extract_outlinks`` by construction
+    (same _HREF_RX / MAX_LINKS_PER_PAGE / _cleaned_href / _resolved, same
+    filter order), pinned by
+    tests/test_links.py::test_outlink_structs_matches_extract_outlinks.
+    Returns array<struct<pos:int, href:string, url:string>> where pos is
+    the anchor's document position, href the cleaned raw target and url
+    the resolved absolute link.
+    """
+    hrefs = F.slice(
+        F.regexp_extract_all(text, F.lit(_HREF_RX), F.lit(1)),
+        1, MAX_LINKS_PER_PAGE,
+    )
+    cleaned = F.transform(
+        hrefs,
+        lambda h, i: F.struct(
+            i.cast("int").alias("pos"), _cleaned_href(h).alias("href")
+        ),
+    )
+    cleaned = F.filter(cleaned, lambda e: F.length(e["href"]) > 0)
+    resolved = F.transform(
+        cleaned,
+        lambda e: F.struct(
+            e["pos"].alias("pos"),
+            e["href"].alias("href"),
+            _resolved(url, e["href"]).alias("url"),
+        ),
+    )
+    return F.filter(resolved, lambda e: e["url"].isNotNull())
+
+
 def redirect_candidates(fetched: DataFrame, url_col: str = "page_url") -> DataFrame:
     """3xx responses -> (src_url, outlink) for the Location target,
     resolved with the same reference-resolution contract as hrefs (real

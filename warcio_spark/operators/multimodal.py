@@ -73,16 +73,80 @@ def decode_image(data: bytes, codec: str = "auto"):
     - ``"auto"``: PIL when importable, the deterministic stub otherwise
       (optional-dependency contract mirroring the reference's brotli
       handling) — right for exploratory use;
-    - ``"stub"`` / ``"pil"``: pin the codec explicitly. Anything whose
-      output is compared across environments (the pinned
+    - ``"stub"`` / ``"pil"`` / ``"ppm"``: pin the codec explicitly.
+      Anything whose output is compared across environments (the pinned
       multimodal_features golden, determinism tests) MUST pin: with
       "auto", an ambient PIL install silently flips the semantics of
-      synthetic non-image blobs from fake-decode to NULL."""
+      synthetic non-image blobs from fake-decode to NULL. ``"ppm"`` is
+      the dependency-free builtin (binary P5/P6 netpbm): a REAL pixel
+      decode — same (w, h, c, 4x4-luma feature) contract as PIL — so the
+      real-decode path stays executable where PIL isn't installed."""
     if data is None or len(data) == 0:
         return None
     if codec == "pil" or (codec == "auto" and HAS_PIL):
         return _decode_image_pil(bytes(data))
+    if codec == "ppm":
+        return _decode_image_ppm(bytes(data))
     return _decode_image_stub(data)
+
+
+def _luma_grid_feature(gray: np.ndarray) -> list:
+    """4x4 mean-luminance grid in [-1, 1] from a (h, w) float array — the
+    shared feature contract of every real codec (PIL resizes; here each
+    cell averages its pixel block, identical for block-aligned sizes)."""
+    h, w = gray.shape
+    ys = np.linspace(0, h, 5, dtype=np.int64)
+    xs = np.linspace(0, w, 5, dtype=np.int64)
+    out = []
+    for i in range(4):
+        for j in range(4):
+            cell = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                        xs[j]:max(xs[j + 1], xs[j] + 1)]
+            out.append(float((cell.mean() / 255.0) * 2 - 1))
+    return out
+
+
+def _decode_image_ppm(data: bytes):
+    """Dependency-free real decode of binary netpbm (P5 gray / P6 RGB):
+    parse header (whitespace/comment tolerant), view the raster as numpy,
+    emit the shared (w, h, channels, feature) tuple. Non-netpbm or
+    malformed blobs return None — same NULL-row contract as PIL."""
+    if not data.startswith((b"P5", b"P6")):
+        return None
+    try:
+        fields = []
+        i = 2
+        while len(fields) < 3:
+            while i < len(data) and data[i:i + 1].isspace():
+                i += 1
+            if data[i:i + 1] == b"#":  # comment to end of line
+                while i < len(data) and data[i:i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(data) and not data[j:j + 1].isspace():
+                j += 1
+            fields.append(int(data[i:j]))
+            i = j
+        i += 1  # single whitespace after maxval per spec
+        w, h, maxval = fields
+        if maxval <= 0 or maxval > 255:
+            return None
+        c = 3 if data.startswith(b"P6") else 1
+        raster = np.frombuffer(data, dtype=np.uint8, count=w * h * c,
+                               offset=i).astype(np.float32)
+        raster *= 255.0 / maxval
+        if c == 3:
+            px = raster.reshape(h, w, 3)
+            gray = (
+                0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                + 0.114 * px[:, :, 2]
+            )
+        else:
+            gray = raster.reshape(h, w)
+        return w, h, c, _luma_grid_feature(gray)
+    except (ValueError, IndexError):
+        return None
 
 
 def _decode_image_stub(data: bytes):

@@ -103,10 +103,18 @@ def derive_wet(records: DataFrame) -> DataFrame:
     return out.withColumn("wet_text", F.decode(F.col("payload"), "UTF-8"))
 
 
-def derive_wat(records: DataFrame) -> DataFrame:
+def derive_wat(records: DataFrame, include_links: bool = True) -> DataFrame:
     """Records -> WAT-style ``metadata`` records: a JSON envelope of the
-    source record's WARC headers plus payload metadata, fully JVM-side
-    (``to_json`` over a struct — no python anywhere in the plan)."""
+    source record's WARC headers plus payload metadata — and, for
+    response records, the page's extracted outlinks under
+    ``Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata.Links``
+    (Common-Crawl WAT's link block: one ``{path: "A@/href", url, href}``
+    entry per anchor, url resolved absolute, href as written). The
+    header/payload envelope is fully JVM-side (``to_json`` over a
+    struct); the link block adds the SAME one Arrow text-decode hop the
+    WET path uses, then pure-codegen extraction (operators/links.py).
+    ``include_links=False`` (or a records table read without content)
+    skips it and emits the envelope-only WAT."""
     # WARC allows repeated header names (e.g. multiple WARC-Concurrent-To);
     # map_from_entries on a raw duplicate would throw DUPLICATED_MAP_KEY at
     # runtime. Collapse duplicates by joining their values in header order
@@ -127,7 +135,29 @@ def derive_wat(records: DataFrame) -> DataFrame:
     )
     src = records.filter(
         F.col("rec_type").isin("response", "request", "revisit")
-    ).withColumn(
+    )
+    links = F.lit(None).cast(
+        "array<struct<path:string,url:string,href:string>>"
+    )
+    if include_links and "content" in records.columns:
+        from warcio_spark.operators.links import outlink_structs
+
+        text = F.when(
+            (F.col("rec_type") == "response") & F.col("content").isNotNull(),
+            WF.decode_text(F.col("content")),
+        )
+        links = F.when(
+            text.isNotNull(),
+            F.transform(
+                outlink_structs(F.col("url"), text),
+                lambda e: F.struct(
+                    F.lit("A@/href").alias("path"),
+                    e["url"].alias("url"),
+                    e["href"].alias("href"),
+                ),
+            ),
+        )
+    src = src.withColumn(
         "_env",
         F.to_json(
             F.struct(
@@ -140,6 +170,18 @@ def derive_wat(records: DataFrame) -> DataFrame:
                         F.col("length").alias("Content-Length"),
                         F.col("payload_length").alias("Payload-Length"),
                         F.col("http_statusline").alias("HTTP-Status"),
+                        # null Links (non-response, no content, or links
+                        # disabled) null the whole block so it vanishes
+                        # from the JSON (ignoreNullFields) instead of
+                        # leaving empty nested objects
+                        F.when(
+                            links.isNotNull(),
+                            F.struct(
+                                F.struct(links.alias("Links")).alias(
+                                    "HTML-Metadata"
+                                )
+                            ),
+                        ).alias("HTTP-Response-Metadata"),
                     ).alias("Payload-Metadata"),
                 ).alias("Envelope")
             )

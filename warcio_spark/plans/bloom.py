@@ -37,7 +37,12 @@ def _positions(hashes: np.ndarray, k: int, m: int):
 def build_bloom(seen: DataFrame, expected_items: int,
                 bits_per_item: int = 10, hash_col: str = "url_hash"):
     """Aggregate a Bloom bitmap over the seen keys. Returns (bitmap_bytes,
-    k, m). One pass, map-side bitmaps OR-ed on the driver."""
+    k, m). One pass, map-side bitmaps OR-ed on the driver.
+
+    Deprecated for production use (kept as the oracle for sidecar tests):
+    the driver-side OR holds the whole bitmap in one process — fine to
+    ~10^8 keys, impossible at 10^10 (12.5 GB). The range-partitioned
+    sidecar below is the documented scale path."""
     m = max(64, expected_items * bits_per_item)
     m = int(math.ceil(m / 8) * 8)
     k = max(1, int(round(bits_per_item * math.log(2))))

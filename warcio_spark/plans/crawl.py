@@ -40,6 +40,97 @@ SEEN_SCHEMA = "url_hash long, url_canon string, fetch_round int, seq long"
 RECRAWL_SEQ_BASE = 1 << 50  # mirrored in reference_crawler.py
 
 
+class CrawlLeaseError(RuntimeError):
+    """Another live writer holds this state_dir's lease — a second
+    concurrent ``crawl()`` would silently corrupt snapshots, so it fails
+    fast here instead."""
+
+
+def _lease_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "_LEASE")
+
+
+def acquire_lease(state_dir: str, ttl_sec: float) -> str:
+    """Single-writer guard for the parquet-snapshot shim (the shim-level
+    analog of Iceberg's optimistic-concurrency commit conflict): create
+    ``_LEASE`` with O_EXCL, or take over a lease whose heartbeat is older
+    than ``ttl_sec`` (a crashed writer). Returns the holder token; a live
+    competing lease raises ``CrawlLeaseError``."""
+    import uuid
+
+    os.makedirs(state_dir, exist_ok=True)
+    path = _lease_path(state_dir)
+    token = uuid.uuid4().hex
+    payload = json.dumps(
+        {"token": token, "pid": os.getpid(), "ts": time.time()}
+    )
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        return token
+    except FileExistsError:
+        pass
+    try:
+        with open(path) as f:
+            cur = json.load(f)
+    except Exception:
+        cur = {}
+    age = time.time() - float(cur.get("ts", 0))
+    if age < ttl_sec:
+        raise CrawlLeaseError(
+            "state dir {0} is leased by pid {1} ({2:.0f}s ago; ttl {3:.0f}s) "
+            "— a second concurrent crawl() would corrupt snapshots. Wait, "
+            "or remove {4} if that writer is known dead.".format(
+                state_dir, cur.get("pid"), age, ttl_sec, path
+            )
+    )
+    # stale lease: steal via atomic replace, then re-read to confirm we won
+    tmp = path + "." + token
+    with open(tmp, "w") as f:
+        f.write(payload)
+    os.replace(tmp, path)
+    with open(path) as f:
+        if json.load(f).get("token") == token:
+            return token
+    raise CrawlLeaseError(
+        "lost the race taking over a stale lease on {0}".format(state_dir)
+    )
+
+
+def renew_lease(state_dir: str, token: str) -> None:
+    """Heartbeat + fencing check before each round commit: if the lease no
+    longer carries our token (stolen after a long stall), abort BEFORE
+    writing — the thief owns the state now."""
+    path = _lease_path(state_dir)
+    try:
+        with open(path) as f:
+            cur = json.load(f)
+    except Exception:
+        cur = {}
+    if cur.get("token") != token:
+        raise CrawlLeaseError(
+            "lease on {0} was taken over by pid {1} — aborting without "
+            "committing".format(state_dir, cur.get("pid"))
+        )
+    tmp = path + "." + token
+    with open(tmp, "w") as f:
+        f.write(json.dumps(
+            {"token": token, "pid": os.getpid(), "ts": time.time()}
+        ))
+    os.replace(tmp, path)
+
+
+def release_lease(state_dir: str, token: str) -> None:
+    path = _lease_path(state_dir)
+    try:
+        with open(path) as f:
+            if json.load(f).get("token") == token:
+                os.remove(path)
+    except OSError:
+        pass
+
+
 @dataclass
 class RoundState:
     """Parquet-snapshot shim:
@@ -82,8 +173,23 @@ class RoundState:
         d = self.round_dir(n)
         scheduled.write.mode("overwrite").parquet(os.path.join(d, "scheduled"))
         seen_delta.write.mode("overwrite").parquet(os.path.join(d, "seen_delta"))
+        seen_dir = os.path.join(d, "seen")
         if seen_full is not None:  # compaction round
-            seen_full.write.mode("overwrite").parquet(os.path.join(d, "seen"))
+            # partitioned by fetch_round: the compacted snapshot IS the
+            # last-fetch table (one row per url, max round, min seq), and
+            # the layout makes both recrawl reads prune — the blocking
+            # filter (fetch_round > n-ttl) and the due-set's stale scan
+            # (fetch_round <= n-ttl) each touch only their partitions
+            seen_full.write.partitionBy("fetch_round").mode(
+                "overwrite"
+            ).parquet(seen_dir)
+        elif os.path.isdir(seen_dir):
+            # resume=False rerun over an old state dir: a stale snapshot
+            # from the previous run at a non-compaction round of THIS run
+            # would otherwise shadow the rewritten deltas
+            import shutil
+
+            shutil.rmtree(seen_dir)
         frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
         with open(os.path.join(d, "metrics.json"), "w") as f:
             json.dump(metrics, f)
@@ -95,32 +201,33 @@ class RoundState:
             return self.read_seen(spark, n)
         return spark.read.parquet(os.path.join(self.round_dir(n), what))
 
-    def read_seen(self, spark: SparkSession, n: int) -> DataFrame:
-        """Merged seen view at round n: latest full snapshot <= n plus the
-        deltas after it. Duplicate-free without recrawl; with recrawl_ttl
-        a url carries one row per fetch until the next compaction."""
+    def seen_paths(self, n: int) -> tuple[str | None, list]:
+        """(latest full-snapshot path <= n or None, delta paths after it)."""
         rounds = [r for r in self.committed_rounds() if r <= n]
         base = max(
             (r for r in rounds
              if os.path.isdir(os.path.join(self.round_dir(r), "seen"))),
             default=None,
         )
-        paths = []
-        if base is not None:
-            paths.append(os.path.join(self.round_dir(base), "seen"))
+        base_path = (
+            os.path.join(self.round_dir(base), "seen")
+            if base is not None else None
+        )
+        deltas = []
         for r in rounds:
             if base is not None and r <= base:
                 continue
             d = os.path.join(self.round_dir(r), "seen_delta")
             if os.path.isdir(d):
-                paths.append(d)
-        if not paths:
-            return spark.createDataFrame([], SEEN_SCHEMA)
-        # mergeSchema + fills: a state dir written before the seen-set
-        # carried (fetch_round, seq) reads back with those columns null —
+                deltas.append(d)
+        return base_path, deltas
+
+    @staticmethod
+    def _normalize_seen(df: DataFrame) -> DataFrame:
+        # fills: a state dir written before the seen-set carried
+        # (fetch_round, seq) reads back with those columns null/missing —
         # normalize to fetch_round=0 ("age unknown => stale", so recrawl
         # treats pre-migration urls as immediately due) and seq=0
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
         for col, default in (
             ("fetch_round", F.lit(0).cast("int")),
             ("seq", F.lit(0).cast("long")),
@@ -131,15 +238,100 @@ class RoundState:
                 df = df.withColumn(col, F.coalesce(F.col(col), default))
         return df.select(*SEEN_COLS)
 
+    def read_seen_parts(
+        self, spark: SparkSession, n: int
+    ) -> tuple[DataFrame | None, DataFrame | None]:
+        """(compacted base snapshot, merged deltas since it) at round n —
+        the two tiers the incremental recrawl due-set needs separately.
+        Either side is None when absent. The base read carries an explicit
+        schema: fetch_round resolves to the partition column on
+        post-partitioning snapshots and to the data column (or null) on
+        legacy flat ones, and an empty partitioned dir stays readable."""
+        base_path, delta_paths = self.seen_paths(n)
+        base = None
+        if base_path is not None:
+            base = self._normalize_seen(
+                spark.read.schema(SEEN_SCHEMA).parquet(base_path)
+            )
+        deltas = None
+        if delta_paths:
+            deltas = self._normalize_seen(
+                spark.read.option("mergeSchema", "true").parquet(*delta_paths)
+            )
+        return base, deltas
+
+    def read_seen(self, spark: SparkSession, n: int) -> DataFrame:
+        """Merged seen view at round n: latest full snapshot <= n plus the
+        deltas after it. Duplicate-free without recrawl; with recrawl_ttl
+        a url carries one row per fetch until the next compaction."""
+        base, deltas = self.read_seen_parts(spark, n)
+        parts = [p for p in (base, deltas) if p is not None]
+        if not parts:
+            return spark.createDataFrame([], SEEN_SCHEMA)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read_metrics(self, n: int) -> dict:
         with open(os.path.join(self.round_dir(n), "metrics.json")) as f:
             return json.load(f)
+
+
+def recrawl_due(spark: SparkSession, state: RoundState, as_of_round: int,
+                current_round: int, ttl: int,
+                priority: float) -> DataFrame:
+    """Urls whose last fetch is >= ttl rounds old, as frontier candidates
+    (url, priority, seq) — WITHOUT aggregating the full seen-set.
+
+    The compacted snapshot is already the last-fetch table (one row per
+    url: max fetch_round, min historical seq) and is partitioned by
+    fetch_round, so the stale side is a partition-PRUNED scan of only the
+    fetch_round <= current-ttl partitions. Post-compaction deltas (at
+    most compact_every rounds of fetches) are unioned in raw and the
+    max/min aggregation runs over stale ∪ deltas only.
+
+    Exactness: a url fresh in the base (fetch_round > cutoff) cannot be
+    due — every delta fetch happens at a strictly later round than the
+    base, so its global last-fetch is >= its base round > cutoff; the
+    union therefore covers exactly the due candidates, and a stale base
+    row refetched recently in a delta aggregates to last_fetch > cutoff
+    and drops out. Per-round cost is O(stale + delta) — the due backlog
+    plus recent fetches — never O(total seen), the difference between a
+    workable and an impossible round at 10^10 keys.
+    """
+    base, deltas = state.read_seen_parts(spark, as_of_round)
+    cutoff = current_round - ttl
+    cand = None
+    if base is not None:
+        cand = base.filter(F.col("fetch_round") <= cutoff)
+    if deltas is not None:
+        cand = deltas if cand is None else cand.unionByName(deltas)
+    if cand is None:
+        return spark.createDataFrame([], "url string, priority double, seq long")
+    return (
+        cand.groupBy("url_hash", "url_canon")
+        .agg(F.max("fetch_round").alias("_lf"), F.min("seq").alias("_s0"))
+        .filter(F.col("_lf") <= cutoff)
+        .select(
+            F.col("url_canon").alias("url"),
+            F.lit(float(priority)).alias("priority"),
+            (F.lit(RECRAWL_SEQ_BASE) + F.pmod("_s0", F.lit(1 << 40))).alias(
+                "seq"
+            ),
+        )
+    )
 
 
 def default_outlinks(scheduled: DataFrame) -> DataFrame:
     """Deterministic synthetic link expansion (JVM expressions only), mirrored
     arithmetic-for-arithmetic by ``reference_crawler``-side
     ``oracle_outlinks``: a fetched url with sequence s emits (s % 3) children.
+
+    Child seqs are bounded at 2^45 (inside the link namespace): an
+    unbounded s*8 per generation overflows a long within a few recrawl
+    generations of a 2^50-range refetch seq — and the mod keeps the
+    engine expression and the bignum oracle on identical values.
     """
     k = F.pmod("seq", F.lit(3))
     j = F.explode(F.sequence(F.lit(1), k))  # empty when k == 0
@@ -158,7 +350,11 @@ def default_outlinks(scheduled: DataFrame) -> DataFrame:
         (F.pmod(F.col("seq") * 31 + F.col("j") * 17, F.lit(1000)) / 10.0).alias(
             "priority"
         ),
-        (F.lit(10_000_000) + F.col("seq") * 8 + F.col("j")).alias("seq"),
+        (
+            F.lit(10_000_000)
+            + F.pmod(F.col("seq") * 8, F.lit(1 << 45))
+            + F.col("j")
+        ).alias("seq"),
     )
 
 
@@ -173,7 +369,7 @@ def oracle_outlinks(c: dict) -> list:
                     (s * 7 + j * 13) % 97, s, j
                 ),
                 "priority": ((s * 31 + j * 17) % 1000) / 10.0,
-                "seq": 10_000_000 + s * 8 + j,
+                "seq": 10_000_000 + (s * 8) % (1 << 45) + j,
             }
         )
     return out
@@ -195,7 +391,8 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
           outlinks_fn=default_outlinks, resume: bool = True,
           compact_every: int = 8, bloom_sidecar: str | None = None,
           bloom_ranges: int = 16, recrawl_ttl: int | None = None,
-          recrawl_priority: float = 95.0) -> dict:
+          recrawl_priority: float = 95.0,
+          lease_ttl_sec: float = 3600.0) -> dict:
     """Run (or resume) a checkpointed crawl. Returns summary metrics.
 
     seeds: DataFrame(url, priority, seq). Each round:
@@ -214,11 +411,15 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
     fetch_order's range boundaries are sampled ONCE per crawl() call and
     reused every round — no per-round sampling or count actions.
 
-    ``recrawl_ttl`` cost note: the due-set is an aggregation over the
-    merged seen view each round once n > ttl (skipped before that). At
-    10^10 keys you'd maintain an incremental last-fetch table instead —
-    the same compaction hook is where it would live; plan shape otherwise
-    unchanged.
+    ``recrawl_ttl`` cost note: the due-set (``recrawl_due``) reads the
+    fetch_round-partitioned compacted snapshot — the incrementally
+    maintained last-fetch table — pruned to stale partitions, plus the
+    post-compaction deltas: O(due backlog + recent fetches) per round,
+    never a scan or shuffle of the full 10^10-key seen-set. Enabling
+    recrawl_ttl on a state dir written BEFORE the seen-set carried
+    fetch_round makes every pre-migration url due at once (age unknown
+    => stale, at ``recrawl_priority``): expect one full-recrawl wave,
+    rate-limited by per-host budgets, before steady-state freshness.
 
     ``bloom_sidecar``: directory for the range-partitioned Bloom sidecar
     (plans/bloom.py — the 10^10 seen-set layout). When set, the seen-set
@@ -235,6 +436,25 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
         raise ValueError("recrawl_ttl must be >= 1 (or None to disable)")
     cfg = cfg or PolitenessConfig()
     state = RoundState(state_dir)
+    lease = acquire_lease(state_dir, lease_ttl_sec)
+    try:
+        return _crawl_leased(
+            spark, seeds, robots, state, rounds, cfg, outlinks_fn, resume,
+            compact_every, bloom_sidecar, bloom_ranges, recrawl_ttl,
+            recrawl_priority, lease,
+        )
+    finally:
+        release_lease(state_dir, lease)
+
+
+def _crawl_leased(spark, seeds, robots, state, rounds, cfg, outlinks_fn,
+                  resume, compact_every, bloom_sidecar, bloom_ranges,
+                  recrawl_ttl, recrawl_priority, lease) -> dict:
+    from pyspark.sql import Observation
+
+    from warcio_spark.plans.frontier import sample_order_boundaries
+
+    state_dir = state.state_dir
 
     start_round = state.last_round() if resume else 0
     if start_round:
@@ -284,19 +504,13 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
             # freshness: a url blocks re-fetching only while its last fetch
             # is younger than ttl rounds; aged-out urls are re-enqueued
             # every round with a deterministic seq until refetched
-            # (mirrored by reference_crawler.crawl(recrawl_ttl=...))
+            # (mirrored by reference_crawler.crawl(recrawl_ttl=...)).
+            # Both reads prune on the snapshot's fetch_round partitions:
+            # the blocking filter pushes into the partitioned base scan,
+            # and recrawl_due touches only stale partitions + deltas.
             seen_in = seen.filter(F.col("fetch_round") > n - recrawl_ttl)
-            due = (
-                seen.groupBy("url_hash", "url_canon")
-                .agg(F.max("fetch_round").alias("_lf"), F.min("seq").alias("_s0"))
-                .filter(F.col("_lf") <= n - recrawl_ttl)
-                .select(
-                    F.col("url_canon").alias("url"),
-                    F.lit(float(recrawl_priority)).alias("priority"),
-                    (
-                        F.lit(RECRAWL_SEQ_BASE) + F.pmod("_s0", F.lit(1 << 40))
-                    ).alias("seq"),
-                )
+            due = recrawl_due(
+                spark, state, n - 1, n, recrawl_ttl, recrawl_priority
             )
             frontier_in = frontier.unionByName(
                 with_frontier_keys(due).select(*FRONTIER_KEYED_COLS)
@@ -386,6 +600,7 @@ def crawl(spark: SparkSession, seeds: DataFrame, robots: DataFrame | None,
                 )
                 .select(*SEEN_COLS)
             )
+        renew_lease(state_dir, lease)
         state.write_round(
             spark, n, scheduled, seen_delta, next_frontier, metrics,
             seen_full=seen_full,

@@ -81,13 +81,29 @@ def not_seen(cands: DataFrame, seen: DataFrame,
     """Frontier-minus-seen (A6/J3).
 
     Exact path: left_anti sort-merge join on url_hash. With ``bloom_items``
-    set, a Bloom sidecar (plans/bloom.py) splits candidates so the
-    never-seen majority bypasses the anti-join shuffle; the result is
-    identical either way — the bloom only prunes shuffle volume.
+    set, a Bloom pre-filter splits candidates so the never-seen majority
+    bypasses the anti-join shuffle; the result is identical either way —
+    the bloom only prunes shuffle volume.
+
+    .. deprecated:: the ``bloom_items`` path builds ONE bitmap by OR-ing
+       partition bitmaps on the driver — fine to ~10^8 keys, a driver OOM
+       at 10^10 (a 10-bits/key bitmap is 12.5 GB). Production callers use
+       ``crawl(bloom_sidecar=...)`` / ``bloom_not_seen_sidecar``: the
+       range-partitioned sidecar whose bitmaps executors build, store and
+       probe shard-by-shard with no driver aggregation anywhere.
     """
     if bloom_items:
+        import warnings
+
         from warcio_spark.plans.bloom import bloom_not_seen
 
+        warnings.warn(
+            "not_seen(bloom_items=...) aggregates one bloom bitmap on the "
+            "driver — use crawl(bloom_sidecar=...) / "
+            "bloom_not_seen_sidecar for the range-partitioned 10^10 path",
+            DeprecationWarning,
+            stacklevel=2,
+        )
         return bloom_not_seen(cands, seen, bloom_items)
     return cands.join(seen.select("url_hash"), "url_hash", "left_anti")
 

@@ -199,8 +199,10 @@ def _open_ranged(path: str, start: int, length: int) -> bytes:
     - http(s)://: one stdlib Range request per task (no dependencies); a
       server that ignores Range (status 200) is handled by slicing the
       full body — correct, though only sensible for small files
-    - any other scheme (s3://, gs://, abfs://...): fsspec when importable
-      on the executors; a clear ImportError otherwise
+    - any other scheme (s3://, gs://, abfs://...): the remote_fs plug
+      point — a registered opener if one exists (mock:// builtin, used by
+      tests to drive this branch), else fsspec when importable on the
+      executors, else a clear ImportError
 
     Runs INSIDE tasks (python workers — no JVM gateway there, so the
     Hadoop FS API is not an option for this path)."""
@@ -221,13 +223,9 @@ def _open_ranged(path: str, start: int, length: int) -> bytes:
                 return body[:length]
             _warn_range_ignored(path)
             return body[start:start + length]  # Range ignored: slice
-    try:
-        import fsspec
-    except ImportError as e:
-        raise ImportError(
-            "reading scheme '{0}://' ranges needs fsspec on the executors".format(scheme)
-        ) from e
-    with fsspec.open(path, "rb") as f:
+    from warcio_spark.sources.remote_fs import open_stream
+
+    with open_stream(path, "rb") as f:
         f.seek(start)
         return f.read(length)
 
@@ -306,13 +304,9 @@ def _path_size(path: str) -> int:
                 return len(body)
         except Exception as e:
             raise e from head_err
-    try:
-        import fsspec
-    except ImportError as e:
-        raise ImportError(
-            "sizing scheme '{0}://' needs fsspec".format(scheme)
-        ) from e
-    with fsspec.open(path, "rb") as f:
+    from warcio_spark.sources.remote_fs import open_stream
+
+    with open_stream(path, "rb") as f:
         f.seek(0, 2)
         return f.tell()
 
