@@ -473,8 +473,12 @@ def q_minhash_dedup(spark, sf):
     from warcio_spark.operators.dedup import minhash_dedup
 
     # filter (pushed to the parquet scan), NOT limit: limit(n) funnels the
-    # plan through a single partition
-    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    # plan through a single partition; repartition spreads the CPU-heavy
+    # shingle+signature projection over cores (the filtered docs are one
+    # row-group => one task otherwise; result is partitioning-invariant)
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # shared-shingle persist: registered here so the cache lives for this
     # short-lived driver/bench process only (bench clearCache()s between
     # reps); long-lived library callers pass their own tracker and unpersist
