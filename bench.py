@@ -146,9 +146,12 @@ def frontier_throughput(spark, n_urls: int, runs: int = 3):
 
     def universe(df):
         # zipf-ish: ~30% of urls on host0, ~15% on host1, rest spread;
-        # 10% of urls are MESSY (uppercase scheme/host, default port, dot
-        # segments) so the python canonicalization kernel is exercised —
-        # the JVM split-union routes only these through Arrow
+        # 10% of urls are MESSY: 8% carry the common real-world mess
+        # (uppercase scheme/host, default port, dot segments) that the
+        # JVM middle tier of the canonicalization split-union resolves
+        # in codegen, and 2% carry percent-encodings, which only the
+        # Python kernel normalizes — so all three tiers (passthrough /
+        # JVM-fix / Arrow hop) are exercised at their realistic mix
         r = F.pmod(F.xxhash64(F.col("id") + 1), F.lit(100))
         hostnum = (
             F.when(r < 30, F.lit(0))
@@ -165,8 +168,16 @@ def frontier_throughput(spark, n_urls: int, runs: int = 3):
             F.lit(".Example.COM:80/a/../p/"), F.col("id").cast("string"),
             F.lit("?q="), F.pmod("id", F.lit(7)).cast("string"),
         )
+        pct = F.concat(
+            F.lit("http://host"), hostnum.cast("string"),
+            F.lit(".example.com/p%41/"), F.col("id").cast("string"),
+            F.lit("?q=%2f"), F.pmod("id", F.lit(7)).cast("string"),
+        )
         return df.select(
-            F.when(F.pmod("id", F.lit(10)) == 0, messy).otherwise(clean).alias("url"),
+            F.when(F.pmod("id", F.lit(50)) == 0, pct)
+            .when(F.pmod("id", F.lit(10)) == 0, messy)
+            .otherwise(clean)
+            .alias("url"),
             (F.pmod(F.xxhash64(F.col("id") + 13), F.lit(1000)) / 10.0).alias("priority"),
             F.col("id").alias("seq"),
         )
