@@ -154,6 +154,34 @@ def test_wet_cli_reference_readable(spark, capsys, tmp_path, warcio):
     assert types and set(types) == {"conversion"}
 
 
+def test_wat_cli_reference_readable(spark, capsys, tmp_path, warcio):
+    """`wet --wat` writes WAT metadata records the reference reads; the
+    response envelopes carry the HTML-Metadata Links block."""
+    out_dir = str(tmp_path / "wat_out")
+    code, out = run_cli(capsys, [
+        "wet", os.path.join(CORPUS, "example.warc.gz"),
+        "--output", out_dir, "--files", "1", "--wat",
+    ])
+    assert code == 0
+    paths = [l for l in out.splitlines() if l.strip()]
+    assert len(paths) == 1
+    from warcio.archiveiterator import ArchiveIterator
+
+    n_links = 0
+    with open(paths[0], "rb") as f:
+        for rec in ArchiveIterator(f, check_digests="raise"):
+            assert rec.rec_type == "metadata"
+            env = json.loads(rec.content_stream().read())["Envelope"]
+            links = (
+                env["Payload-Metadata"]
+                .get("HTTP-Response-Metadata", {})
+                .get("HTML-Metadata", {})
+                .get("Links", [])
+            )
+            n_links += len(links)
+    assert n_links > 0
+
+
 def test_cdxj_cli_sorted_lines(spark, capsys):
     code, out = run_cli(capsys, [
         "cdxj", os.path.join(CORPUS, "example.warc.gz"),
