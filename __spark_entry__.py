@@ -663,16 +663,9 @@ def q_wet_extract(spark, sf):
     ).orderBy("filename", "url", "refers_to")
 
 
-def q_outlinks(spark, sf):
-    """Link discovery (operators/links.py): anchor-href extraction + RFC
-    reference resolution over a deterministic page universe derived from
-    doc_id — absolute / root-relative / doc-relative / parent-relative /
-    protocol-relative / query-relative forms plus junk (mailto, fragment)
-    that must be dropped. The oracle rebuilds the same markup in DuckDB
-    and re-implements extraction+resolution in SQL (computed, not
-    pinned); crawl-loop parity with real links is in tests/test_links.py."""
-    from warcio_spark.operators.links import extract_outlinks
-
+def _outlinks_universe(spark, sf):
+    """The deterministic page universe shared by q_outlinks and
+    q_wat_links (and mirrored verbatim by their DuckDB oracle SQL)."""
     docs = _t(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
@@ -700,11 +693,47 @@ def q_outlinks(spark, sf):
             F.concat(F.lit('<a href="?ref='), s(d % 4), F.lit('">h</a>')),
         ).otherwise(F.lit("")),
     )
-    pages = docs.select(
+    return docs.select(
         d.alias("doc_id"), base.alias("page_url"), anchors.alias("text")
     )
+
+
+def q_outlinks(spark, sf):
+    """Link discovery (operators/links.py): anchor-href extraction + RFC
+    reference resolution over a deterministic page universe derived from
+    doc_id — absolute / root-relative / doc-relative / parent-relative /
+    protocol-relative / query-relative forms plus junk (mailto, fragment)
+    that must be dropped. The oracle rebuilds the same markup in DuckDB
+    and re-implements extraction+resolution in SQL (computed, not
+    pinned); crawl-loop parity with real links is in tests/test_links.py."""
+    from warcio_spark.operators.links import extract_outlinks
+
+    pages = _outlinks_universe(spark, sf)
     return extract_outlinks(pages, url_col="page_url", text_col="text").select(
         "doc_id", "pos", "href", "outlink"
+    )
+
+
+def q_wat_links(spark, sf):
+    """The WAT HTML-Metadata link block (operators/links.py:
+    outlink_structs — the array-valued extractor derive_wat embeds per
+    response record) over the SAME page universe as q_outlinks, exploded
+    back to rows. Must match the frontier-side extractor exactly, so it
+    shares q_outlinks' DuckDB oracle verbatim — one extraction contract,
+    two consumption shapes, both independently checked."""
+    from warcio_spark.operators.links import outlink_structs
+
+    pages = _outlinks_universe(spark, sf)
+    return pages.select(
+        "doc_id",
+        F.explode(
+            outlink_structs(F.col("page_url"), F.col("text"))
+        ).alias("e"),
+    ).select(
+        "doc_id",
+        F.col("e.pos").alias("pos"),
+        F.col("e.href").alias("href"),
+        F.col("e.url").alias("outlink"),
     )
 
 
@@ -817,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_extract": q_wet_extract,
         "cdxj_surt": q_cdxj_surt,
         "outlinks": q_outlinks,
+        "wat_links": q_wat_links,
         "sitemap_locs": q_sitemap_locs,
         "url_hygiene": q_url_hygiene,
     }
@@ -1289,4 +1319,8 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
     })
+    # the WAT link block shares the frontier extractor's contract, so it
+    # shares the SAME computed oracle — one extraction semantics, checked
+    # through both consumption shapes
+    out["wat_links"] = out["outlinks"]
     return out
