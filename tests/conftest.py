@@ -10,6 +10,11 @@ TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+# opt in to the mock:// test scheme BEFORE any Spark JVM spawns, so
+# executor python workers inherit the flag (the production remote-FS
+# registry is empty by default — see sources/remote_fs.py)
+os.environ.setdefault("WARCIO_SPARK_MOCK_FS", "1")
+
 
 def reference_corpus_dir():
     return os.path.join(REFERENCE, "test", "data")

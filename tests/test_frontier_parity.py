@@ -756,3 +756,144 @@ def test_lease_fencing_detects_takeover(tmp_path):
         json.dump({"token": "thief", "pid": 1, "ts": _time.time()}, f)
     with pytest.raises(crawlmod.CrawlLeaseError):
         crawlmod.renew_lease(d, token)
+
+
+_SECOND_CRAWL_DRIVER = r"""
+import sys
+
+sys.path.insert(0, sys.argv[2])
+from pyspark.sql import SparkSession
+
+from warcio_spark.plans import crawl as crawlmod
+
+spark = (
+    SparkSession.builder.master("local[1]")
+    .appName("lease-race-second-writer")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+seeds = spark.createDataFrame(
+    [("http://race.example/x", 50.0, 0)],
+    "url string, priority double, seq long",
+)
+try:
+    crawlmod.crawl(spark, seeds, None, sys.argv[1], rounds=1, resume=True)
+except crawlmod.CrawlLeaseError:
+    print("LEASE_DENIED")
+    sys.exit(7)
+sys.exit(0)
+"""
+
+_STEAL_RACER = r"""
+import sys
+
+sys.path.insert(0, sys.argv[2])
+from warcio_spark.plans import crawl as crawlmod
+
+try:
+    token = crawlmod.acquire_lease(sys.argv[1], ttl_sec=0.5)
+    print("WIN " + token)
+except crawlmod.CrawlLeaseError:
+    print("LOSE")
+"""
+
+
+def test_lease_race_real_second_process(spark, tmp_path):
+    """True cross-process concurrency for the writer lease
+    (plans/crawl.py acquire/renew/release): a REAL second python process
+    running crawl() against a leased state_dir exits with CrawlLeaseError
+    before touching any round state, and two racing processes stealing
+    the same stale lease produce at most one winner."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seeds = spark.createDataFrame(
+        [(c["url"], c["priority"], c["seq"]) for c in make_candidates(40)],
+        "url string, priority double, seq long",
+    )
+    d = str(tmp_path / "xproc")
+    crawlmod.crawl(spark, seeds, None, d, rounds=2, cfg=CFG)
+    st = crawlmod.RoundState(d)
+    before_rounds = st.committed_rounds()
+    before_log = {
+        (r.url, r.seq)
+        for r in st.read(spark, before_rounds[-1], "scheduled")
+        .select("url", "seq").collect()
+    }
+
+    holder = crawlmod.acquire_lease(d, ttl_sec=3600)
+    try:
+        proc = subprocess.run(
+            [_sys.executable, "-c", _SECOND_CRAWL_DRIVER, d, repo],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode == 7, (proc.stdout, proc.stderr)
+        assert "LEASE_DENIED" in proc.stdout
+    finally:
+        crawlmod.release_lease(d, holder)
+    # first crawl's committed state is byte-for-byte untouched
+    assert crawlmod.RoundState(d).committed_rounds() == before_rounds
+    after_log = {
+        (r.url, r.seq)
+        for r in st.read(spark, before_rounds[-1], "scheduled")
+        .select("url", "seq").collect()
+    }
+    assert after_log == before_log
+
+
+def test_lease_stale_steal_race_two_processes(tmp_path):
+    """Two real processes race the stale-steal path concurrently: at most
+    one returns success (the settle-and-confirm re-read), and the loser
+    raises CrawlLeaseError instead of silently double-owning."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = str(tmp_path / "steal")
+    os.makedirs(d)
+    with open(os.path.join(d, "_LEASE"), "w") as f:
+        _json.dump({"token": "dead", "pid": 0, "ts": _time.time() - 9999}, f)
+
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", _STEAL_RACER, d, repo],
+            stdout=subprocess.PIPE, text=True,
+        )
+        for _ in range(2)
+    ]
+    outs = [p.communicate(timeout=120)[0].strip() for p in procs]
+    wins = [o for o in outs if o.startswith("WIN")]
+    assert len(wins) <= 1, outs
+    assert len(wins) + outs.count("LOSE") == 2, outs
+    if wins:
+        # the surviving lease on disk carries the winner's token
+        with open(os.path.join(d, "_LEASE")) as f:
+            assert _json.load(f)["token"] == wins[0].split()[1]
+
+
+def test_lease_fencing_after_cross_process_steal(tmp_path):
+    """Steal-after-ttl observed from the victim's side, cross-process: a
+    second process takes over our expired lease; our next renew_lease
+    (the pre-commit fence) must abort."""
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = str(tmp_path / "fencex")
+    token = crawlmod.acquire_lease(d, ttl_sec=3600)
+    _time.sleep(0.6)  # let the heartbeat age past the thief's 0.5s ttl
+    proc = subprocess.run(
+        [_sys.executable, "-c", _STEAL_RACER, d, repo],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.stdout.startswith("WIN"), (proc.stdout, proc.stderr)
+    with pytest.raises(crawlmod.CrawlLeaseError):
+        crawlmod.renew_lease(d, token)
+    # and release of our stale token must NOT delete the thief's lease
+    crawlmod.release_lease(d, token)
+    assert os.path.exists(os.path.join(d, "_LEASE"))

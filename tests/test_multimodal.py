@@ -133,3 +133,37 @@ def test_pil_branch_executes_with_standin_module(monkeypatch):
     assert (w, h, c) == (6, 4, 3)
     assert len(feat) == 16 and all(abs(f) < 1e-6 for f in feat)
     assert mm._decode_image_pil(b"nope") is None
+
+
+def test_ppm_zero_dimension_header_is_null_row():
+    """Malformed zero/negative-dimension netpbm headers take the NULL-row
+    contract instead of emitting a (0, 0, 3, [nan x 16]) feature row that
+    would poison downstream similarity ops."""
+    assert mm._decode_image_ppm(b"P6 0 0 255 ") is None
+    assert mm._decode_image_ppm(b"P6 0 4 255 ") is None
+    assert mm._decode_image_ppm(b"P5 3 0 255 ") is None
+
+
+def test_real_pil_decode_when_installed():
+    """Lights up for free if the sandbox ever gains Pillow: decodes a real
+    PNG through _decode_image_pil. XFAILs (never silently skips) while the
+    package is absent, keeping the untested branch visible."""
+    import pytest as _pytest
+
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        _pytest.xfail(
+            "Pillow not installed in this sandbox — _decode_image_pil's "
+            "real-module branch has never executed here (stand-in module "
+            "covers the lines; see test_pil_branch_executes_with_standin_"
+            "module)"
+        )
+    import io as _io
+
+    img = Image.new("RGB", (8, 8), (255, 255, 255))
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    w, h, c, feat = mm._decode_image_pil(buf.getvalue())
+    assert (w, h, c) == (8, 8, 3)
+    assert len(feat) == 16 and all(abs(f - 1.0) < 1e-6 for f in feat)

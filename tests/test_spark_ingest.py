@@ -427,3 +427,48 @@ def test_remote_fs_custom_registration(tmp_path):
         assert _open_ranged("teststore://whatever", 4, 6) == b"456789"
     finally:
         remote_fs._REGISTRY.pop("teststore", None)
+
+
+def test_mock_scheme_gated_off_by_default(tmp_path, monkeypatch):
+    """The builtin mock:// test scheme is opt-in (WARCIO_SPARK_MOCK_FS=1,
+    set by conftest for this suite): with the flag absent the production
+    registry is empty and dispatch can never silently open a local file
+    for an unknown object-store URI."""
+    import pytest as _pytest
+
+    from warcio_spark.sources import remote_fs
+
+    p = tmp_path / "secret.bin"
+    p.write_bytes(b"should never be readable")
+    monkeypatch.delenv("WARCIO_SPARK_MOCK_FS", raising=False)
+    assert "mock" not in remote_fs._REGISTRY
+    with _pytest.raises(Exception):
+        # no fsspec in this sandbox -> ImportError naming fsspec; with
+        # fsspec installed -> its unknown-protocol error. Either way the
+        # local file is not opened.
+        remote_fs.open_stream("mock://" + str(p))
+
+
+def test_fsspec_fallback_when_installed(tmp_path):
+    """Lights up for free if the sandbox ever gains fsspec: drives the
+    open_stream fsspec fallback with a file:// URI. XFAILs (never
+    silently skips) while the package is absent, keeping the one
+    untested branch visible."""
+    import pytest as _pytest
+
+    try:
+        import fsspec  # noqa: F401
+    except ImportError:
+        _pytest.xfail(
+            "fsspec not installed in this sandbox — open_stream's fsspec "
+            "fallback branch has never executed here (registry openers "
+            "cover the dispatch; see test_read_warc_ranges_object_store_"
+            "scheme)"
+        )
+    from warcio_spark.sources.remote_fs import _REGISTRY, open_stream
+
+    p = tmp_path / "blob.bin"
+    p.write_bytes(b"0123456789")
+    assert "file" not in _REGISTRY  # must reach the fsspec branch
+    with open_stream("file://" + str(p)) as f:
+        assert f.read() == b"0123456789"

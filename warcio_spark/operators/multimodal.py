@@ -130,7 +130,9 @@ def _decode_image_ppm(data: bytes):
             i = j
         i += 1  # single whitespace after maxval per spec
         w, h, maxval = fields
-        if maxval <= 0 or maxval > 255:
+        if w <= 0 or h <= 0 or maxval <= 0 or maxval > 255:
+            # zero/negative dims would yield an empty raster whose cell
+            # means are NaN — malformed headers take the NULL-row contract
             return None
         c = 3 if data.startswith(b"P6") else 1
         raster = np.frombuffer(data, dtype=np.uint8, count=w * h * c,

@@ -85,11 +85,19 @@ def acquire_lease(state_dir: str, ttl_sec: float) -> str:
                 state_dir, cur.get("pid"), age, ttl_sec, path
             )
     )
-    # stale lease: steal via atomic replace, then re-read to confirm we won
+    # stale lease: steal via atomic replace, then settle and re-read to
+    # confirm we won. The randomized settle delay shrinks the window where
+    # two stealers each replace-then-read their own token and both declare
+    # victory: after the delay, whichever replace landed LAST is what both
+    # re-read, so at most one sees its own token (best-effort — renew_lease
+    # fencing before each commit is the authoritative guard).
+    import random
+
     tmp = path + "." + token
     with open(tmp, "w") as f:
         f.write(payload)
     os.replace(tmp, path)
+    time.sleep(random.uniform(0.05, 0.2))
     with open(path) as f:
         if json.load(f).get("token") == token:
             return token
@@ -122,13 +130,40 @@ def renew_lease(state_dir: str, token: str) -> None:
 
 
 def release_lease(state_dir: str, token: str) -> None:
+    """Release only our own lease. Claim-by-rename instead of
+    read-check-delete: atomically rename the lease aside, inspect it, and
+    either delete it (ours) or rename it back (a competitor's fresh lease
+    that replaced ours between our last renew and this release) — so a
+    competitor's lease can't be deleted in the check-to-remove window."""
     path = _lease_path(state_dir)
+    claimed = path + ".release." + token
     try:
-        with open(path) as f:
-            if json.load(f).get("token") == token:
-                os.remove(path)
+        os.rename(path, claimed)
     except OSError:
-        pass
+        return  # no lease on disk — nothing to release
+    try:
+        with open(claimed) as f:
+            is_ours = json.load(f).get("token") == token
+    except Exception:
+        is_ours = False
+    if is_ours:
+        try:
+            os.remove(claimed)
+        except OSError:
+            pass
+    else:
+        # not ours: put the competitor's lease back (best-effort; if the
+        # competitor re-created path meanwhile, theirs is fresher — drop)
+        if os.path.exists(path):
+            try:
+                os.remove(claimed)
+            except OSError:
+                pass
+        else:
+            try:
+                os.rename(claimed, path)
+            except OSError:
+                pass
 
 
 @dataclass
@@ -180,9 +215,13 @@ class RoundState:
             # the layout makes both recrawl reads prune — the blocking
             # filter (fetch_round > n-ttl) and the due-set's stale scan
             # (fetch_round <= n-ttl) each touch only their partitions
+            # static overwrite pinned per-write: under a session-level
+            # partitionOverwriteMode=dynamic, a resume=False rerun over an
+            # old state dir would leave stale fetch_round partitions from
+            # the previous run alongside this one's
             seen_full.write.partitionBy("fetch_round").mode(
                 "overwrite"
-            ).parquet(seen_dir)
+            ).option("partitionOverwriteMode", "static").parquet(seen_dir)
         elif os.path.isdir(seen_dir):
             # resume=False rerun over an old state dir: a stale snapshot
             # from the previous run at a non-compaction round of THIS run

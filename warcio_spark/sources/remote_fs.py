@@ -17,12 +17,16 @@ path (no driver-held state). The builtin ``mock://`` scheme does exactly
 that: ``mock:///abs/path`` opens ``/abs/path`` through the full
 remote-scheme code path (dispatch, open, seek, read) — a local-disk
 stand-in for an object store, the same trick the reference's moto-backed
-S3 tests use.
+S3 tests use. It is OPT-IN: set ``WARCIO_SPARK_MOCK_FS=1`` in the
+environment (before the Spark JVM spawns, so python workers inherit it)
+— the production registry is empty by default, so an unknown object-store
+URI can never silently open a local file.
 """
 
 from __future__ import annotations
 
 import io
+import os
 
 
 def _open_mock(path: str, mode: str = "rb"):
@@ -36,7 +40,7 @@ def _open_mock(path: str, mode: str = "rb"):
     return open(local, mode)
 
 
-_REGISTRY = {"mock": _open_mock}
+_REGISTRY: dict = {}
 
 
 def register_filesystem(scheme: str, opener) -> None:
@@ -49,6 +53,11 @@ def register_filesystem(scheme: str, opener) -> None:
 def open_stream(path: str, mode: str = "rb") -> io.IOBase:
     scheme = path.split("://", 1)[0].lower() if "://" in path else ""
     opener = _REGISTRY.get(scheme)
+    if (opener is None and scheme == "mock"
+            and os.environ.get("WARCIO_SPARK_MOCK_FS") == "1"):
+        # checked dynamically (not at import) so the flag works no matter
+        # when this module was first imported in driver or worker
+        opener = _open_mock
     if opener is not None:
         return opener(path, mode)
     try:
