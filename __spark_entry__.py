@@ -737,6 +737,84 @@ def q_wat_links(spark, sf):
     )
 
 
+def _wat_head_universe(spark, sf):
+    """Deterministic <head> markup derived from doc_id for q_wat_head
+    (mirrored verbatim by its DuckDB oracle SQL): title variants
+    (lowercase with attribute + messy whitespace + entity, uppercase
+    TITLE, missing), meta variants (double/single/unquoted values,
+    property=, charset-only which must drop, empty content which must
+    keep, quote-in-quote), a body meta that only counts on the pages
+    built WITHOUT </head> (the whole-document fallback region)."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    title = (
+        F.when(d % 17 == 0, F.lit(""))
+        .when(
+            d % 13 == 0,
+            F.concat(F.lit("<TITLE>UP "), s(d), F.lit("</TITLE>")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<title id=t>  Doc "), s(d),
+                F.lit(" &amp;   co </title>"),
+            )
+        )
+    )
+    metas = F.concat(
+        F.lit('<meta name="viewport" content="width='), s(d % 3),
+        F.lit('">'),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit("<meta name='keywords' content='k"), s(d % 7),
+                     F.lit(" k2'>")),
+        ).otherwise(F.lit("")),
+        F.lit("<meta name=robots content=noindex>"),
+        F.when(
+            d % 4 == 0,
+            F.lit('<meta property="og:type" content="article">'),
+        ).otherwise(F.lit("")),
+        F.lit('<meta charset="utf-8">'),
+        F.when(
+            d % 6 == 0,
+            F.lit('<meta name="empty" content="">'),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 9 == 0,
+            F.lit('<meta name="quote" content="it\'s fine">'),
+        ).otherwise(F.lit("")),
+    )
+    text = F.concat(
+        F.lit("<html><head>"), title, metas,
+        F.when(d % 19 == 0, F.lit("")).otherwise(F.lit("</head>")),
+        F.lit('<body><meta name="inbody" content="x">text</body></html>'),
+    )
+    return docs.select(d.alias("doc_id"), text.alias("text"))
+
+
+def q_wat_head(spark, sf):
+    """The WAT HTML-Metadata Head block (operators/links.py:head_struct —
+    title + meta name/content pairs derive_wat embeds per response
+    record), exploded back to rows over a deterministic head-markup
+    universe. The oracle rebuilds the same markup in DuckDB and
+    re-implements region-split + title + meta-attribute extraction in
+    SQL (computed, not pinned)."""
+    from warcio_spark.operators.links import head_struct
+
+    pages = _wat_head_universe(spark, sf)
+    return (
+        pages.select("doc_id", head_struct(F.col("text")).alias("h"))
+        .select("doc_id", F.col("h.title").alias("title"),
+                F.explode("h.metas").alias("m"))
+        .select(
+            "doc_id", "title",
+            F.col("m.pos").alias("pos"),
+            F.col("m.name").alias("meta_name"),
+            F.col("m.content").alias("meta_content"),
+        )
+    )
+
+
 def q_sitemap_locs(spark, sf):
     """Sitemap ingestion (operators/links.py:sitemap_locs): <loc> entries
     of deterministic urlset/sitemapindex XML derived from doc_id —
@@ -847,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdxj_surt": q_cdxj_surt,
         "outlinks": q_outlinks,
         "wat_links": q_wat_links,
+        "wat_head": q_wat_head,
         "sitemap_locs": q_sitemap_locs,
         "url_hygiene": q_url_hygiene,
     }
@@ -1323,4 +1402,69 @@ def oracle_sql() -> dict[str, str]:
     # shares the SAME computed oracle — one extraction semantics, checked
     # through both consumption shapes
     out["wat_links"] = out["outlinks"]
+    out["wat_head"] = """
+        WITH u AS (
+          SELECT doc_id,
+            '<html><head>'
+            || CASE WHEN doc_id % 17 = 0 THEN ''
+                    WHEN doc_id % 13 = 0
+                    THEN '<TITLE>UP ' || doc_id::VARCHAR || '</TITLE>'
+                    ELSE '<title id=t>  Doc ' || doc_id::VARCHAR
+                         || ' &amp;   co </title>' END
+            || '<meta name="viewport" content="width='
+            || (doc_id % 3)::VARCHAR || '">'
+            || CASE WHEN doc_id % 2 = 0
+                    THEN '<meta name=''keywords'' content=''k'
+                         || (doc_id % 7)::VARCHAR || ' k2''>' ELSE '' END
+            || '<meta name=robots content=noindex>'
+            || CASE WHEN doc_id % 4 = 0
+                    THEN '<meta property="og:type" content="article">'
+                    ELSE '' END
+            || '<meta charset="utf-8">'
+            || CASE WHEN doc_id % 6 = 0
+                    THEN '<meta name="empty" content="">' ELSE '' END
+            || CASE WHEN doc_id % 9 = 0
+                    THEN '<meta name="quote" content="it''s fine">'
+                    ELSE '' END
+            || CASE WHEN doc_id % 19 = 0 THEN '' ELSE '</head>' END
+            || '<body><meta name="inbody" content="x">text</body></html>'
+            AS text
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+            CASE WHEN regexp_matches(text, '(?is)</head\\s*>')
+                 THEN regexp_extract(text, '(?is)^(.*?)</head\\s*>', 1)
+                 ELSE text END AS head_src
+          FROM u),
+        t AS (
+          SELECT doc_id, head_src,
+            NULLIF(substr(regexp_replace(regexp_replace(
+              regexp_extract(head_src, '(?is)<title[^>]*>([^<]*)', 1),
+              '\\s+', ' ', 'g'), '^ | $', '', 'g'), 1, 512), '') AS title,
+            list_slice(regexp_extract_all(head_src,
+              '(?i)<meta(\\s(?:[^<>"'']|"[^"]*"|''[^'']*'')*)/?>', 1),
+              1, 64) AS blobs
+          FROM h),
+        m AS (
+          SELECT doc_id, title, CAST(i - 1 AS INTEGER) AS pos,
+            COALESCE(
+              NULLIF(regexp_extract(blobs[i],
+                '(?i)\\s(?:name|property)\\s*=\\s*"([^"]*)"', 1), ''),
+              NULLIF(regexp_extract(blobs[i],
+                '(?i)\\s(?:name|property)\\s*=\\s*''([^'']*)''', 1), ''),
+              NULLIF(regexp_extract(blobs[i],
+                '(?i)\\s(?:name|property)\\s*=\\s*([^\\s"''<>]+)', 1), ''),
+              '') AS meta_name,
+            COALESCE(
+              NULLIF(regexp_extract(blobs[i],
+                '(?i)\\scontent\\s*=\\s*"([^"]*)"', 1), ''),
+              NULLIF(regexp_extract(blobs[i],
+                '(?i)\\scontent\\s*=\\s*''([^'']*)''', 1), ''),
+              NULLIF(regexp_extract(blobs[i],
+                '(?i)\\scontent\\s*=\\s*([^\\s"''<>]+)', 1), ''),
+              '') AS meta_content
+          FROM t, UNNEST(generate_series(1, len(blobs))) AS s(i))
+        SELECT doc_id, title, pos, meta_name, meta_content
+        FROM m WHERE meta_name <> ''
+    """
     return out

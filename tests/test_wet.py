@@ -120,14 +120,16 @@ def test_wat_envelope_reference_readable(spark, tmp_path):
                     .get("HTML-Metadata")
                 )
                 if html_meta is not None:
+                    # Head may be present without Links (page with metas
+                    # but no anchors) — ignoreNullFields drops null Links
+                    blk = html_meta.get("Links") or []
                     links_seen.extend(
-                        (meta["WARC-Target-URI"], e["url"])
-                        for e in html_meta["Links"]
+                        (meta["WARC-Target-URI"], e["url"]) for e in blk
                     )
                     assert all(
                         e["url"].startswith(("http://", "https://"))
                         and e["path"] == "A@/href"
-                        for e in html_meta["Links"]
+                        for e in blk
                     )
             n += 1
     assert n == n_src
@@ -211,3 +213,156 @@ def test_incremental_wet_factory(spark, tmp_path):
     assert all(r.rec_type == "conversion" for r in rows)
     assert all(r.wet_text for r in rows)
     assert wet.count() == r1["n_records"] + r2["n_records"]
+
+
+def _headparser_oracle(text):
+    """Independent Head extraction via html.parser (entities preserved —
+    neither side decodes them): (title, [(name, content), ...]) for the
+    region up to the first </head> (whole doc if none), mirroring
+    links.py:head_struct's documented contract."""
+    import re
+    from html.parser import HTMLParser
+
+    class P(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=False)
+            self.title_parts = None
+            self.title = None
+            self.metas = []
+            self.done = False
+
+        def handle_starttag(self, tag, attrs):
+            if self.done:
+                return
+            if tag == "title" and self.title is None:
+                self.title_parts = []
+            elif tag == "meta":
+                a = dict(attrs)
+                name = a.get("name") or a.get("property") or ""
+                if name:
+                    self.metas.append((name, a.get("content") or ""))
+
+        def handle_data(self, data):
+            if self.title_parts is not None and self.title is None:
+                self.title_parts.append(data)
+
+        def handle_entityref(self, name):
+            if self.title_parts is not None and self.title is None:
+                self.title_parts.append("&%s;" % name)
+
+        def handle_charref(self, name):
+            if self.title_parts is not None and self.title is None:
+                self.title_parts.append("&#%s;" % name)
+
+        def handle_endtag(self, tag):
+            if tag == "title" and self.title_parts is not None:
+                if self.title is None:
+                    self.title = "".join(self.title_parts)
+            elif tag == "head":
+                self.done = True
+
+    p = P()
+    p.feed(text)
+    p.close()
+    title = p.title
+    if title is not None:
+        title = re.sub(r"\s+", " ", title).strip()[:512] or None
+    return title, p.metas
+
+
+def test_wat_head_block_matches_independent_parser(spark, tmp_path):
+    """derive_wat's Head block (title + metas), read back through the
+    REFERENCE library, equals an html.parser-based independent extraction
+    over the reference's own decode of each response."""
+    from warcio.archiveiterator import ArchiveIterator
+
+    from warcio_spark.operators.wet import derive_wat
+    from warcio_spark.operators.writer import write_warc
+    from warcio_spark.sources import read_warc
+
+    recs = read_warc(spark, CORPUS)
+    out_dir = str(tmp_path / "wat_head")
+    paths = write_warc(derive_wat(recs).repartition(1), out_dir, gzip=True)
+
+    ref = _reference_responses(CORPUS)
+    checked = 0
+    with open(paths[0], "rb") as f:
+        for rec in ArchiveIterator(f, check_digests="raise"):
+            env = json.loads(
+                rec.content_stream().read().decode("utf-8")
+            )["Envelope"]
+            meta = env["WARC-Header-Metadata"]
+            if meta.get("WARC-Type") != "response":
+                continue
+            uri = meta["WARC-Target-URI"]
+            if uri not in ref:
+                continue
+            head = (
+                env["Payload-Metadata"]
+                .get("HTTP-Response-Metadata", {})
+                .get("HTML-Metadata", {})
+                .get("Head")
+            )
+            want_title, want_metas = _headparser_oracle(ref[uri][1])
+            got_title = (head or {}).get("Title")
+            got_metas = [
+                (m["name"], m["content"])
+                for m in (head or {}).get("Metas") or []
+            ]
+            assert got_title == want_title, uri
+            assert got_metas == want_metas, uri
+            checked += 1
+    assert checked > 0
+
+
+def test_head_struct_edge_cases(spark):
+    """Quote forms, charset-drop, empty-content keep, region fallback,
+    meta + title caps — the unit contract of links.py:head_struct."""
+    from pyspark.sql import functions as F
+
+    from warcio_spark.operators.links import (
+        MAX_METAS_PER_PAGE,
+        MAX_TITLE_CHARS,
+        head_struct,
+    )
+
+    rows = [
+        # 0: everything before </head>; body meta excluded
+        ("<head><title> A  B </title>"
+         "<meta name=\"n1\" content=\"c 1\">"
+         "<meta name='n2' content='c2'>"
+         "<meta name=n3 content=c3>"
+         "<meta charset=\"utf-8\">"
+         "<meta property=\"og:t\" content=\"it's ok\">"
+         "<meta name=\"e\" content=\"\">"
+         "</head><meta name=\"body\" content=\"x\">",),
+        # 1: no </head> -> whole doc scanned, body meta included
+        ("<title>T</title><meta name=\"a\" content=\"1\">"
+         "<body><meta name=\"b\" content=\"2\">",),
+        # 2: meta cap + title cap
+        ("<title>%s</title>%s" % (
+            "x" * (MAX_TITLE_CHARS + 50),
+            "".join('<meta name="m%d" content="v">' % i
+                    for i in range(MAX_METAS_PER_PAGE + 8)),
+        ),),
+        # 3: no head at all
+        ("<p>plain</p>",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = [
+        r.h.asDict(recursive=True)
+        for r in df.select(head_struct(F.col("text")).alias("h")).collect()
+    ]
+    assert out[0]["title"] == "A B"
+    assert [(m["name"], m["content"]) for m in out[0]["metas"]] == [
+        ("n1", "c 1"), ("n2", "c2"), ("n3", "c3"),
+        ("og:t", "it's ok"), ("e", ""),
+    ]
+    # pos counts ALL meta tags pre-name-filter: charset tag holds pos 3
+    assert [m["pos"] for m in out[0]["metas"]] == [0, 1, 2, 4, 5]
+    assert [(m["name"], m["content"]) for m in out[1]["metas"]] == [
+        ("a", "1"), ("b", "2"),
+    ]
+    assert len(out[2]["title"]) == MAX_TITLE_CHARS
+    assert len(out[2]["metas"]) == MAX_METAS_PER_PAGE
+    assert out[3]["title"] is None and out[3]["metas"] == []

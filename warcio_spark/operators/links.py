@@ -187,6 +187,94 @@ def outlink_structs(url: Column, text: Column) -> Column:
     return F.filter(resolved, lambda e: e["url"].isNotNull())
 
 
+# head-metadata caps, the Head-block analog of MAX_LINKS_PER_PAGE
+MAX_METAS_PER_PAGE = 64
+MAX_TITLE_CHARS = 512
+
+# <meta ...> attribute blob, same attribute-aware discipline as _HREF_RX:
+# quoted values are consumed atomically, '<' is excluded from the unquoted
+# scan so matching stays linear on poison markup
+_META_TAG_RX = "(?i)<meta(\\s(?:[^<>\"']|\"[^\"]*\"|'[^']*')*)/?>"
+
+
+def _attr_value(blob: Column, names: str) -> Column:
+    """First value of any attribute in the ``names`` alternation inside a
+    tag's attribute blob, across the three quoting forms (double, single,
+    bare). Empty/absent values resolve to '' — the caller decides whether
+    that drops the tag. Mirrored verbatim by the wat_head DuckDB oracle."""
+    dq = F.regexp_extract(blob, "(?i)\\s(?:%s)\\s*=\\s*\"([^\"]*)\"" % names, 1)
+    sq = F.regexp_extract(blob, "(?i)\\s(?:%s)\\s*=\\s*'([^']*)'" % names, 1)
+    uq = F.regexp_extract(
+        blob, "(?i)\\s(?:%s)\\s*=\\s*([^\\s\"'<>]+)" % names, 1
+    )
+    return F.coalesce(
+        F.nullif(dq, F.lit("")), F.nullif(sq, F.lit("")),
+        F.nullif(uq, F.lit("")), F.lit(""),
+    )
+
+
+def head_struct(text: Column) -> Column:
+    """Per-page <head> metadata as ONE struct column — the WAT
+    HTML-Metadata ``Head`` block (Common-Crawl WAT carries Title + Metas
+    there; reference-ecosystem shape, built on the same record envelope
+    warcio serializes — warcio/warcwriter.py's metadata records).
+
+    Returns struct<title:string, metas:array<struct<pos:int, name:string,
+    content:string>>>:
+
+    * the scan region is everything before the first ``</head>`` when one
+      exists, else the whole document (crawler heuristic, not a tree
+      parse — same discipline as ``_HREF_RX``);
+    * title = first ``<title>`` text up to the next tag-open, whitespace
+      collapsed+trimmed, capped at MAX_TITLE_CHARS, NULL when absent or
+      empty; entities are NOT decoded (neither are outlink hrefs);
+    * metas = the first MAX_METAS_PER_PAGE ``<meta>`` tags that carry a
+      non-empty ``name`` or ``property`` attribute (lookup precedence:
+      double-quoted, then single-quoted, then bare value — earliest match
+      within a form; see _attr_value), with ``content`` as written (''
+      when absent);
+      ``pos`` is the tag's document position among ALL meta tags in the
+      region, pre-name-filter — the outlink_structs pos convention.
+
+    Everything is whole-stage-codegen JVM expressions over the
+    already-decoded text column (the shared Arrow hop); no explode, so
+    derive_wat embeds it per record without fanning out rows.
+    """
+    head_src = F.when(
+        text.rlike("(?is)</head\\s*>"),
+        F.regexp_extract(text, "(?is)^(.*?)</head\\s*>", 1),
+    ).otherwise(text)
+    title = F.nullif(
+        F.substring(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_extract(
+                        head_src, "(?is)<title[^>]*>([^<]*)", 1
+                    ),
+                    "\\s+", " ",
+                ),
+                "^ | $", "",
+            ),
+            1, MAX_TITLE_CHARS,
+        ),
+        F.lit(""),
+    )
+    blobs = F.slice(
+        F.regexp_extract_all(head_src, F.lit(_META_TAG_RX), F.lit(1)),
+        1, MAX_METAS_PER_PAGE,
+    )
+    metas = F.transform(
+        blobs,
+        lambda b, i: F.struct(
+            i.cast("int").alias("pos"),
+            _attr_value(b, "name|property").alias("name"),
+            _attr_value(b, "content").alias("content"),
+        ),
+    )
+    metas = F.filter(metas, lambda e: F.length(e["name"]) > 0)
+    return F.struct(title.alias("title"), metas.alias("metas"))
+
+
 def redirect_candidates(fetched: DataFrame, url_col: str = "page_url") -> DataFrame:
     """3xx responses -> (src_url, outlink) for the Location target,
     resolved with the same reference-resolution contract as hrefs (real

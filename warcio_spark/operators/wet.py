@@ -109,7 +109,9 @@ def derive_wat(records: DataFrame, include_links: bool = True) -> DataFrame:
     response records, the page's extracted outlinks under
     ``Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata.Links``
     (Common-Crawl WAT's link block: one ``{path: "A@/href", url, href}``
-    entry per anchor, url resolved absolute, href as written). The
+    entry per anchor, url resolved absolute, href as written) plus the
+    ``HTML-Metadata.Head`` block (Title + Metas name/content pairs,
+    links.py:head_struct — Common-Crawl WAT's head metadata). The
     header/payload envelope is fully JVM-side (``to_json`` over a
     struct); the link block adds the SAME one Arrow text-decode hop the
     WET path uses, then pure-codegen extraction (operators/links.py).
@@ -139,8 +141,12 @@ def derive_wat(records: DataFrame, include_links: bool = True) -> DataFrame:
     links = F.lit(None).cast(
         "array<struct<path:string,url:string,href:string>>"
     )
+    head = F.lit(None).cast(
+        "struct<title:string,"
+        "metas:array<struct<pos:int,name:string,content:string>>>"
+    )
     if include_links and "content" in records.columns:
-        from warcio_spark.operators.links import outlink_structs
+        from warcio_spark.operators.links import head_struct, outlink_structs
 
         text = F.when(
             (F.col("rec_type") == "response") & F.col("content").isNotNull(),
@@ -157,6 +163,7 @@ def derive_wat(records: DataFrame, include_links: bool = True) -> DataFrame:
                 ),
             ),
         )
+        head = F.when(text.isNotNull(), head_struct(text))
     src = src.withColumn(
         "_env",
         F.to_json(
@@ -175,11 +182,32 @@ def derive_wat(records: DataFrame, include_links: bool = True) -> DataFrame:
                         # from the JSON (ignoreNullFields) instead of
                         # leaving empty nested objects
                         F.when(
-                            links.isNotNull(),
+                            links.isNotNull() | head.isNotNull(),
                             F.struct(
-                                F.struct(links.alias("Links")).alias(
-                                    "HTML-Metadata"
-                                )
+                                F.struct(
+                                    # Common-Crawl WAT Head block: Title +
+                                    # Metas (name/content pairs); null
+                                    # members vanish via ignoreNullFields
+                                    F.when(
+                                        head.isNotNull(),
+                                        F.struct(
+                                            head["title"].alias("Title"),
+                                            F.when(
+                                                F.size(head["metas"]) > 0,
+                                                F.transform(
+                                                    head["metas"],
+                                                    lambda e: F.struct(
+                                                        e["name"].alias("name"),
+                                                        e["content"].alias(
+                                                            "content"
+                                                        ),
+                                                    ),
+                                                ),
+                                            ).alias("Metas"),
+                                        ),
+                                    ).alias("Head"),
+                                    links.alias("Links"),
+                                ).alias("HTML-Metadata")
                             ),
                         ).alias("HTTP-Response-Metadata"),
                     ).alias("Payload-Metadata"),
