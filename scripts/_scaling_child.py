@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""One scaling leg, run as a fresh subprocess by bench._scaling_leg.
+
+argv: spark_cores pin_cores n_urls runs disjoint(0|1)
+
+Pins CPU affinity BEFORE the JVM starts (an in-process sched_setaffinity
+cannot re-pin the already-running py4j JVM). In disjoint mode the JVM and
+driver get the FIRST half of the pin envelope and every python UDF worker
+re-pins itself — via a PYSPARK_PYTHON wrapper — to the SECOND half, so
+nothing in the leg time-slices a core and the total footprint is still
+exactly ``pin_cores``: the way a real cluster provisions executor cores
+and python-worker cores explicitly.
+
+Prints one JSON line:
+  sec/ups        best-of-runs frontier time and URLs/sec
+  times          every individual run time (spread = in-leg noise)
+  self_cpu_s     CPU seconds consumed by this process TREE (driver,
+                 JVM, pyspark daemons/workers) over the measured window,
+                 from /proc — live descendants' utime+stime plus each
+                 tree member's reaped-children cutime+cstime
+  box_busy_s     box-wide busy CPU seconds over the same window
+                 (/proc/stat: total minus idle minus iowait)
+  cotenant_cpu_s box_busy_s - self_cpu_s: CPU burned by OTHER tenants
+                 inside the measurement window. The objective
+                 clean-pair criterion — no load-average eyeballing.
+"""
+
+import json
+import os
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CLK = os.sysconf("SC_CLK_TCK")
+
+
+def box_busy():
+    with open("/proc/stat") as f:
+        v = [int(x) for x in f.readline().split()[1:]]
+    return (sum(v) - v[3] - v[4]) / CLK
+
+
+def tree_cpu():
+    """CPU seconds of this process and every live descendant, plus each
+    tree member's already-reaped children (cutime/cstime) — covers the
+    py4j JVM, pyspark daemons, and python workers without needing to
+    reap anything."""
+    info = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as f:
+                data = f.read()
+        except OSError:
+            continue
+        rest = data[data.rindex(b")") + 2:].split()
+        info[int(pid)] = (int(rest[1]),  # ppid
+                          int(rest[11]) + int(rest[12])   # utime+stime
+                          + int(rest[13]) + int(rest[14]))  # cutime+cstime
+    tree = {os.getpid()}
+    grew = True
+    while grew:
+        grew = False
+        for pid, (ppid, _) in info.items():
+            if ppid in tree and pid not in tree:
+                tree.add(pid)
+                grew = True
+    return sum(info[p][1] for p in tree if p in info) / CLK
+
+
+def main():
+    spark_cores, pin, n_urls, runs, disjoint = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+        sys.argv[5] == "1",
+    )
+    if disjoint:
+        os.sched_setaffinity(0, set(range(pin // 2)))
+        w = tempfile.NamedTemporaryFile("w", suffix=".py", delete=False)
+        w.write(
+            "#!%s\nimport os, sys\n"
+            "os.sched_setaffinity(0, set(range(%d, %d)))\n"
+            "os.execv(%r, [%r] + sys.argv[1:])\n"
+            % (sys.executable, pin // 2, pin, sys.executable, sys.executable)
+        )
+        w.close()
+        os.chmod(w.name, 0o755)
+        os.environ["PYSPARK_PYTHON"] = w.name
+        os.environ["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    else:
+        os.sched_setaffinity(0, set(range(pin)))
+
+    sys.path.insert(0, REPO)
+    from bench import frontier_throughput, make_spark
+
+    s = make_spark(spark_cores)
+    s.sparkContext.setLogLevel("ERROR")
+    s.range(1000).count()
+
+    busy0, cpu0 = box_busy(), tree_cpu()
+    times = []
+    sec, ups = frontier_throughput(s, n_urls, runs=runs, all_times=times)
+    busy1, cpu1 = box_busy(), tree_cpu()
+    s.stop()
+
+    self_cpu = cpu1 - cpu0
+    print(json.dumps({
+        "sec": sec, "ups": ups, "times": times,
+        "self_cpu_s": round(self_cpu, 1),
+        "box_busy_s": round(busy1 - busy0, 1),
+        "cotenant_cpu_s": round((busy1 - busy0) - self_cpu, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Round-5 scaling evidence collector (VERDICT_r04 item 1).
+
+Per iteration, three load-gated N-vs-4N pairs, legs alternated
+small/big so a co-tenant burst cannot bias one side:
+
+  control   local[4]@8pins  vs local[16]@32pins  (python-worker headroom)
+  disjoint  local[4] JVM on cores 0-3 + workers on 4-7 (8 total)
+            vs local[16] JVM on 0-15 + workers on 16-31 (32 total)
+            — every core in the envelope explicitly provisioned, exactly
+            8 vs 32 cores used, no time-slicing anywhere: the strongest
+            "plain" pair the sandbox can express
+  plain     local[8]@8pins  vs local[32]@32pins  (2x oversubscribed both
+            sides — the known local-mode core-sharing bound, kept for
+            continuity with r3/r4)
+
+Every leg records per-run times AND objective co-tenant CPU seconds
+measured from /proc (see scripts/_scaling_child.py) — the pre-registered
+clean-pair criterion is now `cotenant_cpu_s` small on BOTH legs (< 5% of
+the leg's own CPU), not a load-average eyeball. ALL legs are appended to
+build/scaling_r5.jsonl regardless of outcome.
+
+A weak-scaling leg (96M URLs at 32) runs every WEAK_EVERY iterations.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import _scaling_leg  # noqa: E402
+
+OUT = os.path.join(REPO, "build", "scaling_r5.jsonl")
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+MAX_WAIT = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600"))
+N_URLS = int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "16000000"))
+RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+ITERS = int(os.environ.get("SPARK_GRAFT_SCALING_ITERS", "4"))
+WEAK_EVERY = int(os.environ.get("SPARK_GRAFT_WEAK_EVERY", "2"))
+WEAK_URLS = int(os.environ.get("SPARK_GRAFT_WEAK_URLS", "96000000"))
+
+# (tag, spark_cores, pin_cores, disjoint)
+LEGS = [
+    ("ctl-4@8", "4", 8, False),
+    ("ctl-16@32", "16", 32, False),
+    ("dis-4@8", "4", 8, True),
+    ("dis-16@32", "16", 32, True),
+    ("plain-8@8", "8", 8, False),
+    ("plain-32@32", "32", 32, False),
+]
+
+
+def wait_quiet():
+    t0 = time.time()
+    while True:
+        load = os.getloadavg()[0]
+        if load < LOAD_GATE or time.time() - t0 > MAX_WAIT:
+            return round(load, 2)
+        time.sleep(20)
+
+
+def emit(rec):
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def run_leg(it, tag, spark_cores, pin, urls, runs, disjoint):
+    load = wait_quiet()
+    t0 = time.time()
+    try:
+        leg = _scaling_leg(spark_cores, pin, urls, runs, disjoint=disjoint)
+    except RuntimeError as e:
+        emit({"iter": it, "level": tag, "urls": urls, "error": str(e)[:500]})
+        return
+    emit({
+        "iter": it, "level": tag, "urls": urls,
+        "sec": leg["sec"], "ups": leg["ups"], "times": leg["times"],
+        "self_cpu_s": leg["self_cpu_s"],
+        "cotenant_cpu_s": leg["cotenant_cpu_s"],
+        "load_at_start": load,
+        "wall": round(time.time() - t0, 1),
+    })
+
+
+def main():
+    for it in range(ITERS):
+        for tag, spark_cores, pin, disjoint in LEGS:
+            run_leg(it, tag, spark_cores, pin, N_URLS, RUNS, disjoint)
+        if WEAK_EVERY and (it + 1) % WEAK_EVERY == 0:
+            run_leg(it, "weak-32@32", "32", 32, WEAK_URLS, 2, False)
+
+
+if __name__ == "__main__":
+    main()
