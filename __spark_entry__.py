@@ -640,6 +640,51 @@ def q_cdxj_surt(spark, sf):
     )
 
 
+def q_cdxj_read(spark, sf):
+    """CDXJ index READER (sources/cdxj.py): a deterministic line universe
+    — well-formed ``urlkey ts14 {json}`` capture lines plus two malformed
+    slices (a no-field line, a broken-JSON block) — parsed back to typed
+    columns by the same pure-Catalyst expressions read_cdxj uses. The
+    DuckDB oracle computes the expected fields directly (NULLs for the
+    malformed slices), so the round-trip build->parse must be exact.
+    The fetch side of the index (read_warc_entries byte-range reads) is
+    covered against read_warc output in tests/test_spark_ingest.py."""
+    from warcio_spark.sources.cdxj import cdxj_fields
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    urlkey = F.concat(F.lit("com,example,host"), s(d % 53),
+                      F.lit(")/p/"), s(d))
+    url = F.concat(F.lit("http://host"), s(d % 53),
+                   F.lit(".example.com/p/"), s(d))
+    ts = F.concat(
+        F.lit("2024"),
+        F.lpad(s(d % 12 + 1), 2, "0"), F.lpad(s(d % 28 + 1), 2, "0"),
+        F.lpad(s(d % 24), 2, "0"), F.lpad(s(d % 60), 2, "0"),
+        F.lpad(s(d % 60), 2, "0"),
+    )
+    block = F.to_json(F.struct(
+        url.alias("url"),
+        F.when(d % 4 == 0, F.lit("text/html"))
+        .otherwise(F.lit("application/json")).alias("mime"),
+        F.when(d % 9 == 0, F.lit("404")).otherwise(F.lit("200"))
+        .alias("status"),
+        F.concat(F.lit("sha1:"), F.upper(F.md5(s(d)))).alias("digest"),
+        s(d % 7919 + 200).alias("length"),
+        s(d * 1311).alias("offset"),
+        F.concat(F.lit("seg-"), s(d % 17), F.lit(".warc.gz"))
+        .alias("filename"),
+    ))
+    line = (
+        F.when(d % 37 == 0, F.lit("malformed-no-fields"))
+        .when(d % 41 == 0, F.concat(urlkey, F.lit(" "), ts, F.lit(" {broken")))
+        .otherwise(F.concat_ws(" ", urlkey, ts, block))
+    )
+    lines = docs.select(d.alias("doc_id"), line.alias("line"))
+    return lines.select(F.col("doc_id"), *cdxj_fields(F.col("line")))
+
+
 def q_wet_extract(spark, sf):
     """WARC -> WET in one shuffle-free plan: the reference corpus parsed,
     responses decoded to text, re-headed as deterministic conversion
@@ -923,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_parse_corpus": q_warc_parse_corpus,
         "wet_extract": q_wet_extract,
         "cdxj_surt": q_cdxj_surt,
+        "cdxj_read": q_cdxj_read,
         "outlinks": q_outlinks,
         "wat_links": q_wat_links,
         "wat_head": q_wat_head,
@@ -1275,6 +1321,41 @@ def oracle_sql() -> dict[str, str]:
                                     '\\?(.*)$', 1), '&')), '&') END
                    AS urlkey
             FROM x
+        """,
+        "cdxj_read": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 37 = 0 THEN 'malformed-no-fields'
+                        ELSE 'com,example,host' || (doc_id % 53)::VARCHAR
+                             || ')/p/' || doc_id::VARCHAR END AS urlkey,
+                   CASE WHEN doc_id % 37 = 0 THEN NULL
+                        ELSE '2024'
+                             || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0')
+                             || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+                             || lpad((doc_id % 24)::VARCHAR, 2, '0')
+                             || lpad((doc_id % 60)::VARCHAR, 2, '0')
+                             || lpad((doc_id % 60)::VARCHAR, 2, '0')
+                        END AS "timestamp",
+                   CASE WHEN doc_id % 37 = 0 OR doc_id % 41 = 0 THEN NULL
+                        ELSE 'http://host' || (doc_id % 53)::VARCHAR
+                             || '.example.com/p/' || doc_id::VARCHAR
+                        END AS url,
+                   CASE WHEN doc_id % 37 = 0 OR doc_id % 41 = 0 THEN NULL
+                        WHEN doc_id % 4 = 0 THEN 'text/html'
+                        ELSE 'application/json' END AS mime,
+                   CASE WHEN doc_id % 37 = 0 OR doc_id % 41 = 0 THEN NULL
+                        WHEN doc_id % 9 = 0 THEN 404
+                        ELSE 200 END::INTEGER AS status,
+                   CASE WHEN doc_id % 37 = 0 OR doc_id % 41 = 0 THEN NULL
+                        ELSE 'sha1:' || upper(md5(doc_id::VARCHAR))
+                        END AS digest,
+                   CASE WHEN doc_id % 37 = 0 OR doc_id % 41 = 0 THEN NULL
+                        ELSE doc_id % 7919 + 200 END::BIGINT AS length,
+                   CASE WHEN doc_id % 37 = 0 OR doc_id % 41 = 0 THEN NULL
+                        ELSE doc_id * 1311 END::BIGINT AS offset,
+                   CASE WHEN doc_id % 37 = 0 OR doc_id % 41 = 0 THEN NULL
+                        ELSE 'seg-' || (doc_id % 17)::VARCHAR || '.warc.gz'
+                        END AS filename
+            FROM documents
         """,
         "repetition_stats": """
             WITH t AS (

@@ -44,7 +44,10 @@ def tree_cpu():
     """CPU seconds of this process and every live descendant, plus each
     tree member's already-reaped children (cutime/cstime) — covers the
     py4j JVM, pyspark daemons, and python workers without needing to
-    reap anything."""
+    reap anything. Returns (total, jvm, python_workers): the split tells
+    what fraction of the leg is JVM task work vs python UDF work — the
+    number a real cluster uses to size executor cores vs
+    spark.task.cpus headroom for python workers."""
     info = {}
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
@@ -54,19 +57,53 @@ def tree_cpu():
                 data = f.read()
         except OSError:
             continue
+        comm = data[data.index(b"(") + 1:data.rindex(b")")]
         rest = data[data.rindex(b")") + 2:].split()
         info[int(pid)] = (int(rest[1]),  # ppid
                           int(rest[11]) + int(rest[12])   # utime+stime
-                          + int(rest[13]) + int(rest[14]))  # cutime+cstime
+                          + int(rest[13]) + int(rest[14]),  # cutime+cstime
+                          comm)
     tree = {os.getpid()}
     grew = True
     while grew:
         grew = False
-        for pid, (ppid, _) in info.items():
+        for pid, (ppid, _, _) in info.items():
             if ppid in tree and pid not in tree:
                 tree.add(pid)
                 grew = True
-    return sum(info[p][1] for p in tree if p in info) / CLK
+    total = jvm = pyw = 0
+    me = os.getpid()
+    for p in tree:
+        if p not in info:
+            continue
+        _, cpu, comm = info[p]
+        total += cpu
+        if comm.startswith(b"java"):
+            jvm += cpu
+        elif p != me and b"python" in comm:
+            # pyspark daemons + UDF workers (cutime of reaped workers
+            # rolls up into the daemon, also python-comm)
+            pyw += cpu
+    return total / CLK, jvm / CLK, pyw / CLK
+
+
+def canary():
+    """Fixed single-thread probe (sha256 over a 64 MB buffer + an int
+    loop, ~0.5 s nominal): guest-side /proc can't see HOST-level
+    contention — threads show busy while IPC drops — so a leg is only
+    comparable when its canary time matches the session's best. Runs
+    pinned like everything else in this process."""
+    import hashlib
+    import time
+
+    buf = b"\xa5" * (64 << 20)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        hashlib.sha256(buf).digest()
+    acc = 0
+    for i in range(3_000_000):
+        acc += i * i
+    return round(time.perf_counter() - t0, 3)
 
 
 def main():
@@ -97,18 +134,23 @@ def main():
     s.sparkContext.setLogLevel("ERROR")
     s.range(1000).count()
 
-    busy0, cpu0 = box_busy(), tree_cpu()
+    can0 = canary()
+    busy0, (cpu0, jvm0, pyw0) = box_busy(), tree_cpu()
     times = []
     sec, ups = frontier_throughput(s, n_urls, runs=runs, all_times=times)
-    busy1, cpu1 = box_busy(), tree_cpu()
+    busy1, (cpu1, jvm1, pyw1) = box_busy(), tree_cpu()
+    can1 = canary()
     s.stop()
 
     self_cpu = cpu1 - cpu0
     print(json.dumps({
         "sec": sec, "ups": ups, "times": times,
         "self_cpu_s": round(self_cpu, 1),
+        "jvm_cpu_s": round(jvm1 - jvm0, 1),
+        "pyworker_cpu_s": round(pyw1 - pyw0, 1),
         "box_busy_s": round(busy1 - busy0, 1),
         "cotenant_cpu_s": round((busy1 - busy0) - self_cpu, 1),
+        "canary_sec": [can0, can1],
     }))
 
 

@@ -34,6 +34,19 @@ for lvl, rs in sorted(by_level.items()):
         f"{x['ups']/1000:.0f}{'*' if clean(x) else ''}" for x in rs)
     print(f"{lvl:12s} n={len(rs)}  {marks}")
 
+cans = [c for r in rows for c in r.get("canary_sec", [])]
+if cans:
+    print(f"\ncanary spread: min={min(cans):.3f}s max={max(cans):.3f}s "
+          f"(a leg whose canaries exceed min by >15% ran in a "
+          f"host-contended window even if cotenant_cpu_s ~ 0)")
+mixes = [(r["level"], r["jvm_cpu_s"], r["pyworker_cpu_s"]) for r in rows
+         if r.get("jvm_cpu_s") is not None]
+if mixes:
+    tot_j = sum(m[1] for m in mixes)
+    tot_p = sum(m[2] for m in mixes)
+    print(f"jvm:python CPU mix across legs: "
+          f"{tot_j/(tot_j+tot_p):.0%}:{tot_p/(tot_j+tot_p):.0%}")
+
 PAIRS = [("control", "ctl-4@8", "ctl-16@32"),
          ("disjoint", "dis-4@8", "dis-16@32"),
          ("plain", "plain-8@8", "plain-32@32")]

@@ -1,26 +1,31 @@
 #!/usr/bin/env python
 """Round-5 scaling evidence collector (VERDICT_r04 item 1).
 
-Per iteration, three load-gated N-vs-4N pairs, legs alternated
-small/big so a co-tenant burst cannot bias one side:
+Per iteration, load-gated N-vs-4N pairs, legs alternated small/big so a
+co-tenant burst cannot bias one side:
 
   control   local[4]@8pins  vs local[16]@32pins  (python-worker headroom)
-  disjoint  local[4] JVM on cores 0-3 + workers on 4-7 (8 total)
-            vs local[16] JVM on 0-15 + workers on 16-31 (32 total)
-            — every core in the envelope explicitly provisioned, exactly
-            8 vs 32 cores used, no time-slicing anywhere: the strongest
-            "plain" pair the sandbox can express
   plain     local[8]@8pins  vs local[32]@32pins  (2x oversubscribed both
             sides — the known local-mode core-sharing bound, kept for
             continuity with r3/r4)
 
+(A 50:50 disjoint-pin pair — JVM on half the envelope, workers on the
+other half — ran in iteration 0 and is RETIRED as a negative result:
+efficiency 0.44, because the frontier's JVM:python mix is far from
+50:50, so half the envelope idles during JVM-heavy phases; the
+per-leg jvm_cpu_s/pyworker_cpu_s split now measures the real mix.)
+
 Every leg records per-run times AND objective co-tenant CPU seconds
 measured from /proc (see scripts/_scaling_child.py) — the pre-registered
-clean-pair criterion is now `cotenant_cpu_s` small on BOTH legs (< 5% of
-the leg's own CPU), not a load-average eyeball. ALL legs are appended to
+clean-pair criterion is `cotenant_cpu_s` small on BOTH legs (< 5% of
+the leg's own CPU) AND matching canary times (guest-side /proc cannot
+see host-level contention; the single-thread canary catches windows
+where threads run busy-but-slow). ALL legs are appended to
 build/scaling_r5.jsonl regardless of outcome.
 
 A weak-scaling leg (96M URLs at 32) runs every WEAK_EVERY iterations.
+SPARK_GRAFT_ITER_BASE offsets iteration ids so restarted collections
+append to the same log without colliding.
 """
 
 import json
@@ -39,6 +44,7 @@ MAX_WAIT = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600"))
 N_URLS = int(os.environ.get("SPARK_GRAFT_SCALING_URLS", "16000000"))
 RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
 ITERS = int(os.environ.get("SPARK_GRAFT_SCALING_ITERS", "4"))
+ITER_BASE = int(os.environ.get("SPARK_GRAFT_ITER_BASE", "0"))
 WEAK_EVERY = int(os.environ.get("SPARK_GRAFT_WEAK_EVERY", "2"))
 WEAK_URLS = int(os.environ.get("SPARK_GRAFT_WEAK_URLS", "96000000"))
 
@@ -46,8 +52,6 @@ WEAK_URLS = int(os.environ.get("SPARK_GRAFT_WEAK_URLS", "96000000"))
 LEGS = [
     ("ctl-4@8", "4", 8, False),
     ("ctl-16@32", "16", 32, False),
-    ("dis-4@8", "4", 8, True),
-    ("dis-16@32", "16", 32, True),
     ("plain-8@8", "8", 8, False),
     ("plain-32@32", "32", 32, False),
 ]
@@ -77,21 +81,18 @@ def run_leg(it, tag, spark_cores, pin, urls, runs, disjoint):
     except RuntimeError as e:
         emit({"iter": it, "level": tag, "urls": urls, "error": str(e)[:500]})
         return
-    emit({
-        "iter": it, "level": tag, "urls": urls,
-        "sec": leg["sec"], "ups": leg["ups"], "times": leg["times"],
-        "self_cpu_s": leg["self_cpu_s"],
-        "cotenant_cpu_s": leg["cotenant_cpu_s"],
-        "load_at_start": load,
-        "wall": round(time.time() - t0, 1),
-    })
+    rec = {"iter": it, "level": tag, "urls": urls,
+           "load_at_start": load, "wall": round(time.time() - t0, 1)}
+    rec.update({k: v for k, v in leg.items() if k != "box_busy_s"})
+    emit(rec)
 
 
 def main():
-    for it in range(ITERS):
+    for i in range(ITERS):
+        it = ITER_BASE + i
         for tag, spark_cores, pin, disjoint in LEGS:
             run_leg(it, tag, spark_cores, pin, N_URLS, RUNS, disjoint)
-        if WEAK_EVERY and (it + 1) % WEAK_EVERY == 0:
+        if WEAK_EVERY and (i + 1) % WEAK_EVERY == 0:
             run_leg(it, "weak-32@32", "32", 32, WEAK_URLS, 2, False)
 
 

@@ -472,3 +472,87 @@ def test_fsspec_fallback_when_installed(tmp_path):
     assert "file" not in _REGISTRY  # must reach the fsspec branch
     with open_stream("file://" + str(p)) as f:
         assert f.read() == b"0123456789"
+
+
+def test_read_cdxj_roundtrip_file(spark, tmp_path):
+    """index_cdxj lines written as text, read back by read_cdxj: every
+    typed column equals the value the indexer computed (the reader is
+    the query side of the same format)."""
+    from warcio_spark.operators.indexer import index_cdxj
+    from warcio_spark.sources import read_cdxj, read_warc
+
+    path, _ = _make_big_warc(tmp_path, n=60)
+    recs = read_warc(spark, str(path))
+    idx = index_cdxj(recs)
+    want = {
+        (r.urlkey, r.timestamp): r.block for r in idx.collect()
+    }
+    out = tmp_path / "index.cdxj"
+    out.write_text("\n".join(r.line for r in idx.collect()) + "\n")
+
+    got = read_cdxj(spark, str(out)).collect()
+    assert len(got) == len(want)
+    import json as _json
+
+    for r in got:
+        blk = _json.loads(want[(r.urlkey, r.timestamp)])
+        assert r.url == blk["url"]
+        assert r.mime == blk["mime"]
+        assert r.status == int(blk["status"])
+        assert r.digest == blk.get("digest")
+        assert r.length == int(blk["length"])
+        assert r.offset == int(blk["offset"])
+        assert r.filename == blk["filename"]
+
+
+def test_read_cdxj_malformed_lines_null_fields(spark, tmp_path):
+    """Junk lines in a merged index parse to NULL fields, never errors."""
+    from warcio_spark.sources import read_cdxj
+
+    out = tmp_path / "junk.cdxj"
+    out.write_text(
+        'com,ex)/a 20240101000000 {"url": "http://ex.com/a", "offset": '
+        '"7", "length": "3", "filename": "f.warc.gz"}\n'
+        "no-other-fields\n"
+        "com,ex)/b 20240101000001 {broken-json\n"
+    )
+    rows = {r.urlkey: r for r in read_cdxj(spark, str(out)).collect()}
+    assert rows["com,ex)/a"].url == "http://ex.com/a"
+    assert rows["com,ex)/a"].offset == 7
+    assert rows["no-other-fields"].timestamp is None
+    assert rows["no-other-fields"].url is None
+    assert rows["com,ex)/b"].timestamp == "20240101000001"
+    assert rows["com,ex)/b"].url is None
+
+
+def test_read_warc_entries_matches_read_warc(spark, tmp_path):
+    """The index-driven fetch path: CDXJ rows -> byte-range reads ->
+    the SAME record rows read_warc produces for those members (every
+    schema field, absolute offsets preserved), across a multi-file
+    corpus with a filtered (non-contiguous) entry subset."""
+    from warcio_spark.operators.indexer import index_cdxj
+    from warcio_spark.sources import read_cdxj, read_warc, read_warc_entries
+
+    for f in range(3):
+        p, _ = _make_big_warc(tmp_path, n=40)
+        p.rename(tmp_path / f"seg-{f}.warc.gz")
+    full = read_warc(spark, str(tmp_path / "*.warc.gz"))
+    idx = index_cdxj(full)
+    out = tmp_path / "all.cdxj"
+    out.write_text("\n".join(r.line for r in idx.collect()) + "\n")
+
+    entries = read_cdxj(spark, str(out)).filter(F.col("offset") % 3 == 0)
+    fetched = read_warc_entries(spark, entries, base=str(tmp_path))
+
+    cols = fetched.columns
+    want = {
+        (r["filename"], r["offset"]): r
+        for r in full.select(*cols).collect()
+    }
+    got = fetched.collect()
+    n_entries = entries.count()
+    assert len(got) == n_entries > 0
+    for r in got:
+        w = want[(r["filename"], r["offset"])]
+        for c in cols:
+            assert r[c] == w[c], c

@@ -1,2 +1,7 @@
+from .cdxj import read_cdxj  # noqa: F401
 from .pages import synth_pages  # noqa: F401
-from .warc import pages_from_records, read_warc  # noqa: F401
+from .warc import (  # noqa: F401
+    pages_from_records,
+    read_warc,
+    read_warc_entries,
+)
