@@ -929,6 +929,53 @@ def q_url_hygiene(spark, sf):
     )
 
 
+def q_host_graph(spark, sf):
+    """Host-level link graph (plans/graph.py): the outlinks universe
+    aggregated to (src_host, dst_host, n_links) edges — the input a
+    rank-ordered frontier consumes. Oracle wraps the outlinks oracle and
+    re-aggregates in DuckDB (src host reconstructed from doc_id, dst
+    host re-extracted from the resolved outlink)."""
+    from warcio_spark.operators.links import extract_outlinks
+    from warcio_spark.plans.graph import host_graph
+
+    pages = _outlinks_universe(spark, sf)
+    links = extract_outlinks(pages, url_col="page_url", text_col="text")
+    return host_graph(links, src_col="src_url", dst_col="outlink")
+
+
+def q_host_rank(spark, sf):
+    """Weighted PageRank power iteration over a deterministic 29-host
+    cyclic graph (mixed-case hosts + ports exercise url_host
+    normalization; one residue class yields dropped self-edges). The
+    oracle unrolls the same three iterations in SQL — rank' =
+    (1-a)/N + a*sum(rank*w/outw) with no dangling redistribution —
+    so the iteration math must match to 8 decimals."""
+    from warcio_spark.plans.graph import host_graph, host_rank
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    src = F.concat(
+        F.lit("http://H"), s(d % 29), F.lit(".ex.com"),
+        F.when(d % 4 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"), s(d),
+    )
+    # dst mixes d's high bits (integer-divide) so each src host fans out
+    # to several dst hosts with uneven weights — a permutation graph
+    # (dst a pure function of src) would have a uniform fixed point and
+    # test nothing
+    dst = F.concat(
+        F.lit("http://h"),
+        s((d * 7 + F.expr("doc_id div 29") + 3) % 29),
+        F.lit(".ex.com/q/"), s(d % 5),
+    )
+    edges = host_graph(
+        docs.select(src.alias("page_url"), dst.alias("outlink"))
+    )
+    ranks = host_rank(edges, iterations=3)
+    return ranks.select("host", F.round("rank", 8).alias("rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -974,6 +1021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_head": q_wat_head,
         "sitemap_locs": q_sitemap_locs,
         "url_hygiene": q_url_hygiene,
+        "host_graph": q_host_graph,
+        "host_rank": q_host_rank,
     }
 
 
@@ -1548,4 +1597,54 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, title, pos, meta_name, meta_content
         FROM m WHERE meta_name <> ''
     """
+    # host_graph: the outlinks oracle re-aggregated to host edges (src
+    # host reconstructed from doc_id — the universe's base url host,
+    # lowercased with its :80 dropped; dst host re-extracted from the
+    # resolved outlink with plans.graph.url_host's regex)
+    out["host_graph"] = (
+        "WITH ol AS (" + out["outlinks"] + """)
+        SELECT 'host' || (doc_id % 41)::VARCHAR || '.example.com'
+                 AS src_host,
+               lower(regexp_extract(outlink,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))
+                 AS dst_host,
+               COUNT(*) AS n_links
+        FROM ol GROUP BY 1, 2
+    """)
+    # host_rank: three unrolled power iterations over the q_host_rank
+    # edge universe; (1.0 - 0.85) spelled as the same subtraction the
+    # engine computes so both sides start from bit-identical constants
+    rank_step = """,
+        r{k} AS (
+          SELECT nodes.host,
+                 (1.0 - 0.85) / (SELECT n FROM p)
+                 + 0.85 * COALESCE(SUM(r{j}.rank * frac.f), 0.0) AS rank
+          FROM nodes
+          LEFT JOIN frac ON frac.dst_host = nodes.host
+          LEFT JOIN r{j} ON r{j}.host = frac.src_host
+          GROUP BY nodes.host)"""
+    out["host_rank"] = ("""
+        WITH e0 AS (
+          SELECT 'h' || (doc_id % 29)::VARCHAR || '.ex.com' AS src_host,
+                 'h' || ((doc_id * 7 + doc_id // 29 + 3) % 29)::VARCHAR
+                   || '.ex.com' AS dst_host,
+                 COUNT(*) AS n_links
+          FROM documents GROUP BY 1, 2),
+        e AS (SELECT * FROM e0 WHERE src_host <> dst_host),
+        nodes AS (SELECT DISTINCT host FROM (
+          SELECT src_host AS host FROM e
+          UNION SELECT dst_host AS host FROM e)),
+        p AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+        outw AS (SELECT src_host, SUM(n_links)::DOUBLE AS ow
+                 FROM e GROUP BY 1),
+        frac AS (SELECT e.src_host, e.dst_host, e.n_links::DOUBLE / outw.ow
+                   AS f
+                 FROM e JOIN outw USING (src_host)),
+        r0 AS (SELECT host, 1.0 / (SELECT n FROM p) AS rank FROM nodes)"""
+        + rank_step.format(k=1, j=0)
+        + rank_step.format(k=2, j=1)
+        + rank_step.format(k=3, j=2)
+        + """
+        SELECT host, ROUND(rank, 8) AS "rank" FROM r3
+    """)
     return out

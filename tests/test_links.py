@@ -497,3 +497,57 @@ def test_outlink_structs_matches_extract_outlinks(spark):
     a = sorted(map(tuple, arr.collect()))
     b = sorted(map(tuple, exploded.collect()))
     assert a == b and len(a) > 200
+
+
+def test_host_graph_and_rank_against_python_oracle(spark):
+    """plans/graph.py vs an independent single-process implementation:
+    identical edges and, after 3 power iterations, ranks equal to 1e-12
+    — including dropped self-edges, weighted fractions, dangling hosts
+    (no out-edges), and hosts reachable only via in-links."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from warcio_spark.plans.graph import host_graph, host_rank
+
+    rows = []
+    for i in range(400):
+        src = "http://H%d.ex.com%s/p/%d" % (
+            i % 13, ":8080" if i % 4 == 0 else "", i)
+        dst = "http://h%d.ex.com/q" % ((i * 5 + 2) % 17)
+        rows.append((src, dst))
+    df = spark.createDataFrame(rows, "page_url string, outlink string")
+    edges = host_graph(df).collect()
+
+    # python oracle: same aggregation
+    want_edges = defaultdict(int)
+    for src, dst in rows:
+        want_edges[("h%d.ex.com" % (int(src.split(".ex.com")[0][8:]) % 13),
+                    dst.split("//")[1].split("/")[0])] += 1
+    got_edges = {(r.src_host, r.dst_host): r.n_links for r in edges}
+    assert got_edges == dict(want_edges)
+
+    # python oracle: weighted pagerank, self-edges dropped
+    e = {k: v for k, v in want_edges.items() if k[0] != k[1]}
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    n = len(nodes)
+    outw = defaultdict(int)
+    for (s, _), w in e.items():
+        outw[s] += w
+    rank = {h: 1.0 / n for h in nodes}
+    for _ in range(3):
+        nxt = {h: (1.0 - 0.85) / n for h in nodes}
+        for (s, d), w in e.items():
+            nxt[d] += 0.85 * rank[s] * (w / outw[s])
+        rank = nxt
+
+    got = {r.host: r.rank for r in host_rank(
+        spark.createDataFrame(
+            [(s, d, w) for (s, d), w in want_edges.items()],
+            "src_host string, dst_host string, n_links long",
+        ), iterations=3).collect()}
+    assert set(got) == set(rank)
+    for h in rank:
+        assert abs(got[h] - rank[h]) < 1e-12, h
+    # sanity: mass actually moved (not uniform)
+    assert max(got.values()) > min(got.values())
