@@ -649,7 +649,7 @@ def q_cdxj_read(spark, sf):
     malformed slices), so the round-trip build->parse must be exact.
     The fetch side of the index (read_warc_entries byte-range reads) is
     covered against read_warc output in tests/test_spark_ingest.py."""
-    from warcio_spark.sources.cdxj import cdxj_fields
+    from warcio_spark.sources.cdxj import parse_cdxj_lines
 
     docs = _t(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
@@ -682,7 +682,7 @@ def q_cdxj_read(spark, sf):
         .otherwise(F.concat_ws(" ", urlkey, ts, block))
     )
     lines = docs.select(d.alias("doc_id"), line.alias("line"))
-    return lines.select(F.col("doc_id"), *cdxj_fields(F.col("line")))
+    return parse_cdxj_lines(lines, keep=("doc_id",))
 
 
 def q_wet_extract(spark, sf):

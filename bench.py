@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "embedding_topk",
     "lsh_topk",
     "embedding_near_dup",
+    "cdxj_read",
+    "host_graph",
+    "host_rank",
 ]
 
 

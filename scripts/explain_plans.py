@@ -24,6 +24,9 @@ PICKS = [
     "repetition_stats",  # explode + partial_count before the doc_id shuffle
     "term_doc_freq",  # partial agg + TakeOrderedAndProject, no global sort
     "outlinks",  # href extraction+resolution: one codegen span, no Arrow
+    "cdxj_read",  # index parse: pure codegen, no shuffle at all
+    "host_graph",  # one shuffle on (src_host, dst_host)
+    "host_rank",  # per-iteration join keyed on the small host table
 ]
 
 

@@ -26,12 +26,21 @@ _BLOCK_SCHEMA = (
 )
 
 
-def cdxj_fields(line: Column) -> list[Column]:
-    """Typed columns from a CDXJ line expression: urlkey, ts14 timestamp,
-    and the JSON block fields (status int, length/offset long). Malformed
-    lines (fewer than three fields / bad JSON) yield NULL fields, never
-    errors — an index merged from many writers can carry junk lines."""
-    line = F.ltrim(line)
+def parse_cdxj_lines(lines: DataFrame, line_col: str = "line",
+                     keep: tuple = ()) -> DataFrame:
+    """Typed columns from a DataFrame of CDXJ lines: urlkey, ts14
+    timestamp, and the JSON block fields (status int, length/offset
+    long), plus any ``keep`` passthrough columns. Malformed lines (fewer
+    than three fields / bad JSON) yield NULL fields, never errors — an
+    index merged from many writers can carry junk lines.
+
+    Plan shape: the urlkey/timestamp splits are CSE'd by Catalyst, and
+    the JSON block goes through ``inline(array(from_json(...)))`` — a
+    Generate barrier — so the block is PARSED ONCE per row; naively
+    projecting seven ``j[field]`` expressions re-inlines the full
+    from_json into each output column (same Catalyst re-inlining trap
+    as the canonicalization middle tier, BENCH/BASELINE.md r4 §4)."""
+    line = F.ltrim(F.col(line_col))
     urlkey = F.split_part(line, F.lit(" "), F.lit(1))
     ts = F.split_part(line, F.lit(" "), F.lit(2))
     # everything after the second space; substring is 1-based
@@ -39,17 +48,21 @@ def cdxj_fields(line: Column) -> list[Column]:
         line, F.length(urlkey) + F.length(ts) + F.lit(3), F.length(line)
     )
     j = F.from_json(block, _BLOCK_SCHEMA)
-    return [
+    keep_cols = [F.col(c) for c in keep]
+    parsed = lines.select(
+        *keep_cols,
         F.nullif(urlkey, F.lit("")).alias("urlkey"),
         F.nullif(ts, F.lit("")).alias("timestamp"),
-        j["url"].alias("url"),
-        j["mime"].alias("mime"),
-        j["status"].cast("int").alias("status"),
-        j["digest"].alias("digest"),
-        j["length"].cast("long").alias("length"),
-        j["offset"].cast("long").alias("offset"),
-        j["filename"].alias("filename"),
-    ]
+        F.inline(F.array(j)),
+    )
+    return parsed.select(
+        *keep, "urlkey", "timestamp", "url", "mime",
+        F.col("status").cast("int").alias("status"),
+        "digest",
+        F.col("length").cast("long").alias("length"),
+        F.col("offset").cast("long").alias("offset"),
+        "filename",
+    )
 
 
 def read_cdxj(spark: SparkSession, source) -> DataFrame:
@@ -66,4 +79,4 @@ def read_cdxj(spark: SparkSession, source) -> DataFrame:
         lines = source.select(F.col("line"))
     else:
         lines = spark.read.text(source).withColumnRenamed("value", "line")
-    return lines.select(*cdxj_fields(F.col("line")))
+    return parse_cdxj_lines(lines)
