@@ -277,3 +277,56 @@ def test_crawl_archive_wet_cdxj_pipeline(spark, capsys, tmp_path, warcio):
     assert len(lines) == n_responses
     keys = [tuple(l.split(" ", 2)[:2]) for l in lines]
     assert keys == sorted(keys)
+
+
+def test_cli_fetch_via_index(spark, capsys, tmp_path, warcio):
+    """cdxj verb -> fetch verb round trip: index a corpus, fetch a
+    filtered subset by byte range, re-archive it, and have the REFERENCE
+    library read the fetched archive back."""
+    import json as _json
+
+    from warcio_spark.kernels.build import build_record, serialize_record
+
+    adir = tmp_path / "arch"
+    adir.mkdir()
+    members = []
+    for i in range(30):
+        body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + b"<html>doc-%d</html>" % i)
+        members.append(serialize_record(
+            build_record(f"http://site{i % 3}.com/p/{i}", "response",
+                         payload=body, record_id=f"<urn:uuid:f{i}>",
+                         warc_date="2024-03-01T00:00:00Z"), gzip=True))
+    (adir / "corpus.warc.gz").write_bytes(b"".join(members))
+
+    code, out = run_cli(capsys, ["cdxj", str(adir / "corpus.warc.gz")])
+    assert code == 0
+    idx = tmp_path / "idx.cdxj"
+    idx.write_text(out)
+
+    # list mode, filtered to one site (10 of 30 captures)
+    code, out = run_cli(capsys, [
+        "fetch", "--index", str(idx), "--base", str(adir),
+        "--urlkey-prefix", "com,site1)",
+    ])
+    assert code == 0
+    rows = [_json.loads(l) for l in out.strip().splitlines()]
+    assert len(rows) == 10
+    assert all(r["url"].startswith("http://site1.com/") for r in rows)
+
+    # archive mode: reference reads the re-archived subset back
+    outdir = tmp_path / "subset"
+    code, out = run_cli(capsys, [
+        "fetch", "--index", str(idx), "--base", str(adir),
+        "--urlkey-prefix", "com,site1)", "--output", str(outdir),
+        "--files", "1",
+    ])
+    assert code == 0
+    from warcio.archiveiterator import ArchiveIterator
+
+    got = []
+    for p in sorted(outdir.glob("*.warc.gz")):
+        with open(p, "rb") as f:
+            for rec in ArchiveIterator(f, check_digests="raise"):
+                got.append(rec.rec_headers.get_header("WARC-Target-URI"))
+    assert sorted(got) == sorted(r["url"] for r in rows)

@@ -5,6 +5,7 @@
     python -m warcio_spark.cli extract <input> <offset> [--payload|--headers]
     python -m warcio_spark.cli recompress <input> <output-dir>
     python -m warcio_spark.cli ingest <warc-dir> --state DIR
+    python -m warcio_spark.cli fetch --index idx.cdxj --base DIR [filters]
     python -m warcio_spark.cli crawl --seeds N --rounds K --state DIR
 
 index emits the same NDJSON lines as ``warcio index`` (field mini-DSL,
@@ -152,6 +153,44 @@ def cmd_cdxj(args) -> int:
     return 0
 
 
+def cmd_fetch(args) -> int:
+    """Index-driven targeted fetch (the pywb replay-lookup shape as one
+    job): filter a CDXJ capture index, read ONLY the pointed-at byte
+    ranges from the archives (sources/cdxj.read_cdxj +
+    sources/warc.read_warc_entries), then re-archive the records with
+    --output or list them as NDJSON on stdout."""
+    from pyspark.sql import functions as F
+
+    from warcio_spark.sources import read_cdxj, read_warc_entries
+
+    spark = _spark()
+    idx = read_cdxj(spark, args.index)
+    if args.urlkey_prefix:
+        idx = idx.filter(F.col("urlkey").startswith(args.urlkey_prefix))
+    if args.status is not None:
+        idx = idx.filter(F.col("status") == args.status)
+    if args.mime:
+        idx = idx.filter(F.col("mime") == args.mime)
+    fetched = read_warc_entries(spark, idx, base=args.base)
+    if args.output:
+        from warcio_spark.operators.writer import write_warc
+
+        for p in write_warc(fetched, args.output, gzip=True,
+                            files=args.files):
+            sys.stdout.write(p + "\n")
+        return 0
+    rows = (
+        fetched.select("filename", "offset", "rec_type", "url")
+        .orderBy("filename", "offset")
+        .collect()
+    )
+    for r in rows:
+        sys.stdout.write(json.dumps(
+            {"filename": r.filename, "offset": r.offset,
+             "rec_type": r.rec_type, "url": r.url}) + "\n")
+    return 0
+
+
 def cmd_archive(args) -> int:
     """pages table (parquet path or --pages N synthetic) -> .warc.gz
     archives the reference library reads back (operators/writer.py:
@@ -292,6 +331,21 @@ def main(argv=None) -> int:
     pj = sub.add_parser("cdxj")
     pj.add_argument("inputs", nargs="+")
     pj.set_defaults(fn=cmd_cdxj)
+
+    pf = sub.add_parser("fetch")
+    pf.add_argument("--index", required=True,
+                    help="CDXJ index path/glob (output of the cdxj verb)")
+    pf.add_argument("--base", required=True,
+                    help="directory the index's filename column resolves "
+                         "against")
+    pf.add_argument("--urlkey-prefix", default=None)
+    pf.add_argument("--status", type=int, default=None)
+    pf.add_argument("--mime", default=None)
+    pf.add_argument("--output", default=None,
+                    help="write fetched records as .warc.gz here instead "
+                         "of listing them")
+    pf.add_argument("--files", type=int, default=None)
+    pf.set_defaults(fn=cmd_fetch)
 
     pa = sub.add_parser("archive")
     pa.add_argument("input", nargs="?", default=None,

@@ -115,8 +115,10 @@ def _read_header_fields(cur: _Cursor):
 
     Hot path: the line scan runs directly over the backing bytes (one
     ``find`` + slice per line, whole loop inlined) instead of per-line
-    cursor/closure calls — measured ~1.5x on the ingest kernel bench with
-    identical output (the field-exact parse oracle pins equivalence)."""
+    cursor/closure calls — with the lowered header map in _parse_one,
+    measured +17% on whole-file kernel parse (19.8k -> 23.3k rec/s,
+    same window, same corpus) with identical output (the field-exact
+    parse oracle pins equivalence)."""
     data = cur.data
     pos = cur.pos
     start = pos

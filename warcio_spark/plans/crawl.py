@@ -180,7 +180,18 @@ class RoundState:
     10^10-key history). Every ``compact_every`` rounds a full ``seen``
     snapshot is rewritten — folding refetch history to one row per url —
     so the merged read never unions more than compact_every delta files:
-    the shim-level equivalent of Iceberg MERGE + compaction."""
+    the shim-level equivalent of Iceberg MERGE + compaction.
+
+    Sizing ``compact_every`` (measured, BENCH/BASELINE.md round-5
+    recrawl stress): the incremental due-set read costs
+    O(stale partitions + delta rows); its edge over a full-seen groupBy
+    (3.3x at 2M stale of 32M seen) erodes as accumulated delta rows
+    approach the stale backlog (cost grew 0.67s -> 1.18s from 2 to 32
+    pending 50k-row deltas), and vanishes when the stale fraction
+    approaches 1 (pruning reads everything anyway). Keep compact_every
+    small enough that expected delta rows between compactions stay well
+    under the per-round due count; compact promptly after bulk TTL
+    changes that mark most of the corpus stale."""
 
     state_dir: str
 
