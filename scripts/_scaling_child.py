@@ -106,6 +106,45 @@ def canary():
     return round(time.perf_counter() - t0, 3)
 
 
+def canary_par(nproc=32):
+    """32-process CPU canary (sha256 over an L2-resident 1 MB buffer —
+    pure compute, no bandwidth confound): wall time for all workers.
+    The single-thread canary misses host oversubscription that only
+    bites when the guest demands MANY cores at once (observed: a leg
+    with single-canary 0.32s and cotenant ~0 still ran 0.41x of its
+    fast-state throughput). wall >> per-worker time = the host is not
+    actually giving us nproc cores right now. Runs OUTSIDE the
+    cotenant-CPU measurement window; temporarily widens affinity to
+    probe the whole box, then restores the leg's pins."""
+    import hashlib
+    import multiprocessing as mp
+    import time
+
+    old = os.sched_getaffinity(0)
+    os.sched_setaffinity(0, set(range(nproc)))
+
+    def w(core, q):
+        os.sched_setaffinity(0, {core})
+        buf = b"\xa5" * (1 << 20)
+        t0 = time.perf_counter()
+        for _ in range(220):
+            hashlib.sha256(buf).digest()
+        q.put(time.perf_counter() - t0)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=w, args=(c, q)) for c in range(nproc)]
+    for p in ps:
+        p.start()
+    per = [q.get() for _ in ps]
+    for p in ps:
+        p.join()
+    os.sched_setaffinity(0, old)
+    # [slowest worker, fastest worker] own-compute times: spawn stagger
+    # cancels out; a slow max with a fast min = workers were descheduled
+    # mid-loop, i.e. the host is short of physical cores right now
+    return [round(max(per), 3), round(min(per), 3)]
+
+
 def main():
     spark_cores, pin, n_urls, runs, disjoint = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
@@ -135,11 +174,13 @@ def main():
     s.range(1000).count()
 
     can0 = canary()
+    canp0 = canary_par()
     busy0, (cpu0, jvm0, pyw0) = box_busy(), tree_cpu()
     times = []
     sec, ups = frontier_throughput(s, n_urls, runs=runs, all_times=times)
     busy1, (cpu1, jvm1, pyw1) = box_busy(), tree_cpu()
     can1 = canary()
+    canp1 = canary_par()
     s.stop()
 
     self_cpu = cpu1 - cpu0
@@ -151,6 +192,7 @@ def main():
         "box_busy_s": round(busy1 - busy0, 1),
         "cotenant_cpu_s": round((busy1 - busy0) - self_cpu, 1),
         "canary_sec": [can0, can1],
+        "canary_par": [canp0, canp1],
     }))
 
 
