@@ -67,20 +67,70 @@ def _local_dirs() -> str:
 
 
 def make_spark(cpus: str):
+    """Session for ``cpus`` parallelism. Two master shapes:
+
+    - ``"8"``            -> ``local[8]``: one JVM, task threads share it.
+    - ``"4x8"``          -> ``local-cluster[4,8,<mb>]``: a REAL mini
+      standalone cluster — 4 separate executor JVM processes x 8 cores,
+      each with its own heap, shuffle dirs, and python-worker pool. This
+      is the literal "N executors vs 4N executors" shape of the north
+      rule: executor-to-executor shuffle crosses process boundaries over
+      the block transfer service instead of staying in one address
+      space. Only used by the scaling evidence legs (it costs executor
+      JVM spin-up, so the plain bench stays local[N]).
+    """
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+    if "x" in str(cpus):
+        n_exec, cores = (int(p) for p in str(cpus).split("x"))
+        worker_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MB", "9216"))
+        master = f"local-cluster[{n_exec},{cores},{worker_mb}]"
+        total = n_exec * cores
+        # worker daemons write app dirs under SPARK_HOME/work by default
+        os.environ.setdefault("SPARK_WORKER_DIR", "/tmp/spark-worker")
+        mem_confs = {
+            "spark.executor.memory": os.environ.get(
+                "SPARK_GRAFT_EXEC_MEM", "8g"),
+            "spark.driver.memory": "8g",
+            # executor JVMs must spawn the same interpreter for UDF workers
+            "spark.executorEnv.PYSPARK_PYTHON": sys.executable,
+        }
+    else:
+        master = f"local[{cpus}]"
+        total = int(cpus)
+        mem_confs = {
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_MEM", "48g"),
+        }
+
+    builder = (
+        SparkSession.builder.master(master)
         .appName("warcio_spark-bench")
-        .config("spark.sql.shuffle.partitions", str(max(8, int(cpus))))
+        .config("spark.sql.shuffle.partitions", str(max(8, total)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
         .config("spark.local.dir", _local_dirs())
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    for k, v in mem_confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+
+    if "x" in str(cpus):
+        # executors register asynchronously; until they do,
+        # defaultParallelism is wrong and early jobs under-parallelize
+        deadline = time.time() + 120
+        sc = spark.sparkContext
+        while time.time() < deadline:
+            # getExecutorMemoryStatus includes the driver -> want n_exec + 1
+            n_up = sc._jsc.sc().getExecutorMemoryStatus().size()
+            if n_up >= n_exec + 1:
+                break
+            time.sleep(0.5)
+        else:
+            raise RuntimeError(
+                f"local-cluster executors failed to register: "
+                f"{n_up}/{n_exec + 1}")
     # ship the package to executor workers (harness cwd may differ)
     import __spark_entry__ as _entry
 

@@ -71,20 +71,26 @@ def tree_cpu():
             if ppid in tree and pid not in tree:
                 tree.add(pid)
                 grew = True
-    total = jvm = pyw = 0
+    total = jvm = pyw = drv = 0
     me = os.getpid()
     for p in tree:
         if p not in info:
             continue
-        _, cpu, comm = info[p]
+        ppid, cpu, comm = info[p]
         total += cpu
         if comm.startswith(b"java"):
             jvm += cpu
+            if ppid == me:
+                # the driver py4j JVM (in local-cluster mode the OTHER
+                # java processes are worker daemons + executor backends;
+                # this split quantifies how much of the envelope the
+                # driver itself burns — a real cluster hosts it off-node)
+                drv += cpu
         elif p != me and b"python" in comm:
             # pyspark daemons + UDF workers (cutime of reaped workers
             # rolls up into the daemon, also python-comm)
             pyw += cpu
-    return total / CLK, jvm / CLK, pyw / CLK
+    return total / CLK, jvm / CLK, pyw / CLK, drv / CLK
 
 
 def canary():
@@ -175,10 +181,10 @@ def main():
 
     can0 = canary()
     canp0 = canary_par()
-    busy0, (cpu0, jvm0, pyw0) = box_busy(), tree_cpu()
+    busy0, (cpu0, jvm0, pyw0, drv0) = box_busy(), tree_cpu()
     times = []
     sec, ups = frontier_throughput(s, n_urls, runs=runs, all_times=times)
-    busy1, (cpu1, jvm1, pyw1) = box_busy(), tree_cpu()
+    busy1, (cpu1, jvm1, pyw1, drv1) = box_busy(), tree_cpu()
     can1 = canary()
     canp1 = canary_par()
     s.stop()
@@ -188,6 +194,7 @@ def main():
         "sec": sec, "ups": ups, "times": times,
         "self_cpu_s": round(self_cpu, 1),
         "jvm_cpu_s": round(jvm1 - jvm0, 1),
+        "driver_jvm_cpu_s": round(drv1 - drv0, 1),
         "pyworker_cpu_s": round(pyw1 - pyw0, 1),
         "box_busy_s": round(busy1 - busy0, 1),
         "cotenant_cpu_s": round((busy1 - busy0) - self_cpu, 1),

@@ -39,6 +39,28 @@ if cans:
     print(f"\ncanary spread: min={min(cans):.3f}s max={max(cans):.3f}s "
           f"(a leg whose canaries exceed min by >15% ran in a "
           f"host-contended window even if cotenant_cpu_s ~ 0)")
+
+# 32-process parallel canary: host-level many-core availability. A leg
+# is host-starved when its slowest worker ran >2x the session's best
+# min (workers descheduled mid-loop: the host lacked physical cores in
+# that window even though guest /proc showed it idle).
+par_mins = [min(p) for r in rows for p in r.get("canary_par", [])]
+PAR_BEST = min(par_mins) if par_mins else None
+
+
+def host_ok(r):
+    probes = r.get("canary_par")
+    if not probes or PAR_BEST is None:
+        return None  # instrument not present on this leg
+    return all(max(p) <= 2.0 * PAR_BEST for p in probes)
+
+
+if PAR_BEST is not None:
+    n_inst = sum(1 for r in rows if r.get("canary_par"))
+    n_bad = sum(1 for r in rows if host_ok(r) is False)
+    print(f"parallel canary: best per-worker {PAR_BEST:.3f}s; "
+          f"{n_bad}/{n_inst} instrumented legs host-starved "
+          f"(slowest worker >2x best)")
 mixes = [(r["level"], r["jvm_cpu_s"], r["pyworker_cpu_s"]) for r in rows
          if r.get("jvm_cpu_s") is not None]
 if mixes:
@@ -49,6 +71,7 @@ if mixes:
 
 PAIRS = [("control", "ctl-4@8", "ctl-16@32"),
          ("disjoint", "dis-4@8", "dis-16@32"),
+         ("executors", "exec-1x8@8", "exec-4x8@32"),
          ("plain", "plain-8@8", "plain-32@32")]
 
 print("\n== per-iteration efficiencies ==")
@@ -64,7 +87,13 @@ for it in sorted({r["iter"] for r in rows}):
             is_clean = clean(ir[lo]) and clean(ir[hi])
             if is_clean:
                 clean_effs[name].append(e)
-            line += (f"  {name}={e:.3f}{'*' if is_clean else ''}"
+            hmark = ""
+            hs = [host_ok(ir[lo]), host_ok(ir[hi])]
+            if False in hs:
+                hmark = "!"  # host-starved window on a leg
+            elif hs == [True, True]:
+                hmark = "h"  # both legs host-verified
+            line += (f"  {name}={e:.3f}{'*' if is_clean else ''}{hmark}"
                      f" (cot {ir[lo]['cotenant_cpu_s']:.0f}/"
                      f"{ir[hi]['cotenant_cpu_s']:.0f}s)")
     print(line)

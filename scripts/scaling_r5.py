@@ -49,12 +49,21 @@ WEAK_EVERY = int(os.environ.get("SPARK_GRAFT_WEAK_EVERY", "2"))
 WEAK_URLS = int(os.environ.get("SPARK_GRAFT_WEAK_URLS", "96000000"))
 
 # (tag, spark_cores, pin_cores, disjoint)
+# exec-* legs use master local-cluster[N,8,mem]: N REAL executor JVM
+# processes x 8 cores each (own heap / shuffle service / python-worker
+# pool, cross-process block transfers) — the literal "N executors vs 4N
+# executors" shape of the north rule, vs the thread-based local[N] legs.
+# SPARK_GRAFT_LEGS=<substring> restricts an invocation to matching tags.
 LEGS = [
     ("ctl-4@8", "4", 8, False),
     ("ctl-16@32", "16", 32, False),
+    ("exec-1x8@8", "1x8", 8, False),
+    ("exec-4x8@32", "4x8", 32, False),
     ("plain-8@8", "8", 8, False),
     ("plain-32@32", "32", 32, False),
 ]
+LEG_FILTER = [s for s in os.environ.get("SPARK_GRAFT_LEGS", "").split(",")
+              if s]
 
 
 def wait_quiet():
@@ -91,6 +100,8 @@ def main():
     for i in range(ITERS):
         it = ITER_BASE + i
         for tag, spark_cores, pin, disjoint in LEGS:
+            if LEG_FILTER and not any(s in tag for s in LEG_FILTER):
+                continue
             run_leg(it, tag, spark_cores, pin, N_URLS, RUNS, disjoint)
         if WEAK_EVERY and (i + 1) % WEAK_EVERY == 0:
             run_leg(it, "weak-32@32", "32", 32, WEAK_URLS, 2, False)
