@@ -685,6 +685,49 @@ def q_cdxj_read(spark, sf):
     return parse_cdxj_lines(lines, keep=("doc_id",))
 
 
+def q_cdx11_lines(spark, sf):
+    """Classic 11-field CDX rendering (operators/indexer.cdx11_line —
+    the Wayback ``CDX N b a m s k r M S V g`` format): a deterministic
+    capture-field universe with NULL slices in every optional column —
+    mime (including an embedded-space slice exercising the
+    space-stripping rule), status, digest (``sha1:`` prefix to strip),
+    length, filename — rendered to the fixed 11-token line. The DuckDB
+    oracle rebuilds every token with CASE/'-' and concat_ws, so the
+    null-marker, prefix-strip and space-strip semantics must be exact.
+    Records-level extraction (index_cdx11 over parsed WARCs) is covered
+    against the reference corpus in tests/test_cli.py."""
+    from warcio_spark.operators.indexer import cdx11_line
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    urlkey = F.concat(F.lit("com,example,host"), s(d % 89),
+                      F.lit(")/c/"), s(d))
+    url = F.concat(F.lit("http://host"), s(d % 89),
+                   F.lit(".example.com/c/"), s(d))
+    ts14 = F.date_format(
+        F.timestamp_seconds(F.lit(1704067200) + d % 31536000),
+        "yyyyMMddHHmmss")
+    mime = (
+        F.when(d % 5 == 1, F.lit("text/html"))
+        .when(d % 5 == 2, F.lit("application/pdf"))
+        .when(d % 5 == 3, F.lit("text/ html; q=1"))
+        .when(d % 5 == 4, F.lit("image/png"))
+    )  # d % 5 == 0 -> NULL
+    status = F.when(d % 3 != 0, (F.lit(200) + d % 100).cast("int"))
+    digest = F.when(d % 7 != 0,
+                    F.concat(F.lit("sha1:"), F.upper(F.md5(s(d)))))
+    length = F.when(d % 11 != 0, d * 13 + 7)
+    offset = d * 17
+    filename = F.when(d % 13 != 0,
+                      F.concat(F.lit("seg-"), s(d % 10), F.lit(".warc.gz")))
+    return docs.select(
+        d.alias("doc_id"),
+        cdx11_line(urlkey, ts14, url, mime, status, digest, length,
+                   offset, filename).alias("line"),
+    )
+
+
 def q_wet_extract(spark, sf):
     """WARC -> WET in one shuffle-free plan: the reference corpus parsed,
     responses decoded to text, re-headed as deterministic conversion
@@ -1016,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_extract": q_wet_extract,
         "cdxj_surt": q_cdxj_surt,
         "cdxj_read": q_cdxj_read,
+        "cdx11_lines": q_cdx11_lines,
         "outlinks": q_outlinks,
         "wat_links": q_wat_links,
         "wat_head": q_wat_head,
@@ -1404,6 +1448,41 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 37 = 0 OR doc_id % 41 = 0 THEN NULL
                         ELSE 'seg-' || (doc_id % 17)::VARCHAR || '.warc.gz'
                         END AS filename
+            FROM documents
+        """,
+        "cdx11_lines": """
+            SELECT doc_id,
+                   concat_ws(' ',
+                     'com,example,host' || (doc_id % 89)::VARCHAR
+                        || ')/c/' || doc_id::VARCHAR,
+                     strftime(TIMESTAMP '2024-01-01 00:00:00'
+                              + (doc_id % 31536000) * INTERVAL 1 SECOND,
+                              '%Y%m%d%H%M%S'),
+                     'http://host' || (doc_id % 89)::VARCHAR
+                        || '.example.com/c/' || doc_id::VARCHAR,
+                     CASE doc_id % 5
+                          WHEN 1 THEN 'text/html'
+                          WHEN 2 THEN 'application/pdf'
+                          WHEN 3 THEN replace('text/ html; q=1', ' ', '')
+                          WHEN 4 THEN 'image/png'
+                          ELSE '-' END,
+                     CASE WHEN doc_id % 3 <> 0
+                          THEN (200 + doc_id % 100)::VARCHAR
+                          ELSE '-' END,
+                     CASE WHEN doc_id % 7 <> 0
+                          THEN upper(md5(doc_id::VARCHAR))
+                          ELSE '-' END,
+                     '-',
+                     '-',
+                     CASE WHEN doc_id % 11 <> 0
+                          THEN (doc_id * 13 + 7)::VARCHAR
+                          ELSE '-' END,
+                     (doc_id * 17)::VARCHAR,
+                     CASE WHEN doc_id % 13 <> 0
+                          THEN 'seg-' || (doc_id % 10)::VARCHAR
+                               || '.warc.gz'
+                          ELSE '-' END
+                   ) AS line
             FROM documents
         """,
         "repetition_stats": """

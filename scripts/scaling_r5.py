@@ -88,7 +88,7 @@ def run_leg(it, tag, spark_cores, pin, urls, runs, disjoint):
     try:
         leg = _scaling_leg(spark_cores, pin, urls, runs, disjoint=disjoint)
     except RuntimeError as e:
-        emit({"iter": it, "level": tag, "urls": urls, "error": str(e)[:500]})
+        emit({"iter": it, "level": tag, "urls": urls, "error": str(e)[:2500]})
         return
     rec = {"iter": it, "level": tag, "urls": urls,
            "load_at_start": load, "wall": round(time.time() - t0, 1)}

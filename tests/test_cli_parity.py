@@ -197,6 +197,48 @@ def test_cdxj_cli_sorted_lines(spark, capsys):
     json.loads(block)
 
 
+def test_cdx11_cli_classic_lines(spark, capsys):
+    """--cdx11: classic 11-field Wayback lines, field-for-field equal to
+    the CDXJ index over the same corpus (same capture set, same sources;
+    only the rendering differs: '-' markers, bare-b32 digest, stripped
+    mime)."""
+    code, out = run_cli(capsys, [
+        "cdxj", os.path.join(CORPUS, "example.warc.gz"), "--cdx11",
+    ])
+    assert code == 0
+    lines = out.splitlines()
+    assert lines[0] == " CDX N b a m s k r M S V g"
+    body = [l for l in lines[1:] if l.strip()]
+    assert body
+    for l in body:
+        toks = l.split(" ")
+        assert len(toks) == 11 and all(toks)
+        assert len(toks[1]) == 14 and toks[1].isdigit()
+        assert toks[6] == "-" and toks[7] == "-"  # redirect, robotflags
+
+    from warcio_spark.operators.indexer import index_cdx11, index_cdxj
+    from warcio_spark.sources import read_warc
+
+    recs = read_warc(spark, os.path.join(CORPUS, "example.warc.gz"),
+                     include_payload=False, include_content=False)
+    cdxj = {}
+    for r in index_cdxj(recs).collect():
+        blk = json.loads(r.block)
+        cdxj[(r.urlkey, r.timestamp, blk.get("offset"))] = blk
+    got = index_cdx11(recs).collect()
+    assert len(got) == len(cdxj) == len(body)
+    for r in got:
+        toks = r.line.split(" ")
+        blk = cdxj[(toks[0], toks[1], toks[9])]
+        assert toks[2] == blk["url"]
+        assert toks[3] == blk.get("mime", "-").replace(" ", "")
+        assert toks[4] == blk.get("status", "-")
+        digest = blk.get("digest")
+        assert toks[5] == (digest.split(":")[-1] if digest else "-")
+        assert toks[8] == blk.get("length", "-")
+        assert toks[10] == blk.get("filename", "-")
+
+
 def test_archive_cli_reference_readable(spark, capsys, tmp_path, warcio):
     """`archive` verb writes response records the reference reads with
     digests raised."""

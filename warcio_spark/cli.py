@@ -138,8 +138,14 @@ def cmd_wet(args) -> int:
 
 def cmd_cdxj(args) -> int:
     """WARC(s) -> CDXJ capture-index lines on stdout, in (urlkey,
-    timestamp) merge order (operators/indexer.py:index_cdxj)."""
-    from warcio_spark.operators.indexer import index_cdxj
+    timestamp) merge order (operators/indexer.py:index_cdxj); --cdx11
+    emits the classic 11-field Wayback format (with its header line)
+    instead."""
+    from warcio_spark.operators.indexer import (
+        CDX11_HEADER,
+        index_cdx11,
+        index_cdxj,
+    )
     from warcio_spark.sources import read_warc
 
     spark = _spark()
@@ -147,7 +153,12 @@ def cmd_cdxj(args) -> int:
                      include_content=False)
     # "line" as final key = deterministic total order for same-second
     # captures of the same urlkey (request vs response records).
-    lines = index_cdxj(recs).orderBy("urlkey", "timestamp", "line")
+    if getattr(args, "cdx11", False):
+        lines = index_cdx11(recs)
+        sys.stdout.write(CDX11_HEADER + "\n")
+    else:
+        lines = index_cdxj(recs)
+    lines = lines.orderBy("urlkey", "timestamp", "line")
     for r in lines.select("line").toLocalIterator():
         sys.stdout.write(r.line + "\n")
     return 0
@@ -330,6 +341,9 @@ def main(argv=None) -> int:
 
     pj = sub.add_parser("cdxj")
     pj.add_argument("inputs", nargs="+")
+    pj.add_argument("--cdx11", action="store_true",
+                    help="classic 11-field CDX (' CDX N b a m s k r M S "
+                         "V g') instead of CDXJ")
     pj.set_defaults(fn=cmd_cdxj)
 
     pf = sub.add_parser("fetch")

@@ -111,3 +111,79 @@ def index_cdxj(records: DataFrame) -> DataFrame:
         block.alias("block"),
         F.concat_ws(" ", WF.surt_key("url"), ts14, block).alias("line"),
     )
+
+
+#: header line of the classic Internet-Archive/Wayback capture index
+#: (11-field variant; one letter per column, same order as cdx11_line)
+CDX11_HEADER = " CDX N b a m s k r M S V g"
+
+
+def cdx11_line(urlkey, ts14, url, mime, status, digest, length, offset,
+               filename) -> Column:
+    """One classic 11-field CDX line from scalar Columns.
+
+    Field order is the Wayback ``CDX N b a m s k r M S V g`` spec:
+    urlkey, timestamp, original url, mime, status, payload digest
+    (bare base32, no ``sha1:`` prefix — IA CDX convention), redirect,
+    robot meta flags, compressed length, offset, filename. NULL fields
+    render as ``-`` (the spec's absent marker). The redirect (r) and
+    robotflags (M) columns are emitted as ``-`` unconditionally,
+    matching pywb's cdx-indexer, whose modern output never populates
+    them; consumers that want redirect targets read the records
+    (functions.header_get('http_headers', 'Location')).
+
+    Space is the column separator, so space-bearing values would shift
+    every later column: mime is stripped of spaces (a header like
+    ``text/html ; charset=..`` trims to its parameter-free token
+    upstream anyway) and urls arrive percent-encoded from
+    canonicalization. Exposed as a Column factory (not just the
+    records-level wrapper below) so the driver's DuckDB-oracled query
+    can exercise the exact null/format semantics on a synthetic frame.
+    """
+    dash = lambda c: F.coalesce(c.cast("string"), F.lit("-"))  # noqa: E731
+    bare_digest = F.split_part(digest, F.lit(":"), F.lit(-1))
+    return F.concat_ws(
+        " ",
+        dash(urlkey),
+        dash(ts14),
+        dash(url),
+        dash(F.regexp_replace(mime, " ", "")),
+        dash(status),
+        dash(bare_digest),
+        F.lit("-"),   # r: redirect
+        F.lit("-"),   # M: robot meta flags
+        dash(length),
+        dash(offset),
+        dash(filename),
+    )
+
+
+def index_cdx11(records: DataFrame) -> DataFrame:
+    """Classic 11-field CDX capture index over a parsed records table —
+    the pre-CDXJ format Wayback and Common Crawl's cdx/ listings use.
+    Same capture-record filter and field sources as index_cdxj (payload
+    mime for responses, ``warc/revisit`` for revisits, http:status,
+    WARC-Payload-Digest); only the rendering differs: fixed 11
+    space-separated columns with ``-`` for absent values instead of a
+    json block. Sort by line for (urlkey, timestamp) merge order;
+    prepend CDX11_HEADER when writing a standalone file."""
+    ts14 = F.date_format(F.col("warc_ts"), "yyyyMMddHHmmss")
+    http_ct = WF.header_get("http_headers", "Content-Type")
+    mime = F.when(F.col("rec_type") == "revisit", F.lit("warc/revisit")).when(
+        (F.col("rec_type") == "response") & http_ct.isNotNull(),
+        F.trim(F.split_part(http_ct, F.lit(";"), F.lit(1))),
+    ).otherwise(F.col("content_type"))
+    urlkey = WF.surt_key("url")
+    return records.filter(
+        F.col("url").isNotNull()
+        & F.col("warc_ts").isNotNull()
+        & F.col("rec_type").isin("response", "revisit", "resource", "metadata")
+    ).select(
+        urlkey.alias("urlkey"),
+        ts14.alias("timestamp"),
+        cdx11_line(
+            urlkey, ts14, F.col("url"), mime, field_expr("http:status"),
+            WF.header_get("rec_headers", "WARC-Payload-Digest"),
+            F.col("rec_length"), F.col("offset"), F.col("filename"),
+        ).alias("line"),
+    )
