@@ -728,6 +728,49 @@ def q_cdx11_lines(spark, sf):
     )
 
 
+def q_cdx11_read(spark, sf):
+    """Classic-CDX READER (sources/cdxj.parse_cdx11_lines): the
+    q_cdx11_lines universe rendered to 11-token lines, plus a header
+    line slice and a wrong-token-count slice, parsed back to the typed
+    reader schema ('-' -> NULL, malformed -> all-NULL row, int/long
+    casts). The DuckDB oracle recomputes every expected field directly
+    from doc_id, so build->parse must round-trip exactly."""
+    from warcio_spark.operators.indexer import cdx11_line
+    from warcio_spark.sources.cdxj import parse_cdx11_lines
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    urlkey = F.concat(F.lit("com,example,host"), s(d % 89),
+                      F.lit(")/c/"), s(d))
+    url = F.concat(F.lit("http://host"), s(d % 89),
+                   F.lit(".example.com/c/"), s(d))
+    ts14 = F.date_format(
+        F.timestamp_seconds(F.lit(1704067200) + d % 31536000),
+        "yyyyMMddHHmmss")
+    mime = (
+        F.when(d % 5 == 1, F.lit("text/html"))
+        .when(d % 5 == 2, F.lit("application/pdf"))
+        .when(d % 5 == 3, F.lit("text/ html; q=1"))
+        .when(d % 5 == 4, F.lit("image/png"))
+    )
+    status = F.when(d % 3 != 0, (F.lit(200) + d % 100).cast("int"))
+    digest = F.when(d % 7 != 0,
+                    F.concat(F.lit("sha1:"), F.upper(F.md5(s(d)))))
+    length = F.when(d % 11 != 0, d * 13 + 7)
+    offset = d * 17
+    filename = F.when(d % 13 != 0,
+                      F.concat(F.lit("seg-"), s(d % 10), F.lit(".warc.gz")))
+    line = (
+        F.when(d % 37 == 0, F.lit("short bad line"))
+        .when(d % 41 == 0, F.lit(" CDX N b a m s k r M S V g"))
+        .otherwise(cdx11_line(urlkey, ts14, url, mime, status, digest,
+                              length, offset, filename))
+    )
+    lines = docs.select(d.alias("doc_id"), line.alias("line"))
+    return parse_cdx11_lines(lines, keep=("doc_id",))
+
+
 def q_wet_extract(spark, sf):
     """WARC -> WET in one shuffle-free plan: the reference corpus parsed,
     responses decoded to text, re-headed as deterministic conversion
@@ -1060,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdxj_surt": q_cdxj_surt,
         "cdxj_read": q_cdxj_read,
         "cdx11_lines": q_cdx11_lines,
+        "cdx11_read": q_cdx11_read,
         "outlinks": q_outlinks,
         "wat_links": q_wat_links,
         "wat_head": q_wat_head,
@@ -1483,6 +1527,43 @@ def oracle_sql() -> dict[str, str]:
                                || '.warc.gz'
                           ELSE '-' END
                    ) AS line
+            FROM documents
+        """,
+        "cdx11_read": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 37 = 0 OR doc_id % 41 = 0 THEN NULL
+                        ELSE 'com,example,host' || (doc_id % 89)::VARCHAR
+                             || ')/c/' || doc_id::VARCHAR END AS urlkey,
+                   CASE WHEN doc_id % 37 = 0 OR doc_id % 41 = 0 THEN NULL
+                        ELSE strftime(TIMESTAMP '2024-01-01 00:00:00'
+                             + (doc_id % 31536000) * INTERVAL 1 SECOND,
+                             '%Y%m%d%H%M%S') END AS "timestamp",
+                   CASE WHEN doc_id % 37 = 0 OR doc_id % 41 = 0 THEN NULL
+                        ELSE 'http://host' || (doc_id % 89)::VARCHAR
+                             || '.example.com/c/' || doc_id::VARCHAR
+                        END AS url,
+                   CASE WHEN doc_id % 37 = 0 OR doc_id % 41 = 0 THEN NULL
+                        WHEN doc_id % 5 = 1 THEN 'text/html'
+                        WHEN doc_id % 5 = 2 THEN 'application/pdf'
+                        WHEN doc_id % 5 = 3 THEN 'text/html;q=1'
+                        WHEN doc_id % 5 = 4 THEN 'image/png'
+                        ELSE NULL END AS mime,
+                   CASE WHEN doc_id % 37 = 0 OR doc_id % 41 = 0 THEN NULL
+                        WHEN doc_id % 3 <> 0 THEN 200 + doc_id % 100
+                        ELSE NULL END::INTEGER AS status,
+                   CASE WHEN doc_id % 37 = 0 OR doc_id % 41 = 0 THEN NULL
+                        WHEN doc_id % 7 <> 0
+                        THEN upper(md5(doc_id::VARCHAR))
+                        ELSE NULL END AS digest,
+                   CASE WHEN doc_id % 37 = 0 OR doc_id % 41 = 0 THEN NULL
+                        WHEN doc_id % 11 <> 0 THEN doc_id * 13 + 7
+                        ELSE NULL END::BIGINT AS length,
+                   CASE WHEN doc_id % 37 = 0 OR doc_id % 41 = 0 THEN NULL
+                        ELSE doc_id * 17 END::BIGINT AS offset,
+                   CASE WHEN doc_id % 37 = 0 OR doc_id % 41 = 0 THEN NULL
+                        WHEN doc_id % 13 <> 0
+                        THEN 'seg-' || (doc_id % 10)::VARCHAR || '.warc.gz'
+                        ELSE NULL END AS filename
             FROM documents
         """,
         "repetition_stats": """

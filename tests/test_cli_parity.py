@@ -321,6 +321,44 @@ def test_crawl_archive_wet_cdxj_pipeline(spark, capsys, tmp_path, warcio):
     assert keys == sorted(keys)
 
 
+def test_cli_fetch_via_cdx11_index(spark, capsys, tmp_path, warcio):
+    """classic-CDX round trip: cdxj --cdx11 -> fetch --cdx11. The reader
+    must NULL out the header line and '-' markers and still carry exact
+    byte ranges (length/offset/filename) for the targeted fetch."""
+    import json as _json
+
+    from warcio_spark.kernels.build import build_record, serialize_record
+
+    adir = tmp_path / "arch"
+    adir.mkdir()
+    members = []
+    for i in range(12):
+        body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + b"<html>doc-%d</html>" % i)
+        members.append(serialize_record(
+            build_record(f"http://site{i % 2}.com/c/{i}", "response",
+                         payload=body, record_id=f"<urn:uuid:c{i}>",
+                         warc_date="2024-03-01T00:00:00Z"), gzip=True))
+    (adir / "corpus.warc.gz").write_bytes(b"".join(members))
+
+    code, out = run_cli(capsys, [
+        "cdxj", str(adir / "corpus.warc.gz"), "--cdx11",
+    ])
+    assert code == 0
+    assert out.splitlines()[0] == " CDX N b a m s k r M S V g"
+    idx = tmp_path / "idx.cdx"
+    idx.write_text(out)
+
+    code, out = run_cli(capsys, [
+        "fetch", "--index", str(idx), "--base", str(adir), "--cdx11",
+        "--urlkey-prefix", "com,site1)",
+    ])
+    assert code == 0
+    rows = [_json.loads(l) for l in out.strip().splitlines()]
+    assert len(rows) == 6
+    assert all(r["url"].startswith("http://site1.com/") for r in rows)
+
+
 def test_cli_fetch_via_index(spark, capsys, tmp_path, warcio):
     """cdxj verb -> fetch verb round trip: index a corpus, fetch a
     filtered subset by byte range, re-archive it, and have the REFERENCE

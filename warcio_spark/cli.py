@@ -172,10 +172,11 @@ def cmd_fetch(args) -> int:
     --output or list them as NDJSON on stdout."""
     from pyspark.sql import functions as F
 
-    from warcio_spark.sources import read_cdxj, read_warc_entries
+    from warcio_spark.sources import read_cdx11, read_cdxj, read_warc_entries
 
     spark = _spark()
-    idx = read_cdxj(spark, args.index)
+    reader = read_cdx11 if getattr(args, "cdx11", False) else read_cdxj
+    idx = reader(spark, args.index).filter(F.col("urlkey").isNotNull())
     if args.urlkey_prefix:
         idx = idx.filter(F.col("urlkey").startswith(args.urlkey_prefix))
     if args.status is not None:
@@ -349,6 +350,9 @@ def main(argv=None) -> int:
     pf = sub.add_parser("fetch")
     pf.add_argument("--index", required=True,
                     help="CDXJ index path/glob (output of the cdxj verb)")
+    pf.add_argument("--cdx11", action="store_true",
+                    help="the index is classic 11-field CDX "
+                         "(output of cdxj --cdx11)")
     pf.add_argument("--base", required=True,
                     help="directory the index's filename column resolves "
                          "against")

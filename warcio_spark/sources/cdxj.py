@@ -65,6 +65,42 @@ def parse_cdxj_lines(lines: DataFrame, line_col: str = "line",
     )
 
 
+def parse_cdx11_lines(lines: DataFrame, line_col: str = "line",
+                      keep: tuple = ()) -> DataFrame:
+    """Typed columns from classic 11-field CDX lines (the Wayback
+    `` CDX N b a m s k r M S V g`` format operators/indexer.index_cdx11
+    writes) — SAME output schema as parse_cdxj_lines, so the fetch path
+    downstream is format-agnostic. ``-`` renders back to NULL; the
+    header line (first token ``CDX``) and lines without exactly 11
+    tokens yield NULL fields, never errors. The redirect/robotflags
+    columns (always ``-`` in modern indexes) are not surfaced. The
+    digest column is the bare base32 the classic format stores (no
+    ``sha1:`` prefix, unlike the CDXJ block).
+
+    Pure Catalyst: one split, then F.get accessors (NULL-safe on short
+    arrays — element_at would raise under ANSI mode)."""
+    toks = F.split(F.ltrim(F.col(line_col)), " ")
+    ok = (F.size(toks) == 11) & (F.get(toks, 0) != "CDX")
+
+    def fld(i: int) -> Column:
+        v = F.get(toks, i)
+        return F.when(ok & (v != "-"), v)
+
+    keep_cols = [F.col(c) for c in keep]
+    return lines.select(
+        *keep_cols,
+        fld(0).alias("urlkey"),
+        fld(1).alias("timestamp"),
+        fld(2).alias("url"),
+        fld(3).alias("mime"),
+        fld(4).cast("int").alias("status"),
+        fld(5).alias("digest"),
+        fld(8).cast("long").alias("length"),
+        fld(9).cast("long").alias("offset"),
+        fld(10).alias("filename"),
+    )
+
+
 def read_cdxj(spark: SparkSession, source) -> DataFrame:
     """Read CDXJ index lines into a typed DataFrame.
 
@@ -80,3 +116,15 @@ def read_cdxj(spark: SparkSession, source) -> DataFrame:
     else:
         lines = spark.read.text(source).withColumnRenamed("value", "line")
     return parse_cdxj_lines(lines)
+
+
+def read_cdx11(spark: SparkSession, source) -> DataFrame:
+    """Read a classic 11-field CDX index (path/glob or DataFrame with a
+    ``line`` column) into the same typed schema as read_cdxj — the
+    header line parses to an all-NULL row; filter on
+    ``urlkey IS NOT NULL`` (the fetch verb does)."""
+    if isinstance(source, DataFrame):
+        lines = source.select(F.col("line"))
+    else:
+        lines = spark.read.text(source).withColumnRenamed("value", "line")
+    return parse_cdx11_lines(lines)
