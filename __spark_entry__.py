@@ -368,6 +368,24 @@ def q_exact_dup_groups(spark, sf):
     return exact_dedup_groups(docs)
 
 
+def q_pipeline_clean(spark, sf):
+    """Composite training-data cleaning funnel (operators/pipeline.py):
+    length + quality gates, marker lang-id, exact dedup, deterministic
+    quality-stratified md5-hex sampling — one scan + one shuffle."""
+    from warcio_spark.operators.pipeline import clean_corpus
+
+    return clean_corpus(_t(spark, sf, "documents"))
+
+
+def q_pipeline_funnel(spark, sf):
+    """Per-stage survivor counts of the same funnel: every stage is a
+    boolean column of one shared staged plan, counted in a single
+    aggregate and unpivoted with stack()."""
+    from warcio_spark.operators.pipeline import clean_funnel
+
+    return clean_funnel(_t(spark, sf, "documents"))
+
+
 def q_ngram_jaccard_adjacent(spark, sf):
     """n-gram Jaccard near-dup scoring for adjacent-id candidate pairs."""
     docs = _t(spark, sf, "documents")
@@ -1111,6 +1129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_hygiene": q_url_hygiene,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
+        "pipeline_clean": q_pipeline_clean,
+        "pipeline_funnel": q_pipeline_funnel,
     }
 
 
@@ -1141,6 +1161,65 @@ PINNED_GOLDEN = {
 def _golden(name: str) -> str:
     with open(os.path.join(_REPO, "goldens", name + ".sql")) as f:
         return f.read()
+
+
+# Shared CTE chain for the pipeline_clean / pipeline_funnel oracles —
+# the DuckDB re-statement of operators/pipeline._staged (same rounding
+# points, same gate composition, same dedup window ordering).
+_PIPELINE_CTE = """
+    WITH toks AS (
+      SELECT doc_id, text,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> x <> '')) AS n_tokens,
+        length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+        ROUND(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+              / GREATEST(length(text), 1), 4) AS punct,
+        ROUND(len(list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> lower(x) IN ('the','a','and','of','to','in')))
+              / GREATEST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> x <> '')), 1), 4) AS stop,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> lower(x) IN ('the','and','of'))) AS _en,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> lower(x) IN ('der','und','die'))) AS _de,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> lower(x) IN ('le','et','les'))) AS _fr
+      FROM documents
+    ), staged AS (
+      SELECT *,
+        ROUND(nonspace / GREATEST(n_tokens, 1), 4) AS mean_tok_len,
+        ROUND((LEAST(length(text) / 500.0, 1.0)
+               + (1.0 - LEAST(punct * 5, 1.0))
+               + LEAST(stop * 4, 1.0)) / 3.0, 4) AS quality,
+        CASE WHEN _en + _de + _fr = 0 THEN 'und'
+             WHEN _en >= _de AND _en >= _fr THEN 'en'
+             WHEN _de >= _fr THEN 'de' ELSE 'fr' END AS lang_pred
+      FROM toks
+    ), gated AS (
+      SELECT *,
+        (n_tokens BETWEEN 20 AND 90
+         AND mean_tok_len BETWEEN 2.0 AND 12.0) AS g_len,
+        (n_tokens BETWEEN 20 AND 90
+         AND mean_tok_len BETWEEN 2.0 AND 12.0
+         AND punct <= 0.1 AND stop >= 0.01) AS g_quality,
+        (n_tokens BETWEEN 20 AND 90
+         AND mean_tok_len BETWEEN 2.0 AND 12.0
+         AND punct <= 0.1 AND stop >= 0.01
+         AND lang_pred IN ('en')) AS g_lang
+      FROM staged
+    ), ranked AS (
+      SELECT *,
+        (g_lang AND ROW_NUMBER() OVER (
+           PARTITION BY md5(text)
+           ORDER BY CAST(g_lang AS INT) DESC, doc_id) = 1) AS g_dedup
+      FROM gated
+    ), sampled AS (
+      SELECT *,
+        (g_dedup AND (quality >= 0.5
+          OR substr(md5('s1' || text), 1, 1) <= '3')) AS g_sample
+      FROM ranked
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1615,6 +1694,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS digest, COUNT(*) AS n_dups,
                    MIN(doc_id) AS keep_id
             FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+        """,
+        "pipeline_clean": _PIPELINE_CTE + """
+            SELECT doc_id, n_tokens, mean_tok_len, stop AS stopword_ratio,
+                   lang_pred, quality,
+                   CASE WHEN quality >= 0.5 THEN 'head' ELSE 'tail'
+                   END AS sample_bucket
+            FROM sampled WHERE g_sample
+        """,
+        "pipeline_funnel": _PIPELINE_CTE + """
+            SELECT * FROM (
+              SELECT '0_input' AS stage, COUNT(*)::BIGINT AS rows FROM sampled
+              UNION ALL SELECT '1_length',
+                SUM(CASE WHEN g_len THEN 1 ELSE 0 END)::BIGINT FROM sampled
+              UNION ALL SELECT '2_quality',
+                SUM(CASE WHEN g_quality THEN 1 ELSE 0 END)::BIGINT FROM sampled
+              UNION ALL SELECT '3_lang',
+                SUM(CASE WHEN g_lang THEN 1 ELSE 0 END)::BIGINT FROM sampled
+              UNION ALL SELECT '4_dedup',
+                SUM(CASE WHEN g_dedup THEN 1 ELSE 0 END)::BIGINT FROM sampled
+              UNION ALL SELECT '5_sample',
+                SUM(CASE WHEN g_sample THEN 1 ELSE 0 END)::BIGINT FROM sampled
+            )
         """,
         "ngram_jaccard_adjacent": """
             WITH t AS (

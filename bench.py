@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "cdxj_read",
     "host_graph",
     "host_rank",
+    "pipeline_clean",
 ]
 
 

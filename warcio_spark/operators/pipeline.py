@@ -1,0 +1,195 @@
+"""Composite training-data cleaning pipeline over a documents-like table.
+
+Composes the textstats/dedup building blocks into the C4/Gopher-shaped
+funnel a 100 TB pretraining pipeline runs: length + quality gates,
+marker-based language id, exact dedup, and a deterministic
+quality-stratified sample — as ONE declarative plan.
+
+Scale shape (the point of the composition):
+- every gate is a pure-codegen column computed in a SINGLE scan —
+  staging the ratios as columns once (not re-inlining subtrees per
+  consumer) keeps whole-stage codegen small, the same staging
+  discipline the quality/lang queries use;
+- exact dedup costs the plan's only shuffle (window over md5(text));
+  the window orders gate-passers first inside each hash group
+  (``ORDER BY pass DESC, doc_id``), so "dedup among survivors" needs
+  no pre-filter pass — the funnel is one scan + one shuffle end-to-end;
+- the stratified sample is a deterministic md5-hex threshold (salted),
+  so reruns, resumes, and the DuckDB oracle all agree row-for-row with
+  no RNG state anywhere.
+
+Reference parity note: warcio has no corpus pipeline — this layer is the
+"beyond the reference" training-data surface (dedup building blocks cite
+/root/reference/warcio/recordloader.py only via operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from warcio_spark.operators.textstats import punct_ratio, stopword_ratio, tokens
+
+#: funnel stage labels, cumulative left-to-right
+STAGES = ("0_input", "1_length", "2_quality", "3_lang", "4_dedup", "5_sample")
+
+
+def _staged(
+    docs: DataFrame,
+    *,
+    min_tokens: int,
+    max_tokens: int,
+    tok_len_bounds: tuple,
+    max_punct: float,
+    min_stopword: float,
+    langs: tuple,
+    quality_head: float,
+    sample_tail_hex: str,
+    salt: str,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    toks = tokens(text_col)
+    nonspace = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    s = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.size(toks).alias("n_tokens"),
+        nonspace.alias("_nonspace"),
+        punct_ratio(text_col).alias("_punct"),
+        stopword_ratio(text_col).alias("_stop"),
+        F.size(F.filter(toks, lambda t: F.lower(t).isin(["the", "and", "of"]))).alias("_en"),
+        F.size(F.filter(toks, lambda t: F.lower(t).isin(["der", "und", "die"]))).alias("_de"),
+        F.size(F.filter(toks, lambda t: F.lower(t).isin(["le", "et", "les"]))).alias("_fr"),
+    )
+    mean_tok = F.round(F.col("_nonspace") / F.greatest(F.col("n_tokens"), F.lit(1)), 4)
+    quality = F.round(
+        (
+            F.least(F.length(text_col) / 500.0, F.lit(1.0))
+            + (F.lit(1.0) - F.least(F.col("_punct") * 5, F.lit(1.0)))
+            + F.least(F.col("_stop") * 4, F.lit(1.0))
+        )
+        / 3.0,
+        4,
+    )
+    lang_pred = (
+        F.when((F.col("_en") + F.col("_de") + F.col("_fr")) == 0, F.lit("und"))
+        .when((F.col("_en") >= F.col("_de")) & (F.col("_en") >= F.col("_fr")), "en")
+        .when(F.col("_de") >= F.col("_fr"), "de")
+        .otherwise("fr")
+    )
+    s = s.withColumns(
+        {
+            "mean_tok_len": mean_tok,
+            "quality": quality,
+            "lang_pred": lang_pred,
+        }
+    )
+    g_len = (
+        F.col("n_tokens").between(min_tokens, max_tokens)
+        & F.col("mean_tok_len").between(*tok_len_bounds)
+    )
+    g_quality = (F.col("_punct") <= max_punct) & (F.col("_stop") >= min_stopword)
+    g_lang = F.col("lang_pred").isin(list(langs))
+    s = s.withColumns(
+        {
+            "g_len": g_len,
+            "g_quality": g_len & g_quality,
+            "g_lang": g_len & g_quality & g_lang,
+        }
+    )
+    # dedup among gate-passers without a pre-filter pass: passers sort
+    # first within each text-hash group, so rank 1 is the kept copy
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
+        F.col("g_lang").cast("int").desc(), F.col(id_col)
+    )
+    s = s.withColumn("g_dedup", F.col("g_lang") & (F.row_number().over(w) == 1))
+    keep_sample = F.col("g_dedup") & (
+        (F.col("quality") >= quality_head)
+        | (F.substring(F.md5(F.concat(F.lit(salt), F.col(text_col))), 1, 1) <= sample_tail_hex)
+    )
+    return s.withColumn("g_sample", keep_sample)
+
+
+def clean_corpus(
+    docs: DataFrame,
+    *,
+    min_tokens: int = 20,
+    max_tokens: int = 90,
+    tok_len_bounds: tuple = (2.0, 12.0),
+    max_punct: float = 0.1,
+    min_stopword: float = 0.01,
+    langs: tuple = ("en",),
+    quality_head: float = 0.5,
+    sample_tail_hex: str = "3",
+    salt: str = "s1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Surviving documents after the full funnel, with per-doc stats.
+
+    ``sample_tail_hex``: documents below ``quality_head`` survive iff the
+    first hex char of md5(salt || text) is <= this char — '3' keeps 4/16
+    (25%) of the low-quality tail, deterministically.
+    """
+    s = _staged(
+        docs,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        tok_len_bounds=tok_len_bounds,
+        max_punct=max_punct,
+        min_stopword=min_stopword,
+        langs=langs,
+        quality_head=quality_head,
+        sample_tail_hex=sample_tail_hex,
+        salt=salt,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    bucket = F.when(F.col("quality") >= quality_head, "head").otherwise("tail")
+    return s.filter(F.col("g_sample")).select(
+        id_col,
+        "n_tokens",
+        "mean_tok_len",
+        F.col("_stop").alias("stopword_ratio"),
+        "lang_pred",
+        "quality",
+        bucket.alias("sample_bucket"),
+    )
+
+
+def clean_funnel(docs: DataFrame, **kwargs) -> DataFrame:
+    """Per-stage survivor counts for the same funnel — the pipeline's
+    observability face. One scan + one shuffle total: every stage is a
+    boolean column of the shared staged plan, counted in a single
+    aggregate and unpivoted to (stage, rows)."""
+    s = _staged(
+        docs,
+        min_tokens=kwargs.pop("min_tokens", 20),
+        max_tokens=kwargs.pop("max_tokens", 90),
+        tok_len_bounds=kwargs.pop("tok_len_bounds", (2.0, 12.0)),
+        max_punct=kwargs.pop("max_punct", 0.1),
+        min_stopword=kwargs.pop("min_stopword", 0.01),
+        langs=kwargs.pop("langs", ("en",)),
+        quality_head=kwargs.pop("quality_head", 0.5),
+        sample_tail_hex=kwargs.pop("sample_tail_hex", "3"),
+        salt=kwargs.pop("salt", "s1"),
+        text_col=kwargs.pop("text_col", "text"),
+        id_col=kwargs.pop("id_col", "doc_id"),
+    )
+    if kwargs:
+        raise TypeError(f"unknown clean_funnel kwargs: {sorted(kwargs)}")
+    agg = s.agg(
+        F.count(F.lit(1)).alias(STAGES[0]),
+        *[
+            F.sum(F.col(g).cast("long")).alias(st)
+            for g, st in zip(
+                ("g_len", "g_quality", "g_lang", "g_dedup", "g_sample"), STAGES[1:]
+            )
+        ],
+    )
+    stack = ", ".join(f"'{st}', `{st}`" for st in STAGES)
+    return (
+        agg.select(F.expr(f"stack({len(STAGES)}, {stack}) as (stage, rows)"))
+        .select("stage", F.col("rows").cast("long").alias("rows"))
+    )
