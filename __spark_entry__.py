@@ -377,6 +377,71 @@ def q_pipeline_clean(spark, sf):
     return clean_corpus(_t(spark, sf, "documents"))
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (operators/decontam.py): docs sharing a
+    word 3-gram with the deterministic benchmark slice (doc_id % 97 == 0)
+    are flagged. Benchmark grams are md5-hashed, distinct-ed, and
+    broadcast — the corpus side never shuffles its exploded grams."""
+    from warcio_spark.operators.decontam import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, n=3)
+
+
+def q_line_dedup(spark, sf):
+    """C4-style cross-corpus line dedup (operators/dedup.dedup_lines):
+    3-line docs built deterministically from doc_id (a header line shared
+    across doc_id % 7 classes, the original text, a footer shared across
+    doc_id % 13 classes) — every line survives only at its first
+    (doc_id, pos) occurrence, docs reassembled in order."""
+    from warcio_spark.operators.dedup import dedup_lines
+
+    docs = _t(spark, sf, "documents")
+    uni = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("hdr "), (F.col("doc_id") % 7).cast("string")),
+            F.col("text"),
+            F.concat(F.lit("ftr "), (F.col("doc_id") % 13).cast("string")),
+        ).alias("text"),
+    )
+    return dedup_lines(uni)
+
+
+def q_pii_redact(spark, sf):
+    """PII scrubbing (operators/textstats.redact_pii/pii_counts): emails,
+    phone numbers, and IPv4s injected deterministically from doc_id are
+    replaced with typed placeholders; per-kind counts via regexp_count.
+    Pure regexp codegen — the patterns are in the Java/RE2 common subset
+    so the DuckDB oracle runs them verbatim."""
+    from warcio_spark.operators.textstats import pii_counts, redact_pii
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    uni = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), s(d), F.lit("@example.org or +1-555-"),
+            F.lpad(s(d % 1000), 3, "0"), F.lit("-"),
+            F.lpad(s(d % 10000), 4, "0"),
+            F.lit(" from 10.0."), s(d % 256), F.lit(".7"),
+        ).alias("text"),
+    )
+    counts = pii_counts("text")
+    return uni.select(
+        "doc_id",
+        redact_pii("text").alias("text_redacted"),
+        counts["n_email"].alias("n_email"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        counts["n_phone"].alias("n_phone"),
+    )
+
+
 def q_pipeline_funnel(spark, sf):
     """Per-stage survivor counts of the same funnel: every stage is a
     boolean column of one shared staged plan, counted in a single
@@ -1131,6 +1196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": q_host_rank,
         "pipeline_clean": q_pipeline_clean,
         "pipeline_funnel": q_pipeline_funnel,
+        "decontaminate": q_decontaminate,
+        "line_dedup": q_line_dedup,
+        "pii_redact": q_pii_redact,
     }
 
 
@@ -1701,6 +1769,87 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN quality >= 0.5 THEN 'head' ELSE 'tail'
                    END AS sample_bucket
             FROM sampled WHERE g_sample
+        """,
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> md5(array_to_string(t[i:i+2], ' ')))) AS g
+              FROM toks
+            ), bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+            ), hits AS (
+              SELECT doc_id, COUNT(DISTINCT g) AS n
+              FROM grams JOIN bench USING (g)
+              WHERE doc_id % 97 <> 0
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n, 0)::BIGINT AS n_shared_ngrams,
+                   COALESCE(h.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 97 <> 0
+        """,
+        "line_dedup": """
+            WITH uni AS (
+              SELECT doc_id,
+                     'hdr ' || (doc_id % 7)::VARCHAR || chr(10) || text
+                     || chr(10) || 'ftr ' || (doc_id % 13)::VARCHAR AS text
+              FROM documents
+            ), exploded AS (
+              SELECT doc_id,
+                     unnest(list_zip(
+                       string_split(text, chr(10)),
+                       range(1, len(string_split(text, chr(10))) + 1))) AS u
+              FROM uni
+            ), lines AS (
+              SELECT doc_id, u[2] - 1 AS pos, u[1] AS line FROM exploded
+            ), ranked AS (
+              SELECT doc_id, pos, line,
+                     ROW_NUMBER() OVER (PARTITION BY md5(line)
+                                        ORDER BY doc_id, pos) AS rn
+              FROM lines
+            )
+            SELECT doc_id,
+                   COALESCE(string_agg(CASE WHEN rn = 1 THEN line END,
+                                       chr(10) ORDER BY pos), '') AS text_clean,
+                   COUNT(*)::BIGINT AS n_lines_in,
+                   SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_lines_kept
+            FROM ranked GROUP BY doc_id
+        """,
+        "pii_redact": """
+            WITH uni AS (
+              SELECT doc_id,
+                text || ' contact user' || doc_id::VARCHAR
+                || '@example.org or +1-555-'
+                || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+                || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7' AS text
+              FROM documents
+            )
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                '<PII:email>', 'g'),
+                '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<PII:ipv4>', 'g'),
+                '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}',
+                '<PII:phone>', 'g') AS text_redacted,
+              len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                AS n_email,
+              len(regexp_extract_all(text,
+                '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ipv4,
+              len(regexp_extract_all(text,
+                '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}'))
+                AS n_phone
+            FROM uni
         """,
         "pipeline_funnel": _PIPELINE_CTE + """
             SELECT * FROM (

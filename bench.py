@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "host_graph",
     "host_rank",
     "pipeline_clean",
+    "decontaminate",
+    "line_dedup",
 ]
 
 

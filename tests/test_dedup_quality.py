@@ -78,3 +78,38 @@ def test_simhash_hamming_locality(spark):
     again = {(r.doc_id, r.simhash) for r in simhash_deterministic(docs).collect()}
     first = {(r.doc_id, r.simhash) for r in sims.collect()}
     assert again == first
+
+
+def test_dedup_lines_cross_doc_first_occurrence(spark):
+    from warcio_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared\nunique-one\ntail"),
+            (2, "shared\nunique-two"),   # loses 'shared' to doc 1
+            (3, "unique-two\nshared"),   # loses both to docs 1 and 2
+            (4, "only-here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert len(out) == 4
+    assert out[1]["text_clean"] == "shared\nunique-one\ntail"
+    assert (out[1]["n_lines_in"], out[1]["n_lines_kept"]) == (3, 3)
+    assert out[2]["text_clean"] == "unique-two"
+    assert (out[2]["n_lines_in"], out[2]["n_lines_kept"]) == (2, 1)
+    # doc 3 keeps nothing: both its lines occurred earlier in the corpus
+    assert out[3]["text_clean"] == ""
+    assert (out[3]["n_lines_in"], out[3]["n_lines_kept"]) == (2, 0)
+    assert out[4]["text_clean"] == "only-here"
+
+
+def test_dedup_lines_within_doc_repeat(spark):
+    from warcio_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "x\ny\nx\nx")], "doc_id long, text string")
+    row = dedup_lines(docs).collect()[0]
+    # the repeated line survives only at its first position
+    assert row["text_clean"] == "x\ny"
+    assert (row["n_lines_in"], row["n_lines_kept"]) == (4, 2)

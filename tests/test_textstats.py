@@ -59,3 +59,37 @@ def test_term_doc_freq_votes_once_per_doc(spark):
     out = [(r.token, r.doc_freq) for r in term_doc_freq(df, k=2).collect()]
     # df: a=2, b=2, c=2 -> top-2 by (freq desc, token asc) = a, b
     assert out == [("a", 2), ("b", 2)]
+
+
+def test_redact_pii_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from warcio_spark.operators.textstats import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.co.uk then +44-123-4567-890 "
+                "at 192.168.0.1 done"),
+            (2, "no pii here"),
+            (3, "two mails x@y.io z@w.ai and ip 10.0.0.256"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            redact_pii("text").alias("red"),
+            pii_counts("text").alias("c"),
+        ).collect()
+    }
+    assert out[1]["red"] == ("mail <PII:email> then <PII:phone> "
+                             "at <PII:ipv4> done")
+    assert out[1]["c"]["n_email"] == 1
+    assert out[1]["c"]["n_phone"] == 1
+    assert out[1]["c"]["n_ipv4"] == 1
+    assert out[2]["red"] == "no pii here"
+    assert out[2]["c"]["n_email"] == 0
+    # ipv4 regex is syntactic (255-bounds not enforced), both mails hit
+    assert out[3]["c"]["n_email"] == 2
+    assert out[3]["c"]["n_ipv4"] == 1

@@ -59,6 +59,49 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str = "text",
     )
 
 
+def dedup_lines(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """C4-style cross-corpus LINE dedup: every line of text is kept only
+    in its first occurrence across the whole corpus (first = smallest
+    (id_col, line position)); documents are reassembled from their
+    surviving lines in original order.
+
+    Returns one row per input doc: (id_col, text_clean, n_lines_in,
+    n_lines_kept) — text_clean is '' when every line was a duplicate.
+
+    Scale shape: posexplode (Generate, no shuffle) → ONE shuffle on the
+    line's md5 for the first-occurrence window (uniform hash keys, no
+    skew) → one groupBy(id) reassembly shuffle. Line text itself never
+    shuffles twice: the window carries (id, pos, line) once, and the
+    reassembly is keyed on the doc id. No Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    w = Window.partitionBy(F.md5(F.col("line"))).orderBy(id_col, "pos")
+    kept = lines.withColumn("_rn", F.row_number().over(w))
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines_in"),
+        F.sum((F.col("_rn") == 1).cast("long")).alias("n_lines_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_rn") == 1,
+                               F.struct(F.col("pos"), F.col("line")))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+    )
+    return agg.select(id_col, "text_clean", "n_lines_in", "n_lines_kept")
+
+
 def revisit_candidates(records: DataFrame, digest_col: str = "payload_digest",
                        order_col: str = "warc_ts") -> DataFrame:
     """The reference's revisit semantics as a dedup join: every record whose

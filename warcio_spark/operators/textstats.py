@@ -210,3 +210,36 @@ def rolling_fingerprint(text: pd.Series) -> pd.Series:
         return h
 
     return text.map(fp)
+
+
+# PII scrubbing: the regexes stay in the Java-regex / RE2 common subset
+# (no backrefs, no lookaround) so the DuckDB oracle can run them verbatim.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def redact_pii(text, patterns: dict = None, token: str = "<PII:{kind}>") -> Column:
+    """Replace PII matches with typed placeholder tokens — pure
+    regexp_replace chain, whole-stage codegen, no Python. Patterns apply
+    in sorted-key order so the output is deterministic regardless of
+    dict construction order."""
+    col = F.col(text) if isinstance(text, str) else text
+    pats = PII_PATTERNS if patterns is None else patterns
+    for kind in sorted(pats):
+        col = F.regexp_replace(col, pats[kind], token.format(kind=kind))
+    return col
+
+
+def pii_counts(text, patterns: dict = None) -> Column:
+    """Struct of per-kind PII match counts (regexp_count, JVM-side)."""
+    src = F.col(text) if isinstance(text, str) else text
+    pats = PII_PATTERNS if patterns is None else patterns
+    return F.struct(
+        *[
+            F.regexp_count(src, F.lit(pats[k])).alias("n_" + k)
+            for k in sorted(pats)
+        ]
+    )
