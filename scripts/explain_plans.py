@@ -27,6 +27,11 @@ PICKS = [
     "cdxj_read",  # index parse: pure codegen, no shuffle at all
     "host_graph",  # one shuffle on (src_host, dst_host)
     "host_rank",  # per-iteration join keyed on the small host table
+    "pipeline_clean",  # one scan + ONE hash shuffle (dedup window)
+    "pipeline_funnel",  # same + SinglePartition for the 1-row agg
+    "decontaminate",  # BroadcastHashJoin LeftSemi; grams never shuffle
+    "line_dedup",  # line-hash window + doc reassembly: two shuffles
+    "pii_redact",  # pure regexp codegen, zero shuffles
 ]
 
 
