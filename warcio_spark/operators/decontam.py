@@ -59,8 +59,12 @@ def decontaminate(
     ALSO appear in the benchmark will trivially self-match — exclude
     them from ``docs`` upstream if that is not intended.
     """
+    # per-doc array_distinct BEFORE the explode: fewer rows through the
+    # join, and the per-doc distinct-shared-gram count becomes a plain
+    # count (no two-phase count_distinct aggregation)
     grams = docs.select(
-        F.col(id_col), F.explode(gram_hashes(text_col, n)).alias("g")
+        F.col(id_col),
+        F.explode(F.array_distinct(gram_hashes(text_col, n))).alias("g"),
     )
     bench = benchmark.select(
         F.explode(gram_hashes(text_col, n)).alias("g")
@@ -68,7 +72,7 @@ def decontaminate(
     hits = (
         grams.join(F.broadcast(bench), "g", "left_semi")
         .groupBy(id_col)
-        .agg(F.count_distinct("g").alias("n_shared_ngrams"))
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
     return (
         docs.select(id_col)
