@@ -61,8 +61,13 @@ def decontaminate(
     """
     # per-doc array_distinct BEFORE the explode: fewer rows through the
     # join, and the per-doc distinct-shared-gram count becomes a plain
-    # count (no two-phase count_distinct aggregation)
-    grams = docs.select(
+    # count (no two-phase count_distinct aggregation). The repartition
+    # spreads the CPU-heavy gram+md5 projection over all cores when the
+    # source collapses to few input splits (e.g. one parquet row-group —
+    # the same single-task trap the minhash shingle pass hit); on a real
+    # multi-split table it is one cheap round-robin exchange.
+    sc = docs.sparkSession.sparkContext
+    grams = docs.repartition(sc.defaultParallelism).select(
         F.col(id_col),
         F.explode(F.array_distinct(gram_hashes(text_col, n))).alias("g"),
     )
