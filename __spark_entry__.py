@@ -451,6 +451,17 @@ def q_pipeline_funnel(spark, sf):
     return clean_funnel(_t(spark, sf, "documents"))
 
 
+def q_token_budget(spark, sf):
+    """Fixed training-mix construction (pipeline.token_budget_sample):
+    per-language prefix of doc_id order kept while the running token
+    total stays within 10k tokens — one shuffle on the stratum key plus
+    a running-sum window."""
+    from warcio_spark.operators.pipeline import token_budget_sample
+
+    return token_budget_sample(
+        _t(spark, sf, "documents"), 10_000, strata=("lang",))
+
+
 def q_ngram_jaccard_adjacent(spark, sf):
     """n-gram Jaccard near-dup scoring for adjacent-id candidate pairs."""
     docs = _t(spark, sf, "documents")
@@ -1199,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "line_dedup": q_line_dedup,
         "pii_redact": q_pii_redact,
+        "token_budget": q_token_budget,
     }
 
 
@@ -1823,6 +1835,22 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT
                      AS n_lines_kept
             FROM ranked GROUP BY doc_id
+        """,
+        "token_budget": """
+            WITH staged AS (
+              SELECT doc_id, lang,
+                     len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x <> '')) AS n_tokens
+              FROM documents
+            ), cum AS (
+              SELECT doc_id, lang, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )::BIGINT AS cum_tokens
+              FROM staged
+            )
+            SELECT doc_id, lang, n_tokens, cum_tokens
+            FROM cum WHERE cum_tokens <= 10000
         """,
         "pii_redact": """
             WITH uni AS (

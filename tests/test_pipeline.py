@@ -100,3 +100,35 @@ def test_unknown_kwarg_rejected(spark):
     docs = _docs(spark, [(1, _GOOD)])
     with pytest.raises(TypeError):
         clean_funnel(docs, not_a_knob=1)
+
+
+def test_token_budget_prefix_semantics(spark):
+    from warcio_spark.operators.pipeline import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en"),        # 3 tokens, cum 3
+            (2, "d e f g", "en"),      # 4 tokens, cum 7
+            (3, "h i j k l", "en"),    # 5 tokens, cum 12 > 10 -> dropped
+            (4, "m", "en"),            # later id: still dropped (prefix!)
+            (5, "x y", "de"),          # separate stratum, cum 2
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in
+           token_budget_sample(docs, 10).collect()}
+    assert sorted(out) == [1, 2, 5]
+    assert out[2]["cum_tokens"] == 7
+    assert out[5]["cum_tokens"] == 2
+    # doc 4 fits numerically but is NOT kept: the sample is an id-order
+    # prefix per stratum, not a knapsack
+    assert 4 not in out
+
+
+def test_token_budget_deterministic(spark):
+    from warcio_spark.operators.pipeline import token_budget_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = token_budget_sample(docs, 5000).orderBy("doc_id").collect()
+    b = token_budget_sample(docs, 5000).orderBy("doc_id").collect()
+    assert a == b and len(a) > 0

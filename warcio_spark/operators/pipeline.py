@@ -158,6 +158,49 @@ def clean_corpus(
     )
 
 
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    *,
+    strata: tuple = ("lang",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-size training-mix construction: within each
+    stratum (default: language), keep documents in ``id_col`` order
+    while the running token total stays within ``budget_tokens``. The
+    document that would cross the budget is excluded (inclusive-cumsum
+    <= budget), so the kept set is a prefix of the stratum's id order —
+    stable under reruns and resume.
+
+    Returns (id_col, *strata, n_tokens, cum_tokens) for kept docs only.
+
+    Scale shape: one shuffle on the strata key, then a running-sum
+    window inside each partition. A stratum key like lang is skewed
+    (en-heavy) — the window is O(stratum) sequential per partition by
+    construction (a running budget is inherently ordered); if one
+    stratum outgrows a task, pre-filter with a cheap per-doc bound or
+    split the stratum key upstream. For the usual case — budgets in the
+    billions of tokens, strata in the dozens — one sorted partition per
+    stratum is the right plan.
+    """
+    w = (
+        Window.partitionBy(*strata)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = tokens(text_col)
+    staged = docs.select(
+        F.col(id_col), *[F.col(s) for s in strata],
+        F.size(toks).alias("n_tokens"),
+    )
+    return (
+        staged.withColumn("cum_tokens",
+                          F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )
+
+
 def clean_funnel(docs: DataFrame, **kwargs) -> DataFrame:
     """Per-stage survivor counts for the same funnel — the pipeline's
     observability face. One scan + one shuffle total: every stage is a
