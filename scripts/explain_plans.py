@@ -32,6 +32,7 @@ PICKS = [
     "decontaminate",  # BroadcastHashJoin LeftSemi; grams never shuffle
     "line_dedup",  # line-hash window + doc reassembly: two shuffles
     "pii_redact",  # pure regexp codegen, zero shuffles
+    "token_budget",  # one stratum shuffle + running-sum window
 ]
 
 
