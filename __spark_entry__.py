@@ -462,6 +462,51 @@ def q_token_budget(spark, sf):
         _t(spark, sf, "documents"), 10_000, strata=("lang",))
 
 
+_SPAN_BOILER = (
+    "licensed under the creative commons attribution share alike"
+    " international license terms apply"
+)
+
+
+def q_dup_spans(spark, sf):
+    """Duplicate-span report (operators/spans.dup_span_stats): a 12-token
+    boilerplate tail appended to every doc_id % 5 == 0 document, then word
+    8-grams occurring in >= 2 distinct docs are merged into maximal token
+    spans per doc (gaps-and-islands). One gram-hash groupBy + one
+    gram-hash join + one doc_id window; no Python anywhere."""
+    from warcio_spark.operators.spans import dup_span_stats
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SPAN_BOILER)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dup_span_stats(docs, n=8, min_docs=2)
+
+
+def q_dup_strip(spark, sf):
+    """Duplicate-span REMOVAL (operators/spans.strip_dup_spans): same
+    corpus construction as dup_spans; every token covered by a
+    cross-document duplicate span is dropped and the remainder re-joined
+    with single spaces (token-space normalization both sides). The strip
+    itself is nested JVM higher-order functions (zip_with + filter +
+    exists) — no Arrow hop."""
+    from warcio_spark.operators.spans import strip_dup_spans
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SPAN_BOILER)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return strip_dup_spans(docs, n=8, min_docs=2).select(
+        "doc_id", "text_clean"
+    )
+
+
 def q_ngram_jaccard_adjacent(spark, sf):
     """n-gram Jaccard near-dup scoring for adjacent-id candidate pairs."""
     docs = _t(spark, sf, "documents")
@@ -1211,6 +1256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "pii_redact": q_pii_redact,
         "token_budget": q_token_budget,
+        "dup_spans": q_dup_spans,
+        "dup_strip": q_dup_strip,
     }
 
 
@@ -1851,6 +1898,118 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, n_tokens, cum_tokens
             FROM cum WHERE cum_tokens <= 10000
+        """,
+        "dup_spans": """
+            WITH uni AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text ||
+                       ' licensed under the creative commons attribution' ||
+                       ' share alike international license terms apply'
+                     ELSE text END AS text
+              FROM documents
+            ), toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM uni
+            ), gp AS (
+              SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(1, greatest(len(t) - 7, 0) + 1),
+                         i -> {'pos': i,
+                               'g': md5(array_to_string(t[i:i+7], ' '))}
+                       )) AS u
+                FROM toks)
+            ), dup AS (
+              SELECT g FROM gp GROUP BY g
+              HAVING COUNT(DISTINCT doc_id) >= 2
+            ), hits AS (
+              SELECT doc_id, pos FROM gp JOIN dup USING (g)
+            ), marked AS (
+              SELECT doc_id, pos,
+                     CASE WHEN LAG(pos) OVER w IS NULL
+                            OR pos - LAG(pos) OVER w > 8
+                          THEN 1 ELSE 0 END AS ns
+              FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), sp AS (
+              SELECT doc_id, pos,
+                     SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+              FROM marked
+            ), spans AS (
+              SELECT doc_id, sid, MIN(pos) AS s, MAX(pos) + 7 AS e,
+                     COUNT(*) AS ng
+              FROM sp GROUP BY doc_id, sid
+            ), per_doc AS (
+              SELECT doc_id, SUM(ng) AS n_dup_grams, COUNT(*) AS n_spans,
+                     SUM(e - s + 1) AS dup_tokens
+              FROM spans GROUP BY doc_id
+            )
+            SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+                   COALESCE(p.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+                   COALESCE(p.n_spans, 0)::BIGINT AS n_spans,
+                   COALESCE(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+                   ROUND(COALESCE(p.dup_tokens, 0) / greatest(len(t.t), 1),
+                         4) AS dup_ratio
+            FROM toks t LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "dup_strip": """
+            WITH uni AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text ||
+                       ' licensed under the creative commons attribution' ||
+                       ' share alike international license terms apply'
+                     ELSE text END AS text
+              FROM documents
+            ), toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM uni
+            ), gp AS (
+              SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(1, greatest(len(t) - 7, 0) + 1),
+                         i -> {'pos': i,
+                               'g': md5(array_to_string(t[i:i+7], ' '))}
+                       )) AS u
+                FROM toks)
+            ), dup AS (
+              SELECT g FROM gp GROUP BY g
+              HAVING COUNT(DISTINCT doc_id) >= 2
+            ), hits AS (
+              SELECT doc_id, pos FROM gp JOIN dup USING (g)
+            ), marked AS (
+              SELECT doc_id, pos,
+                     CASE WHEN LAG(pos) OVER w IS NULL
+                            OR pos - LAG(pos) OVER w > 8
+                          THEN 1 ELSE 0 END AS ns
+              FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), sp AS (
+              SELECT doc_id, pos,
+                     SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+              FROM marked
+            ), spans AS (
+              SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+              FROM sp GROUP BY doc_id, sid
+            ), cov AS (
+              SELECT doc_id, unnest(range(s, e + 1)) AS i FROM spans
+            ), tok_idx AS (
+              SELECT doc_id, u[1] AS tok, u[2] AS i FROM (
+                SELECT doc_id, unnest(list_zip(t, range(1, len(t) + 1))) AS u
+                FROM toks)
+            ), kept AS (
+              SELECT k.doc_id, k.tok, k.i
+              FROM tok_idx k LEFT JOIN cov c
+                ON k.doc_id = c.doc_id AND k.i = c.i
+              WHERE c.i IS NULL
+            )
+            SELECT t.doc_id, COALESCE(s.txt, '') AS text_clean
+            FROM toks t LEFT JOIN (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS txt
+              FROM kept GROUP BY doc_id
+            ) s USING (doc_id)
         """,
         "pii_redact": """
             WITH uni AS (

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "pipeline_clean",
     "decontaminate",
     "line_dedup",
+    "dup_spans",
 ]
 
 

@@ -33,6 +33,7 @@ PICKS = [
     "line_dedup",  # line-hash window + doc reassembly: two shuffles
     "pii_redact",  # pure regexp codegen, zero shuffles
     "token_budget",  # one stratum shuffle + running-sum window
+    "dup_spans",  # gram groupBy + gram join + doc_id window, zero Python
 ]
 
 
