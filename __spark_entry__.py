@@ -507,6 +507,30 @@ def q_dup_strip(spark, sf):
     )
 
 
+def q_retry_backlog(spark, sf):
+    """Fetch-failure retry scheduling (plans/retry.retry_report): a fetch
+    log synthesized from events (url_id = event_id % 500, round =
+    event_id DIV 500 — one attempt per (url, round) by construction;
+    status from integer math on (user_id + event_id)) is rolled up into
+    per-url retry state with exponential backoff as of round 18. One
+    window + one aggregation on the url key — a single shuffle."""
+    from warcio_spark.plans.retry import retry_report
+
+    m = (F.col("user_id") + F.col("event_id")) % 8
+    status = (
+        F.when(m == 0, 503).when(m == 1, 500).when(m == 2, 200)
+        .when(m == 3, 404).when(m == 4, 429).when(m == 5, 0)
+        .when(m == 6, 200).otherwise(301)
+    )
+    log = _t(spark, sf, "events").select(
+        F.concat(F.lit("u"), (F.col("event_id") % 500).cast("string"))
+        .alias("url_canon"),
+        F.expr("event_id DIV 500").alias("round"),
+        status.alias("status"),
+    )
+    return retry_report(log, 18, max_attempts=3)
+
+
 def q_ngram_jaccard_adjacent(spark, sf):
     """n-gram Jaccard near-dup scoring for adjacent-id candidate pairs."""
     docs = _t(spark, sf, "documents")
@@ -1258,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "dup_spans": q_dup_spans,
         "dup_strip": q_dup_strip,
+        "retry_backlog": q_retry_backlog,
     }
 
 
@@ -2010,6 +2035,48 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS txt
               FROM kept GROUP BY doc_id
             ) s USING (doc_id)
+        """,
+        "retry_backlog": """
+            WITH log AS (
+              SELECT 'u' || (event_id % 500)::VARCHAR AS url_canon,
+                     event_id // 500 AS rnd,
+                     CASE (user_id + event_id) % 8
+                       WHEN 0 THEN 503 WHEN 1 THEN 500 WHEN 2 THEN 200
+                       WHEN 3 THEN 404 WHEN 4 THEN 429 WHEN 5 THEN 0
+                       WHEN 6 THEN 200 ELSE 301 END AS status
+              FROM events
+            ), cls AS (
+              SELECT url_canon, rnd,
+                     CASE WHEN status BETWEEN 200 AND 399 THEN 'success'
+                          WHEN status <= 0 OR status IN (408, 429)
+                               OR status BETWEEN 500 AND 599
+                          THEN 'retryable'
+                          ELSE 'permanent' END AS c
+              FROM log
+            ), ls AS (
+              SELECT url_canon,
+                     MAX(CASE WHEN c = 'success' THEN rnd END) AS lsucc
+              FROM cls GROUP BY url_canon
+            ), agg AS (
+              SELECT c.url_canon,
+                     MAX(rnd) AS last_round,
+                     arg_max(c.c, rnd) AS last_class,
+                     SUM(CASE WHEN c.c = 'retryable' AND rnd >
+                              COALESCE(l.lsucc, -4611686018427387904)
+                         THEN 1 ELSE 0 END)::BIGINT AS n_failures
+              FROM cls c JOIN ls l USING (url_canon)
+              GROUP BY c.url_canon
+            )
+            SELECT url_canon, last_round, last_class, n_failures,
+                   CASE WHEN last_class = 'retryable'
+                        THEN last_round + least(
+                          (2 ** least(n_failures - 1, 30))::BIGINT, 1024)
+                   END AS next_due_round,
+                   (last_class = 'retryable' AND n_failures < 3
+                    AND 18 >= last_round + least(
+                      (2 ** least(n_failures - 1, 30))::BIGINT, 1024))
+                     AS due
+            FROM agg
         """,
         "pii_redact": """
             WITH uni AS (

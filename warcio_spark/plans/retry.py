@@ -1,0 +1,146 @@
+"""Fetch-failure retry scheduling with exponential backoff.
+
+A production crawler does not treat every fetch attempt as final: a
+transient failure (connection reset, 408/429 throttle, 5xx) re-enters
+the frontier after a backoff that doubles per consecutive failure and
+is abandoned after a bounded number of attempts, while a permanent
+failure (other 4xx) is dropped immediately. The core ``crawl()`` loop
+(plans/crawl.py) deliberately stays fetch-outcome-agnostic — its exact
+ordering/seen parity vs the reference oracle crawler is pinned — so
+retry is a COMPOSABLE layer: run ``retry_due`` over the fetch log and
+union the due rows into the next round's seed/candidate set (they
+re-enter through the normal canonicalize -> politeness path; the
+seen-set does not block them because scheduling, not success, wrote
+them there — feed them as ``seeds`` with ``resume=True``, the same
+re-entry path ``recrawl_due`` uses for freshness).
+
+Semantics (one attempt per (url, round); the scheduler never issues
+two attempts for one url in one round):
+
+- class of a status: success (200-399), retryable (408, 429, 5xx, or
+  status <= 0 — the network-error convention), permanent (the rest);
+- only the LATEST attempt decides liveness: latest success or
+  permanent ends the url's retry life;
+- ``n_failures`` counts retryable attempts AFTER the last success
+  (a url that failed, succeeded, then failed again restarts at 1);
+- ``next_due_round = last_round + min(base_backoff**(n_failures - 1),
+  max_backoff)`` (first retry next round at base 2: +1, then +2, +4,
+  ... capped — uncapped exponentials overflow and are never what a
+  scheduler wants anyway);
+- due iff the latest attempt was retryable, ``n_failures <
+  max_attempts``, and ``as_of_round >= next_due_round``.
+
+Scale shape: one window + one aggregation, both keyed on the url —
+a single shuffle on a uniform key (the window's partitioning is
+reused by the groupBy), O(log rows), no joins, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["status_class", "retry_report", "retry_due"]
+
+_RETRYABLE = (408, 429)
+
+
+def status_class(status: Column) -> Column:
+    """'success' | 'retryable' | 'permanent' for an HTTP status code
+    (status <= 0 = network-level failure, retryable)."""
+    return (
+        F.when((status >= 200) & (status < 400), F.lit("success"))
+        .when(
+            (status <= 0)
+            | status.isin(*_RETRYABLE)
+            | ((status >= 500) & (status < 600)),
+            F.lit("retryable"),
+        )
+        .otherwise(F.lit("permanent"))
+    )
+
+
+def retry_report(
+    fetch_log: DataFrame,
+    as_of_round: int,
+    *,
+    max_attempts: int = 4,
+    base_backoff: int = 2,
+    max_backoff: int = 1024,
+    url_col: str = "url_canon",
+    round_col: str = "round",
+    status_col: str = "status",
+) -> DataFrame:
+    """Per-url retry state as of ``as_of_round``: (url_col, last_round,
+    last_class, n_failures, next_due_round, due). Every distinct url in
+    the log appears exactly once; ``next_due_round`` is null unless the
+    latest attempt was retryable."""
+    cls = status_class(F.col(status_col))
+    w_all = Window.partitionBy(url_col)
+    rows = fetch_log.select(
+        url_col,
+        F.col(round_col).alias("_r"),
+        cls.alias("_cls"),
+    ).withColumn(
+        "_ls",
+        F.max(F.when(F.col("_cls") == "success", F.col("_r"))).over(w_all),
+    )
+    agg = rows.groupBy(url_col).agg(
+        F.max("_r").alias("last_round"),
+        F.max_by("_cls", "_r").alias("last_class"),
+        F.count(
+            F.when(
+                (F.col("_cls") == "retryable")
+                & (F.col("_r") > F.coalesce(F.col("_ls"), F.lit(-(2**62)))),
+                1,
+            )
+        ).alias("n_failures"),
+    )
+    backoff = F.least(
+        F.pow(
+            F.lit(float(base_backoff)),
+            F.least(F.col("n_failures") - 1, F.lit(30)),
+        ).cast("long"),
+        F.lit(int(max_backoff)),
+    )
+    next_due = F.when(
+        F.col("last_class") == "retryable", F.col("last_round") + backoff
+    )
+    return agg.select(
+        url_col,
+        "last_round",
+        "last_class",
+        "n_failures",
+        next_due.alias("next_due_round"),
+        (
+            next_due.isNotNull()
+            & (F.col("n_failures") < max_attempts)
+            & (F.lit(as_of_round) >= next_due)
+        ).alias("due"),
+    )
+
+
+def retry_due(
+    fetch_log: DataFrame,
+    as_of_round: int,
+    *,
+    max_attempts: int = 4,
+    base_backoff: int = 2,
+    max_backoff: int = 1024,
+    url_col: str = "url_canon",
+    round_col: str = "round",
+    status_col: str = "status",
+) -> DataFrame:
+    """Just the due urls: (url_col, n_failures) — union these into the
+    next round's seed set to re-enter the frontier."""
+    rep = retry_report(
+        fetch_log,
+        as_of_round,
+        max_attempts=max_attempts,
+        base_backoff=base_backoff,
+        max_backoff=max_backoff,
+        url_col=url_col,
+        round_col=round_col,
+        status_col=status_col,
+    )
+    return rep.filter("due").select(url_col, "n_failures")
