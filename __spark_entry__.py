@@ -531,6 +531,22 @@ def q_retry_backlog(spark, sf):
     return retry_report(log, 18, max_attempts=3)
 
 
+_BM25_QUERY = ["join", "window", "hash", "missingterm"]
+
+
+def q_bm25_topk(spark, sf):
+    """BM25 keyword search (operators/search.bm25_topk): top-15 documents
+    for a 4-term query (one term absent from the corpus). Tokens are
+    filtered to the query terms BEFORE the explode (posting-list volume,
+    not corpus volume), corpus stats ride a one-row broadcast, the final
+    cut is TakeOrderedAndProject."""
+    from warcio_spark.operators.search import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf, "documents"), _BM25_QUERY, k=15, id_col="doc_id"
+    )
+
+
 def q_ngram_jaccard_adjacent(spark, sf):
     """n-gram Jaccard near-dup scoring for adjacent-id candidate pairs."""
     docs = _t(spark, sf, "documents")
@@ -1283,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "dup_strip": q_dup_strip,
         "retry_backlog": q_retry_backlog,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -2077,6 +2094,44 @@ def oracle_sql() -> dict[str, str]:
                       (2 ** least(n_failures - 1, 30))::BIGINT, 1024))
                      AS due
             FROM agg
+        """,
+        "bm25_topk": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), base AS (
+              SELECT doc_id, len(toks) AS dl, toks FROM d
+            ), stats AS (
+              SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM base
+            ), hits AS (
+              SELECT doc_id, dl, tok AS term
+              FROM base, unnest(toks) AS u(tok)
+              WHERE tok IN ('join', 'window', 'hash', 'missingterm')
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf, FIRST(dl) AS dl
+              FROM hits GROUP BY doc_id, term
+            ), dft AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), scored AS (
+              SELECT tf.doc_id,
+                     COUNT(*) AS n_matched_terms,
+                     ROUND(SUM(
+                       ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75
+                                         + 0.75 * tf.dl / s.avgdl))
+                     ), 4) AS score
+              FROM tf
+              JOIN dft USING (term)
+              CROSS JOIN stats s
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, n_matched_terms, score
+            FROM scored
+            ORDER BY score DESC, doc_id
+            LIMIT 15
         """,
         "pii_redact": """
             WITH uni AS (
