@@ -547,6 +547,30 @@ def q_bm25_topk(spark, sf):
     )
 
 
+def q_graph_components(spark, sf):
+    """Connected components (plans/graph.connected_components —
+    alternating large-star/small-star, O(log n) rounds): a deterministic
+    overlap graph where node n links to its mod-7 and mod-13 group bases
+    (the overlapping stars chain whole 91-wide intervals into single
+    components, so convergence genuinely requires iteration)."""
+    from warcio_spark.plans.graph import connected_components
+
+    nodes = (
+        _t(spark, sf, "events")
+        .select((F.col("event_id") % 2000).alias("n"))
+        .distinct()
+    )
+    edges = nodes.select(
+        F.col("n").alias("src"), (F.col("n") - F.col("n") % 7).alias("dst")
+    ).union(
+        nodes.select(
+            F.col("n").alias("src"),
+            (F.col("n") - F.col("n") % 13).alias("dst"),
+        )
+    )
+    return connected_components(edges)
+
+
 def q_ngram_jaccard_adjacent(spark, sf):
     """n-gram Jaccard near-dup scoring for adjacent-id candidate pairs."""
     docs = _t(spark, sf, "documents")
@@ -1300,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_strip": q_dup_strip,
         "retry_backlog": q_retry_backlog,
         "bm25_topk": q_bm25_topk,
+        "graph_components": q_graph_components,
     }
 
 
@@ -2132,6 +2157,25 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY score DESC, doc_id
             LIMIT 15
+        """,
+        "graph_components": """
+            WITH RECURSIVE nodes AS (
+              SELECT DISTINCT event_id % 2000 AS n FROM events
+            ), e0 AS (
+              SELECT n AS a, n - n % 7 AS b FROM nodes
+              UNION
+              SELECT n, n - n % 13 FROM nodes
+            ), edges AS (
+              SELECT a, b FROM e0 WHERE a <> b
+              UNION
+              SELECT b, a FROM e0 WHERE a <> b
+            ), walk(node, reach) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach
+            )
+            SELECT node, MIN(reach) AS component
+            FROM walk GROUP BY node
         """,
         "pii_redact": """
             WITH uni AS (

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from warcio_spark.operators.textstats import tokens
+from warcio_spark.plans.graph import connected_components
 
 # ---------------------------------------------------------------------------
 # exact
@@ -498,3 +499,39 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.95,
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pair clustering: near-dup PAIRS -> duplicate clusters -> canonical docs
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(pairs: DataFrame, left_col: str = "id_a",
+                 right_col: str = "id_b") -> DataFrame:
+    """(doc_id, cluster) for every doc appearing in a duplicate pair;
+    ``cluster`` is the minimum doc_id in the transitive closure of the
+    pair relation. This is what turns pair-producing dedup
+    (minhash_lsh_pairs, simhash_near_pairs, embedding near-dup) into
+    groups: near-duplication is not transitive, but dedup policy is
+    (A~B and B~C must land in one group or a kept doc can still have a
+    near-dup in the corpus). Runs plans.graph.connected_components —
+    O(log n) star rounds, never a driver-side union-find."""
+    return (
+        connected_components(pairs, src_col=left_col, dst_col=right_col)
+        .select(F.col("node").alias("doc_id"),
+                F.col("component").alias("cluster"))
+    )
+
+
+def dedup_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   left_col: str = "id_a",
+                   right_col: str = "id_b") -> DataFrame:
+    """Keep one canonical doc (the minimum id) per duplicate cluster:
+    docs in no pair pass through untouched; docs in a cluster survive
+    only if they ARE the cluster minimum. One broadcast-able anti-join
+    against the (usually tiny relative to the corpus) non-canonical
+    member list."""
+    losers = dup_clusters(pairs, left_col, right_col).filter(
+        F.col("doc_id") != F.col("cluster")
+    ).select(F.col("doc_id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

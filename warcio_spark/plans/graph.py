@@ -99,3 +99,142 @@ def host_rank(edges: DataFrame, iterations: int = 3,
             )
         )
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# Connected components (alternating large-star / small-star)
+# ---------------------------------------------------------------------------
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node u connects each strictly-larger
+    neighbor to m(u) = min(N(u) ∪ {u})."""
+    bi = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).filter(F.col("src") != F.col("dst"))
+    mins = bi.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("_m")
+    )
+    return (
+        bi.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient edges large→small; every node u
+    connects its smaller neighbors (and itself) to m = min(N(u))."""
+    o = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mins = o.groupBy("src").agg(F.min("dst").alias("_m"))
+    rewired = (
+        o.join(mins, "src")
+        .filter(F.col("dst") != F.col("_m"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+    )
+    centers = mins.select("src", F.col("_m").alias("dst"))
+    return rewired.union(centers).distinct()
+
+
+def _edge_signature(edges: DataFrame) -> tuple:
+    """Order-independent fingerprint of an edge set: (count, two
+    independent 64-bit hash XOR-folds — the edge set is distinct, so the
+    XOR fold is a sound multiset fingerprint and cannot overflow under
+    ANSI mode). Used only for convergence detection — a false match
+    needs a simultaneous collision in both folds (~2^-128 per comparison
+    against structured, non-adversarial inputs)."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h1"),
+        F.coalesce(
+            F.bit_xor(F.hash("dst", "src")), F.lit(0)
+        ).alias("h2"),
+    ).collect()[0]
+    return (row["n"], row["h1"], row["h2"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; ``component`` is
+    the minimum node id of its connected component.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — converges
+    in O(log n) rounds regardless of component diameter, unlike min-label
+    propagation whose round count is the graph diameter. This is the
+    missing half of pair-producing dedup (minhash_lsh_pairs /
+    simhash_near_pairs emit PAIRS; clustering them is what lets a corpus
+    keep one canonical doc per duplicate group).
+
+    Scale shape: each star round is one aggregation (map-side-combinable
+    min per node — a 10^9-degree hub costs one partial min per partition,
+    never a collected neighbor list) plus one join of the edge set
+    against the |V|-row min table, keyed the same way. Each round's
+    output is checkpointed (``checkpoint_dir`` → reliable
+    ``DataFrame.checkpoint`` for real clusters; default →
+    ``localCheckpoint``) so the iterated plan's lineage stays O(1) per
+    round instead of doubling. Convergence = consecutive rounds produce
+    the identical edge multiset (count + two independent hash sums); at
+    the fixed point the edge set is a star forest centered on component
+    minima.
+
+    Raises ``RuntimeError`` if not converged after ``max_iterations`` —
+    a wrong clustering is never returned silently.
+    """
+    e0 = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    nodes = (
+        e0.select("src").union(e0.select("dst")).distinct()
+        .withColumnRenamed("src", "node")
+    )
+    cur = e0.filter(F.col("src") != F.col("dst")).distinct()
+    if checkpoint_dir is not None:
+        cur.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    cur = _materialize(cur)
+    sig = _edge_signature(cur)
+    converged = sig[0] == 0
+    for _ in range(max_iterations):
+        if converged:
+            break
+        nxt = _materialize(_small_star(_large_star(cur)))
+        nsig = _edge_signature(nxt)
+        converged = nsig == sig
+        cur, sig = nxt, nsig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations"
+        )
+    assign = (
+        cur.select(
+            F.greatest("src", "dst").alias("node"),
+            F.least("src", "dst").alias("component"),
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    return nodes.join(assign, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
