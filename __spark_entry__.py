@@ -547,6 +547,18 @@ def q_bm25_topk(spark, sf):
     )
 
 
+def q_lm_perplexity(spark, sf):
+    """CCNet-style quality gate (textstats.bigram_lm + lm_perplexity):
+    train an add-0.4-smoothed word-bigram LM on the corpus, score every
+    document's perplexity under it. Training is one explode + one
+    map-side-combinable groupBy; scoring is one explode + one (w1,w2)
+    join + one per-doc aggregation."""
+    from warcio_spark.operators.textstats import bigram_lm, lm_perplexity
+
+    docs = _t(spark, sf, "documents")
+    return lm_perplexity(docs, bigram_lm(docs))
+
+
 def q_graph_components(spark, sf):
     """Connected components (plans/graph.connected_components —
     alternating large-star/small-star, O(log n) rounds): a deterministic
@@ -1325,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_backlog": q_retry_backlog,
         "bm25_topk": q_bm25_topk,
         "graph_components": q_graph_components,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -2176,6 +2189,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, MIN(reach) AS component
             FROM walk GROUP BY node
+        """,
+        "lm_perplexity": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), bg AS (
+              SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+              FROM t, unnest(range(1, len(toks))) AS u(i)
+            ), counts AS (
+              SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2
+            ), prefix AS (
+              SELECT w1, SUM(c2) AS c1 FROM counts GROUP BY w1
+            ), v AS (
+              SELECT COUNT(*) AS vocab FROM (
+                SELECT w1 AS w FROM counts UNION SELECT w2 FROM counts)
+            ), lm AS (
+              SELECT w1, w2,
+                     log2((c2 + 0.4) / (c1 + 0.4 * vocab)) AS logp
+              FROM counts JOIN prefix USING (w1) CROSS JOIN v
+            ), scored AS (
+              SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+                     ROUND(POW(2.0, -AVG(lm.logp)), 4) AS ppl
+              FROM bg JOIN lm USING (w1, w2)
+              GROUP BY bg.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.n_bigrams, 0) AS n_bigrams,
+                   s.ppl
+            FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "pii_redact": """
             WITH uni AS (

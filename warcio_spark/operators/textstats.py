@@ -243,3 +243,99 @@ def pii_counts(text, patterns: dict = None) -> Column:
             for k in sorted(pats)
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model perplexity (CCNet-style quality filtering)
+# ---------------------------------------------------------------------------
+
+
+def word_bigrams(text) -> Column:
+    """Array of (w1, w2) structs for consecutive token pairs — pure
+    slice+zip expressions, no explode at this level."""
+    t = tokens(text)
+    return F.when(
+        F.size(t) >= 2,
+        F.arrays_zip(
+            F.slice(t, 1, F.size(t) - 1).alias("w1"),
+            F.slice(t, 2, F.size(t) - 1).alias("w2"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+def bigram_lm(docs: DataFrame, text_col: str = "text",
+              alpha: float = 0.4) -> DataFrame:
+    """Train an add-alpha-smoothed word-bigram LM: (w1, w2, logp) with
+    logp = log2((c(w1,w2) + alpha) / (c(w1,*) + alpha * V)), V = unigram
+    vocabulary size.
+
+    This is the shape of CCNet's KenLM quality gate re-expressed as pure
+    aggregation: the model IS a DataFrame. Scale: one explode + one
+    map-side-combinable groupBy on (w1, w2); the prefix totals and V are
+    aggregations OF the bigram table (already vocabulary-bounded, orders
+    of magnitude smaller than the corpus), never a second corpus scan."""
+    bg = docs.select(
+        F.explode(word_bigrams(text_col)).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    prefix = counts.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = counts.select(F.col("w1").alias("w")).union(
+        counts.select("w2")
+    ).distinct().count()
+    return (
+        counts.join(prefix, "w1")
+        .select(
+            "w1", "w2",
+            F.log2(
+                (F.col("c2") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha * vocab))
+            ).alias("logp"),
+        )
+    )
+
+
+def lm_perplexity(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", decimals: int = 4,
+                  broadcast_lm: bool = False) -> DataFrame:
+    """(id_col, n_bigrams, ppl): per-document perplexity under a
+    ``bigram_lm`` table — 2^(mean over the doc's bigrams of -logp).
+    Bigrams absent from the LM contribute the model's worst (minimum)
+    logp as the unseen-mass floor, computed FROM the lm table, so
+    scoring a held-out corpus is well-defined. Docs with <2 tokens score
+    NULL (n_bigrams = 0).
+
+    Scale: one explode, one join keyed (w1, w2) (``broadcast_lm=True``
+    when the model fits in executor memory — a pruned web LM usually
+    does), one groupBy on the doc id. High-frequency bigrams skew the
+    join key only on the LM side, which is the small side."""
+    floor = lm.agg(F.min("logp").alias("_floor")).withColumn(
+        "_k", F.lit(1)
+    )
+    lm_j = F.broadcast(lm) if broadcast_lm else lm
+    per_doc = docs.select(
+        F.col(id_col), F.explode(word_bigrams(text_col)).alias("bg")
+    ).select(id_col, "bg.w1", "bg.w2")
+    scored = (
+        per_doc.join(lm_j, ["w1", "w2"], "left")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(floor), "_k")
+        .select(
+            id_col, F.coalesce("logp", F.col("_floor")).alias("_lp")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.pow(F.lit(2.0), -F.avg("_lp")), decimals).alias(
+                "ppl"
+            ),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "ppl",
+        )
+    )
