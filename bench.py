@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "decontaminate",
     "line_dedup",
     "dup_spans",
+    "bm25_topk",
+    "graph_components",
+    "lm_perplexity",
 ]
 
 
