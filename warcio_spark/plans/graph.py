@@ -115,26 +115,24 @@ def _large_star(edges: DataFrame) -> DataFrame:
     mins = bi.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("_m")
     )
+    # no dedup here: the round's single distinct lives at the end of
+    # _small_star — one dedup shuffle per round bounds the edge set,
+    # and min-aggregation is insensitive to intermediate multiplicity
     return (
         bi.join(mins, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """One small-star round: orient edges large→small; every node u
     connects its smaller neighbors (and itself) to m = min(N(u))."""
-    o = (
-        edges.select(
-            F.greatest("src", "dst").alias("src"),
-            F.least("src", "dst").alias("dst"),
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    o = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
     mins = o.groupBy("src").agg(F.min("dst").alias("_m"))
     rewired = (
         o.join(mins, "src")
@@ -143,23 +141,6 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
     centers = mins.select("src", F.col("_m").alias("dst"))
     return rewired.union(centers).distinct()
-
-
-def _edge_signature(edges: DataFrame) -> tuple:
-    """Order-independent fingerprint of an edge set: (count, two
-    independent 64-bit hash XOR-folds — the edge set is distinct, so the
-    XOR fold is a sound multiset fingerprint and cannot overflow under
-    ANSI mode). Used only for convergence detection — a false match
-    needs a simultaneous collision in both folds (~2^-128 per comparison
-    against structured, non-adversarial inputs)."""
-    row = edges.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h1"),
-        F.coalesce(
-            F.bit_xor(F.hash("dst", "src")), F.lit(0)
-        ).alias("h2"),
-    ).collect()[0]
-    return (row["n"], row["h1"], row["h2"])
 
 
 def connected_components(
@@ -188,13 +169,18 @@ def connected_components(
     ``DataFrame.checkpoint`` for real clusters; default →
     ``localCheckpoint``) so the iterated plan's lineage stays O(1) per
     round instead of doubling. Convergence = consecutive rounds produce
-    the identical edge multiset (count + two independent hash sums); at
-    the fixed point the edge set is a star forest centered on component
-    minima.
+    the identical edge multiset (count + two independent hash XOR-folds);
+    at the fixed point the edge set is a star forest centered on
+    component minima. The fingerprint rides the SAME job that
+    materializes the checkpoint (``observe`` metrics), so each round is
+    exactly ONE Spark action — at toy scale the round cost is pure job
+    latency, and halving the action count halves it.
 
     Raises ``RuntimeError`` if not converged after ``max_iterations`` —
     a wrong clustering is never returned silently.
     """
+    from pyspark.sql import Observation
+
     e0 = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
@@ -207,19 +193,31 @@ def connected_components(
     if checkpoint_dir is not None:
         cur.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def _materialize(df: DataFrame) -> DataFrame:
+    def _materialize(df: DataFrame) -> tuple[DataFrame, tuple]:
+        obs = Observation()
+        observed = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)
+            ).alias("h1"),
+            F.coalesce(F.bit_xor(F.hash("dst", "src")), F.lit(0)).alias(
+                "h2"
+            ),
+        )
         if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+            ck = observed.checkpoint(eager=True)
+        else:
+            ck = observed.localCheckpoint(eager=True)
+        m = obs.get
+        return ck, (m["n"], m["h1"], m["h2"])
 
-    cur = _materialize(cur)
-    sig = _edge_signature(cur)
+    cur, sig = _materialize(cur)
     converged = sig[0] == 0
     for _ in range(max_iterations):
         if converged:
             break
-        nxt = _materialize(_small_star(_large_star(cur)))
-        nsig = _edge_signature(nxt)
+        nxt, nsig = _materialize(_small_star(_large_star(cur)))
         converged = nsig == sig
         cur, sig = nxt, nsig
     if not converged:
