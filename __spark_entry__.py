@@ -559,6 +559,28 @@ def q_lm_perplexity(spark, sf):
     return lm_perplexity(docs, bigram_lm(docs))
 
 
+def q_chunk_documents(spark, sf):
+    """Training-prep chunking (pipeline.chunk_documents): 32-token
+    windows with 8-token overlap. Tokenize once, explode only the chunk
+    INDEX (never the tokens), slice per index — no shuffle anywhere in
+    the plan."""
+    from warcio_spark.operators.pipeline import chunk_documents
+
+    return chunk_documents(_t(spark, sf, "documents"), 32, 8)
+
+
+def q_anchor_texts(spark, sf):
+    """Anchor-text signal table (links.anchor_text_table): what the
+    corpus' anchors say each target URL is about — (outlink, anchor,
+    n_refs) over the same deterministic page universe as q_outlinks.
+    Two linear regex passes (href + first-text-run groups of one
+    pattern), then one groupBy shuffle."""
+    from warcio_spark.operators.links import anchor_text_table
+
+    pages = _outlinks_universe(spark, sf)
+    return anchor_text_table(pages, url_col="page_url", text_col="text")
+
+
 def q_graph_components(spark, sf):
     """Connected components (plans/graph.connected_components —
     alternating large-star/small-star, O(log n) rounds): a deterministic
@@ -1338,6 +1360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "graph_components": q_graph_components,
         "lm_perplexity": q_lm_perplexity,
+        "chunk_documents": q_chunk_documents,
+        "anchor_texts": q_anchor_texts,
     }
 
 
@@ -2220,6 +2244,103 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(s.n_bigrams, 0) AS n_bigrams,
                    s.ppl
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), par AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     CASE WHEN len(toks) = 0 THEN 0
+                          ELSE greatest((len(toks) - 8 + 24 - 1) // 24, 1)
+                     END AS nc
+              FROM t
+            ), x AS (
+              SELECT doc_id, toks, n, i AS chunk_id
+              FROM par, unnest(range(0, nc)) AS u(i)
+            )
+            SELECT doc_id, chunk_id,
+                   len(toks[chunk_id * 24 + 1
+                            : least(chunk_id * 24 + 32, n)]) AS n_tokens,
+                   array_to_string(
+                     toks[chunk_id * 24 + 1
+                          : least(chunk_id * 24 + 32, n)], ' ') AS chunk
+            FROM x
+        """,
+        "anchor_texts": """
+            WITH u AS (
+              SELECT doc_id,
+                'http://host' || (doc_id % 41)::VARCHAR || '.example.com'
+                  || CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END
+                  || '/sec' || (doc_id % 13)::VARCHAR || '/pg'
+                  || doc_id::VARCHAR || '.html'
+                  || CASE WHEN doc_id % 4 = 0
+                          THEN '?q=' || (doc_id % 9)::VARCHAR ELSE '' END
+                  AS base,
+                '<a href="http://peer' || (doc_id % 23)::VARCHAR
+                  || '.example.org/x/y' || doc_id::VARCHAR || '.html">a</a> '
+                  || '<a href=''/r' || (doc_id % 7)::VARCHAR || '/p'
+                  || doc_id::VARCHAR || '.html''>b</a> '
+                  || '<a href=q' || (doc_id % 11)::VARCHAR || '.html>c</a> '
+                  || '<a HREF="../z' || (doc_id % 3)::VARCHAR
+                  || '/w.html">d</a> '
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN '<a href=mailto:x@y.z>e</a> ' ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN '<a href=#top>f</a> ' ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0
+                          THEN '<a href=''//peer' || (doc_id % 23)::VARCHAR
+                               || '.example.org/pp.html''>g</a> ' ELSE '' END
+                  || CASE WHEN doc_id % 6 = 0
+                          THEN '<a href="?ref=' || (doc_id % 4)::VARCHAR
+                               || '">h</a>' ELSE '' END
+                  AS text
+              FROM documents),
+            m AS (
+              SELECT doc_id, base,
+                regexp_extract_all(text,
+                  '(?i)<a\\b(?:[^<>"'']|"[^"]*"|''[^'']*'')*?\\shref\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s"''>]+)(?:[^<>"'']|"[^"]*"|''[^'']*'')*>\\s*([^<]*)',
+                  1) AS arr,
+                regexp_extract_all(text,
+                  '(?i)<a\\b(?:[^<>"'']|"[^"]*"|''[^'']*'')*?\\shref\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s"''>]+)(?:[^<>"'']|"[^"]*"|''[^'']*'')*>\\s*([^<]*)',
+                  2) AS txts
+              FROM u),
+            e AS (
+              SELECT doc_id, base,
+                split_part(
+                  regexp_replace(arr[i], '^["'']|["'']$', '', 'g'),
+                  '#', 1) AS href,
+                trim(regexp_replace(txts[i], '\\s+', ' ', 'g')) AS anchor
+              FROM m, UNNEST(generate_series(1, len(arr))) AS s(i)),
+            r AS (
+              SELECT doc_id, href, anchor,
+                regexp_extract(base, '^(https?://[^/?#]+)', 1) AS origin,
+                regexp_extract(base, '^(https?):', 1) AS scheme,
+                regexp_replace(
+                  substr(base,
+                    length(regexp_extract(base, '^(https?://[^/?#]+)', 1)) + 1),
+                  '[#?].*$', '') AS path
+              FROM e
+              WHERE length(href) > 0 AND length(anchor) > 0)
+            SELECT outlink, anchor, COUNT(*) AS n_refs FROM (
+              SELECT doc_id, anchor,
+                CASE
+                  WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\\-]*:')
+                    THEN CASE WHEN regexp_matches(href, '^https?://')
+                              THEN href END
+                  WHEN starts_with(href, '//') THEN scheme || ':' || href
+                  WHEN starts_with(href, '/') THEN origin || href
+                  WHEN starts_with(href, '?') THEN origin || path || href
+                  ELSE origin
+                    || CASE WHEN path = '' THEN '/'
+                            ELSE regexp_replace(path, '[^/]*$', '') END
+                    || href
+                END AS outlink
+              FROM r)
+            WHERE outlink IS NOT NULL
+            GROUP BY outlink, anchor
         """,
         "pii_redact": """
             WITH uni AS (

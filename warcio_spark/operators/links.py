@@ -594,3 +594,70 @@ def oracle_resolve(base: str, href: str):
         return origin + path + href
     base_dir = "/" if path == "" else re.sub(r"[^/]*$", "", path)
     return origin + base_dir + href
+
+
+# anchor regex = _HREF_RX + "consume the rest of the opening tag, then
+# capture the FIRST TEXT RUN of the element" ([^<]*: up to the next tag
+# open). First-run capture keeps the scan linear on poison markup and —
+# unlike a scan-to-</a> with lookahead — runs identically under Java
+# regex (Spark) and RE2 (the DuckDB oracle), which has no lookaround.
+# Anchors whose text starts with markup (<a href=x><b>bold</b></a>)
+# yield an empty capture and are dropped by the text filter.
+_ANCHOR_RX = _HREF_RX + "(?:[^<>\"']|\"[^\"]*\"|'[^']*')*>\\s*([^<]*)"
+
+
+def extract_anchor_texts(fetched: DataFrame, url_col: str = "page_url",
+                         text_col: str = "text") -> DataFrame:
+    """Per-link rows (src_url, pos, anchor, outlink): every anchor whose
+    element carries a non-empty first text run, with the href resolved
+    by the same contract as ``extract_outlinks`` (same cleaning, same
+    RFC resolution, same MAX_LINKS_PER_PAGE cap). Anchor text is
+    whitespace-normalized.
+
+    Scale shape: two linear regex passes over the page (href group and
+    text group of ONE pattern, so the arrays zip positionally), then
+    pure array expressions — map-only, no shuffle here."""
+    hrefs = F.regexp_extract_all(
+        F.col(text_col), F.lit(_ANCHOR_RX), F.lit(1)
+    )
+    texts = F.regexp_extract_all(
+        F.col(text_col), F.lit(_ANCHOR_RX), F.lit(2)
+    )
+    zipped = F.slice(
+        F.arrays_zip(hrefs.alias("h"), texts.alias("t")),
+        1, MAX_LINKS_PER_PAGE,
+    )
+    return (
+        fetched.filter(F.col(url_col).isNotNull())
+        .select(
+            F.col(url_col).alias("src_url"),
+            F.posexplode(zipped).alias("pos", "__z"),
+        )
+        .select(
+            "src_url",
+            "pos",
+            _cleaned_href(F.col("__z.h")).alias("href"),
+            F.trim(
+                F.regexp_replace(F.col("__z.t"), r"\s+", " ")
+            ).alias("anchor"),
+        )
+        .filter((F.length("href") > 0) & (F.length("anchor") > 0))
+        .select(
+            "src_url", "pos", "href", "anchor",
+            _resolved(F.col("src_url"), F.col("href")).alias("outlink"),
+        )
+        .filter(F.col("outlink").isNotNull())
+    )
+
+
+def anchor_text_table(fetched: DataFrame, url_col: str = "page_url",
+                      text_col: str = "text") -> DataFrame:
+    """(outlink, anchor, n_refs): the corpus-wide anchor-text signal
+    table — what the web says a URL is about — used for search snippets,
+    crawl prioritization, and weak supervision. One groupBy shuffle on
+    (outlink, anchor) after the map-only extraction."""
+    return (
+        extract_anchor_texts(fetched, url_col, text_col)
+        .groupBy("outlink", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+    )

@@ -236,3 +236,54 @@ def clean_funnel(docs: DataFrame, **kwargs) -> DataFrame:
         agg.select(F.expr(f"stack({len(STAGES)}, {stack}) as (stage, rows)"))
         .select("stage", F.col("rows").cast("long").alias("rows"))
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, chunk_id, n_tokens, chunk): fixed-size token windows with
+    overlap — the training-prep step that turns cleaned documents into
+    model-sized sequences. Chunk i covers tokens
+    [i*stride+1, i*stride+chunk_tokens] (stride = chunk_tokens -
+    overlap); the chunk count ceil((n - overlap) / stride) guarantees
+    every token lands in at least one chunk, the last chunk may be
+    short, and a non-empty doc shorter than one chunk yields exactly one
+    chunk. Empty docs yield no rows.
+
+    Scale shape: tokenize once, explode only the CHUNK INDEX (a
+    sequence of ~n/stride longs, not the tokens), slice per index —
+    all built-in expressions, output volume ~(1 + overlap/stride) x
+    corpus tokens, no shuffle at all."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    from warcio_spark.operators.textstats import tokens
+
+    n = F.size("_t")
+    n_chunks = F.greatest(
+        ((n - overlap + stride - 1) / stride).cast("long"), F.lit(1)
+    )
+    piece = F.slice(
+        "_t", F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return (
+        docs.select(F.col(id_col), tokens(text_col).alias("_t"))
+        .select(
+            id_col,
+            "_t",
+            F.explode(
+                F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1))
+                .otherwise(F.array().cast("array<long>"))
+            ).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size(piece).cast("long").alias("n_tokens"),
+            F.array_join(piece, " ").alias("chunk"),
+        )
+    )
