@@ -34,6 +34,10 @@ PICKS = [
     "pii_redact",  # pure regexp codegen, zero shuffles
     "token_budget",  # one stratum shuffle + running-sum window
     "dup_spans",  # gram groupBy + gram join + doc_id window, zero Python
+    "bm25_topk",  # posting-volume explode + broadcast stats + TakeOrdered
+    "lm_perplexity",  # bigram explode, partial aggs, broadcast floor join
+    "chunk_documents",  # index-only explode + slices: zero shuffles
+    "anchor_texts",  # two linear regex passes + one groupBy shuffle
 ]
 
 

@@ -8,9 +8,11 @@ Okapi BM25 (the standard probabilistic-retrieval scoring function):
     idf(t) = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
 
 Scale shape (the whole design):
-- corpus scalars (N, avgdl) ride a ONE-ROW aggregate broadcast-joined
-  on a constant key — a BroadcastHashJoin of a single row, never a
-  cartesian product and never a driver-side collect;
+- corpus scalars (N, avgdl) are computed by one tiny aggregate job and
+  embedded as literals — at scale they are per-snapshot METADATA (a
+  production index stores them next to the corpus), and folding them
+  into the plan keeps the scoring side free of the degenerate
+  1-row-broadcast nested-loop join a constant-key attach compiles to;
 - tokens are filtered to the query terms BEFORE the explode, so the
   per-(doc, term) tf aggregation sees O(matching tokens), not
   O(corpus tokens) — for a k-term query this is the posting-list
@@ -62,11 +64,13 @@ def bm25_scores(
         ).alias("_qtoks"),
     )
 
-    # one-row corpus stats, broadcast on a constant key
+    # corpus scalars: one tiny aggregate job, embedded as literals
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
-    ).withColumn("_k", F.lit(1))
+    ).first()
+    n_docs = stats["n_docs"]
+    avgdl = float(stats["avgdl"] or 0.0)
 
     hits = base.filter(F.size("_qtoks") > 0).select(
         id_col, "dl", F.explode("_qtoks").alias("term")
@@ -77,16 +81,13 @@ def bm25_scores(
     df_t = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("_k", F.lit(1))
-        .join(F.broadcast(stats), "_k")
         .select(
             "term",
             F.log(
                 F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + 0.5)
+                + (F.lit(n_docs) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5)
             ).alias("idf"),
-            "avgdl",
         )
     )
     contrib = tf.join(F.broadcast(df_t), "term").select(
@@ -96,7 +97,7 @@ def bm25_scores(
             * (F.col("tf") * (k1 + 1))
             / (
                 F.col("tf")
-                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
             )
         ).alias("c"),
     )

@@ -300,27 +300,27 @@ def lm_perplexity(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
     """(id_col, n_bigrams, ppl): per-document perplexity under a
     ``bigram_lm`` table — 2^(mean over the doc's bigrams of -logp).
     Bigrams absent from the LM contribute the model's worst (minimum)
-    logp as the unseen-mass floor, computed FROM the lm table, so
-    scoring a held-out corpus is well-defined. Docs with <2 tokens score
-    NULL (n_bigrams = 0).
+    logp as the unseen-mass floor — computed from the lm table by one
+    tiny aggregate job and embedded as a literal (a model-level scalar,
+    not a plan node: a constant-key attach would compile to a 1-row
+    nested-loop join) — so scoring a held-out corpus is well-defined.
+    Docs with <2 tokens score NULL (n_bigrams = 0). An empty model
+    floors at logp 0 (every doc scores ppl 1.0).
 
     Scale: one explode, one join keyed (w1, w2) (``broadcast_lm=True``
     when the model fits in executor memory — a pruned web LM usually
     does), one groupBy on the doc id. High-frequency bigrams skew the
     join key only on the LM side, which is the small side."""
-    floor = lm.agg(F.min("logp").alias("_floor")).withColumn(
-        "_k", F.lit(1)
-    )
+    floor = lm.agg(F.min("logp")).first()[0]
+    floor = 0.0 if floor is None else float(floor)
     lm_j = F.broadcast(lm) if broadcast_lm else lm
     per_doc = docs.select(
         F.col(id_col), F.explode(word_bigrams(text_col)).alias("bg")
     ).select(id_col, "bg.w1", "bg.w2")
     scored = (
         per_doc.join(lm_j, ["w1", "w2"], "left")
-        .withColumn("_k", F.lit(1))
-        .join(F.broadcast(floor), "_k")
         .select(
-            id_col, F.coalesce("logp", F.col("_floor")).alias("_lp")
+            id_col, F.coalesce("logp", F.lit(floor)).alias("_lp")
         )
         .groupBy(id_col)
         .agg(
