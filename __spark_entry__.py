@@ -581,6 +581,22 @@ def q_anchor_texts(spark, sf):
     return anchor_text_table(pages, url_col="page_url", text_col="text")
 
 
+def q_near_dup_clusters(spark, sf):
+    """Transitive near-dup cluster membership: the SAME verified MinHash
+    pair table as q_minhash_dedup, closed under connected components
+    (dedup.dup_clusters) — (doc_id, cluster) for every doc in a pair,
+    cluster = minimum member id. Pinned golden: the pair table is
+    pinned-golden upstream and the closure is deterministic."""
+    from warcio_spark.operators.dedup import dup_clusters, minhash_dedup
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = minhash_dedup(docs, threshold=0.8, num_perm=32, bands=8,
+                          persist_tracker=_QUERY_PERSISTS)
+    return dup_clusters(pairs)
+
+
 def q_graph_components(spark, sf):
     """Connected components (plans/graph.connected_components —
     alternating large-star/small-star, O(log n) rounds): a deterministic
@@ -1359,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_backlog": q_retry_backlog,
         "bm25_topk": q_bm25_topk,
         "graph_components": q_graph_components,
+        "near_dup_clusters": q_near_dup_clusters,
         "lm_perplexity": q_lm_perplexity,
         "chunk_documents": q_chunk_documents,
         "anchor_texts": q_anchor_texts,
@@ -1377,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (test_kernel_parse_oracle).
 PINNED_GOLDEN_SF = "/root/testdata/sf0.01"
 PINNED_GOLDEN = {
+    "near_dup_clusters",
     "simhash",
     "minhash_dedup",
     "fingerprint",

@@ -507,7 +507,8 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.95,
 
 
 def dup_clusters(pairs: DataFrame, left_col: str = "id_a",
-                 right_col: str = "id_b") -> DataFrame:
+                 right_col: str = "id_b",
+                 checkpoint_dir: str | None = None) -> DataFrame:
     """(doc_id, cluster) for every doc appearing in a duplicate pair;
     ``cluster`` is the minimum doc_id in the transitive closure of the
     pair relation. This is what turns pair-producing dedup
@@ -517,21 +518,53 @@ def dup_clusters(pairs: DataFrame, left_col: str = "id_a",
     near-dup in the corpus). Runs plans.graph.connected_components —
     O(log n) star rounds, never a driver-side union-find."""
     return (
-        connected_components(pairs, src_col=left_col, dst_col=right_col)
+        connected_components(pairs, src_col=left_col, dst_col=right_col,
+                             checkpoint_dir=checkpoint_dir)
         .select(F.col("node").alias("doc_id"),
                 F.col("component").alias("cluster"))
     )
 
 
 def dedup_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                   left_col: str = "id_a",
-                   right_col: str = "id_b") -> DataFrame:
+                   left_col: str = "id_a", right_col: str = "id_b",
+                   checkpoint_dir: str | None = None) -> DataFrame:
     """Keep one canonical doc (the minimum id) per duplicate cluster:
     docs in no pair pass through untouched; docs in a cluster survive
     only if they ARE the cluster minimum. One broadcast-able anti-join
     against the (usually tiny relative to the corpus) non-canonical
     member list."""
-    losers = dup_clusters(pairs, left_col, right_col).filter(
+    losers = dup_clusters(pairs, left_col, right_col,
+                          checkpoint_dir=checkpoint_dir).filter(
         F.col("doc_id") != F.col("cluster")
     ).select(F.col("doc_id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def minhash_dedup_corpus(df: DataFrame, threshold: float = 0.8,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         num_perm: int = 64, bands: int = 16,
+                         shingle_n: int = 3,
+                         checkpoint_dir: str | None = None) -> DataFrame:
+    """End-to-end near-dup removal: MinHash-LSH candidates -> exact
+    Jaccard verify -> connected components over the verified pairs ->
+    keep the minimum-id doc per cluster. This is the full shape of a
+    production near-dedup pass (pair relations are not transitive;
+    clustering is what makes "no kept doc has a near-dup in the corpus"
+    actually hold).
+
+    Lifecycle: the pair table is materialized ONCE (checkpoint) so the
+    shingle cache can be freed before the caller's plan runs; the
+    cluster rounds checkpoint through ``checkpoint_dir`` when given
+    (real clusters), executor-local otherwise."""
+    tracker: list = []
+    pairs = minhash_dedup(df, threshold, id_col, text_col, num_perm,
+                          bands, shingle_n, persist_tracker=tracker)
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        pairs = pairs.checkpoint(eager=True)
+    else:
+        pairs = pairs.localCheckpoint(eager=True)
+    for cached in tracker:
+        cached.unpersist()
+    return dedup_by_pairs(df, pairs, id_col,
+                          checkpoint_dir=checkpoint_dir)
