@@ -462,6 +462,19 @@ def q_token_budget(spark, sf):
         _t(spark, sf, "documents"), 10_000, strata=("lang",))
 
 
+def q_shard_assignment(spark, sf):
+    """Token-balanced output sharding (pipeline.shard_assignment):
+    shard_id = floor(global-exclusive-cumsum(n_tokens) / 2000) in doc_id
+    order. The running total runs on plans/prefix.with_global_cumsum —
+    range exchange + per-partition window + a #partitions-row offsets
+    fold — NOT an unpartitioned window, so the plan has no
+    single-partition stage at any scale."""
+    from warcio_spark.operators.pipeline import shard_assignment
+
+    return shard_assignment(
+        _t(spark, sf, "documents"), 2000, persist_tracker=_QUERY_PERSISTS)
+
+
 _SPAN_BOILER = (
     "licensed under the creative commons attribution share alike"
     " international license terms apply"
@@ -1373,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "dup_strip": q_dup_strip,
         "retry_backlog": q_retry_backlog,
+        "shard_assignment": q_shard_assignment,
         "bm25_topk": q_bm25_topk,
         "graph_components": q_graph_components,
         "near_dup_clusters": q_near_dup_clusters,
@@ -2020,6 +2034,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, n_tokens, cum_tokens
             FROM cum WHERE cum_tokens <= 10000
+        """,
+        "shard_assignment": """
+            WITH staged AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x <> ''))::BIGINT AS n_tokens
+              FROM documents
+            ), cum AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0)::BIGINT AS tokens_before
+              FROM staged
+            )
+            SELECT doc_id, n_tokens, tokens_before,
+                   FLOOR(tokens_before / 2000)::BIGINT AS shard_id
+            FROM cum
         """,
         "dup_spans": """
             WITH uni AS (

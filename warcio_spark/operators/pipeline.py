@@ -287,3 +287,54 @@ def chunk_documents(
             F.array_join(piece, " ").alias("chunk"),
         )
     )
+
+
+def shard_assignment(
+    docs: DataFrame,
+    shard_tokens: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist_tracker: list | None = None,
+) -> DataFrame:
+    """Token-balanced output sharding: assign each document to a training
+    shard so consecutive docs (in ``id_col`` order) fill each shard to
+    ~``shard_tokens`` tokens — ``shard_id = floor(tokens_before /
+    shard_tokens)``, the streaming-packing rule every sharded-dataset
+    writer uses (a doc straddling a boundary belongs to the shard where
+    it STARTS). Deterministic given the id order; reruns and resumes
+    agree shard-for-shard.
+
+    Returns (id_col, n_tokens, tokens_before, shard_id).
+
+    Scale shape: the global running total uses plans.prefix — range
+    exchange + per-partition windowed codegen + a #partitions-row
+    offsets aggregate; NO unpartitioned window, no single-partition
+    stage, nothing driver-side that grows with the corpus.
+    """
+    if shard_tokens <= 0:
+        raise ValueError(f"shard_tokens must be positive, got {shard_tokens}")
+    from warcio_spark.operators.textstats import tokens
+    from warcio_spark.plans.prefix import with_global_cumsum
+
+    staged = docs.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    cum = with_global_cumsum(
+        staged, id_col, "n_tokens", "tokens_before",
+        exclusive=True, persist_tracker=persist_tracker,
+    )
+    return cum.withColumn(
+        "shard_id", F.floor(F.col("tokens_before") / shard_tokens).cast("long")
+    )
+
+
+def shard_sizes(assignment: DataFrame) -> DataFrame:
+    """Per-shard doc and token totals for a ``shard_assignment`` result —
+    the balance report (every full shard lands within one max-doc-length
+    of shard_tokens either side, since a straddling doc counts wholly
+    toward the shard where it starts). One partial-aggregated groupBy."""
+    return assignment.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
