@@ -462,6 +462,30 @@ def q_token_budget(spark, sf):
         _t(spark, sf, "documents"), 10_000, strata=("lang",))
 
 
+def q_zipnum_summary(spark, sf):
+    """ZipNum secondary index (sources/zipnum.zipnum_block_summary):
+    blocks of 25 consecutive capture lines in CDX merge order over a
+    deterministic ``urlkey ts14 {json}`` universe — (block_id,
+    first_key, n_lines). The global line numbering runs on plans/prefix
+    (no unpartitioned window); the gzip/part-file face of the same
+    layout is pytest-covered in tests/test_zipnum.py."""
+    from warcio_spark.sources.zipnum import zipnum_block_summary
+
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    line = F.concat(
+        F.lit("com,example,host"), s(d % 53), F.lit(")/p/"), s(d),
+        F.lit(" 2024"),
+        F.lpad(s(d % 12 + 1), 2, "0"), F.lpad(s(d % 28 + 1), 2, "0"),
+        F.lpad(s(d % 24), 2, "0"), F.lpad(s(d % 60), 2, "0"),
+        F.lpad(s(d % 60), 2, "0"),
+        F.lit(' {"url": "http://host'), s(d % 53),
+        F.lit('.example.com/p/'), s(d), F.lit('"}'),
+    )
+    lines = _t(spark, sf, "documents").select(line.alias("line"))
+    return zipnum_block_summary(lines, 25, persist_tracker=_QUERY_PERSISTS)
+
+
 def q_shard_assignment(spark, sf):
     """Token-balanced output sharding (pipeline.shard_assignment):
     shard_id = floor(global-exclusive-cumsum(n_tokens) / 2000) in doc_id
@@ -1387,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_strip": q_dup_strip,
         "retry_backlog": q_retry_backlog,
         "shard_assignment": q_shard_assignment,
+        "zipnum_summary": q_zipnum_summary,
         "bm25_topk": q_bm25_topk,
         "graph_components": q_graph_components,
         "near_dup_clusters": q_near_dup_clusters,
@@ -2034,6 +2059,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, n_tokens, cum_tokens
             FROM cum WHERE cum_tokens <= 10000
+        """,
+        "zipnum_summary": """
+            WITH lines AS (
+              SELECT 'com,example,host' || (doc_id % 53)::VARCHAR
+                     || ')/p/' || doc_id::VARCHAR
+                     || ' 2024'
+                     || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0')
+                     || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+                     || lpad((doc_id % 24)::VARCHAR, 2, '0')
+                     || lpad((doc_id % 60)::VARCHAR, 2, '0')
+                     || lpad((doc_id % 60)::VARCHAR, 2, '0')
+                     || ' {"url": "http://host' || (doc_id % 53)::VARCHAR
+                     || '.example.com/p/' || doc_id::VARCHAR || '"}'
+                     AS line
+              FROM documents
+            ), rn AS (
+              SELECT line,
+                     row_number() OVER (ORDER BY line) - 1 AS rn
+              FROM lines
+            ), blocks AS (
+              SELECT (rn // 25)::BIGINT AS block_id, line FROM rn
+            )
+            SELECT block_id,
+                   string_split(min(line), ' ')[1] || ' ' ||
+                   string_split(min(line), ' ')[2] AS first_key,
+                   count(*)::BIGINT AS n_lines
+            FROM blocks GROUP BY block_id
         """,
         "shard_assignment": """
             WITH staged AS (
