@@ -462,6 +462,28 @@ def q_token_budget(spark, sf):
         _t(spark, sf, "documents"), 10_000, strata=("lang",))
 
 
+def q_normalize_text(spark, sf):
+    """Unicode NFC normalization + cleanup (textstats.with_normalized_text):
+    every third doc gets a decomposed-combining suffix, every seventh a
+    control-char/whitespace wrap; output is NFC-composed,
+    control-stripped, whitespace-collapsed. The split-union keeps the
+    pure-ASCII majority JVM-side — only the injected-unicode minority
+    crosses the Arrow boundary. Oracle: DuckDB nfc_normalize + the same
+    RE2 cleanup chain."""
+    from warcio_spark.operators.textstats import with_normalized_text
+
+    d = F.col("doc_id")
+    text = F.col("text")
+    text = F.when(
+        d % 3 == 0, F.concat(text, F.lit(" cafe\u0301 nai\u0308ve"))
+    ).otherwise(text)
+    text = F.when(
+        d % 7 == 0, F.concat(F.lit("\tx\x07  "), text, F.lit("  "))
+    ).otherwise(text)
+    docs = _t(spark, sf, "documents").select("doc_id", text.alias("text"))
+    return with_normalized_text(docs).select("doc_id", "text_norm")
+
+
 def q_zipnum_summary(spark, sf):
     """ZipNum secondary index (sources/zipnum.zipnum_block_summary):
     blocks of 25 consecutive capture lines in CDX merge order over a
@@ -1412,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_backlog": q_retry_backlog,
         "shard_assignment": q_shard_assignment,
         "zipnum_summary": q_zipnum_summary,
+        "normalize_text": q_normalize_text,
         "bm25_topk": q_bm25_topk,
         "graph_components": q_graph_components,
         "near_dup_clusters": q_near_dup_clusters,
@@ -2059,6 +2082,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, n_tokens, cum_tokens
             FROM cum WHERE cum_tokens <= 10000
+        """,
+        "normalize_text": """
+            WITH uni AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0
+                     THEN chr(9) || 'x' || chr(7) || '  ' ELSE '' END
+                || text
+                || CASE WHEN doc_id % 3 = 0
+                        THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+                        ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN '  ' ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                        '\\s+', ' ', 'g')) AS text_norm
+            FROM uni
         """,
         "zipnum_summary": """
             WITH lines AS (

@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "bm25_topk",
     "graph_components",
     "lm_perplexity",
+    "shard_assignment",
+    "zipnum_summary",
+    "normalize_text",
 ]
 
 

@@ -93,3 +93,60 @@ def test_redact_pii_and_counts(spark):
     # ipv4 regex is syntactic (255-bounds not enforced), both mails hit
     assert out[3]["c"]["n_email"] == 2
     assert out[3]["c"]["n_ipv4"] == 1
+
+
+# ---------------------------------------------------------------------------
+# NFC normalization + cleanup
+# ---------------------------------------------------------------------------
+
+
+def test_nfc_matches_python_unicodedata(spark):
+    import unicodedata
+
+    from warcio_spark.operators.textstats import with_normalized_text
+
+    rows = [
+        (0, "plain ascii text"),
+        (1, "café au lait"),            # decomposed e + combining acute
+        (2, "café already composed"),
+        (3, "ḍ̇ dot sequences"),    # multi-combining reorder
+        (4, "각 hangul jamo"),
+        (5, None),
+        (6, ""),
+        (7, "tabs\tand\n newlines  collapse"),
+        (8, "ctrl\x00\x01chars\x7fgone"),
+        (9, "  leading and trailing  "),
+    ]
+
+    def oracle(s):
+        if s is None:
+            return None
+        import re
+
+        s = unicodedata.normalize("NFC", s)
+        s = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", s)
+        return re.sub(r"\s+", " ", s).strip()
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["text_norm"]
+           for r in with_normalized_text(df).collect()}
+    assert got == {i: oracle(t) for i, t in rows}
+
+
+def test_nfc_split_union_equals_all_slow(spark):
+    from pyspark.sql import functions as F
+
+    from warcio_spark.operators.textstats import (
+        cleanup_expr, nfc_normalize, with_normalized_text)
+
+    rows = [(i, t) for i, t in enumerate(
+        ["ascii only", "é", "mixed é ascii", None, "", "é"])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    split = {r["doc_id"]: r["text_norm"]
+             for r in with_normalized_text(df).collect()}
+    all_slow = {
+        r["doc_id"]: r["text_norm"]
+        for r in df.withColumn(
+            "text_norm", cleanup_expr(nfc_normalize(F.col("text")))).collect()
+    }
+    assert split == all_slow

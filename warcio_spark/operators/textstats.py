@@ -339,3 +339,47 @@ def lm_perplexity(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
             "ppl",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (NFC) + text cleanup
+# ---------------------------------------------------------------------------
+
+#: pure-ASCII strings are NFC-invariant — the JVM-testable fast path
+_ASCII_RX = "^[\\x00-\\x7F]*$"
+
+
+@F.pandas_udf(T.StringType())
+def nfc_normalize(text: pd.Series) -> pd.Series:
+    """Unicode NFC normalization (compose combining sequences), the
+    canonical form training corpora are stored in. Arrow-vectorized via
+    pandas' ICU-free str.normalize; NULL passes through."""
+    return text.str.normalize("NFC")
+
+
+def cleanup_expr(text) -> Column:
+    """Control-char strip (C0 minus tab/LF/CR, plus DEL) + whitespace-run
+    collapse + trim — pure codegen, no Python. The \\s class is ASCII in
+    both Spark (Java regex) and the DuckDB oracle (RE2), so the two
+    engines agree character-for-character."""
+    col = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(
+        col, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    return F.trim(F.regexp_replace(stripped, "\\s+", " "))
+
+
+def with_normalized_text(df: DataFrame, text_col: str = "text",
+                         out_col: str = "text_norm") -> DataFrame:
+    """Add NFC-normalized, control-stripped, whitespace-collapsed text
+    with a JVM-side split-union: the pure-ASCII majority (NFC-invariant
+    by definition) never crosses the Arrow boundary — only the unicode
+    minority runs the pandas kernel. Same scaling shape as
+    functions.with_canonical_url: the Arrow hop is the per-row cost
+    that matters, so it is spent only where the data needs it."""
+    # coalesce: NULL text must fall into the slow branch (NULL rlike
+    # would drop the row from BOTH filters), where NFC yields NULL
+    cond = F.coalesce(F.col(text_col).rlike(_ASCII_RX), F.lit(False))
+    fast = df.filter(cond).withColumn(out_col, cleanup_expr(text_col))
+    slow = df.filter(~cond).withColumn(
+        out_col, cleanup_expr(nfc_normalize(F.col(text_col))))
+    return fast.unionByName(slow)
