@@ -38,6 +38,9 @@ PICKS = [
     "lm_perplexity",  # bigram explode, partial aggs, broadcast floor join
     "chunk_documents",  # index-only explode + slices: zero shuffles
     "anchor_texts",  # two linear regex passes + one groupBy shuffle
+    "shard_assignment",  # range exchange + pid window; offsets folded as a map literal
+    "zipnum_summary",  # prefix row-number + one block_id groupBy
+    "normalize_text",  # ASCII split-union: codegen fast leg, one ArrowEvalPython slow leg
 ]
 
 
