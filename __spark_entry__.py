@@ -462,6 +462,35 @@ def q_token_budget(spark, sf):
         _t(spark, sf, "documents"), 10_000, strata=("lang",))
 
 
+def q_scope_filter(spark, sf):
+    """Crawl scope rules (plans/scope.scope_filter, browsertrix-style
+    'domain' scope + exclude regex): a deterministic candidate universe
+    over subdomain-varied hosts, a 3-seed include list, '/admin/'
+    excluded. Include compiles to ONE broadcast hash semi-join (equi on
+    the two-label host tail, subdomain test as the residual) — never a
+    nested loop; the exclude is a codegen rlike."""
+    from warcio_spark.plans.scope import scope_filter
+
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    host = (
+        F.when(d % 4 == 0, F.concat(F.lit("host"), s(d % 20), F.lit(".example.com")))
+        .when(d % 4 == 1, F.concat(F.lit("sub.host"), s(d % 20), F.lit(".example.com")))
+        .when(d % 4 == 2, F.concat(F.lit("host"), s(d % 20), F.lit(".other.net")))
+        .otherwise(F.concat(F.lit("deep.sub.host"), s(d % 20), F.lit(".example.com")))
+    )
+    path = F.concat(
+        F.lit("/p/"), s(d),
+        F.when(d % 5 == 0, F.lit("/admin/x")).otherwise(F.lit("")),
+    )
+    cands = _t(spark, sf, "documents").select(
+        "doc_id", F.concat(F.lit("http://"), host, path).alias("url"))
+    seeds = spark.createDataFrame(
+        [("http://host3.example.com/",), ("http://host7.example.com/",),
+         ("http://host3.other.net/",)], ["url"])
+    return scope_filter(cands, seeds, "domain", excludes=(r"/admin/",))
+
+
 def q_normalize_text(spark, sf):
     """Unicode NFC normalization + cleanup (textstats.with_normalized_text):
     every third doc gets a decomposed-combining suffix, every seventh a
@@ -1435,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assignment": q_shard_assignment,
         "zipnum_summary": q_zipnum_summary,
         "normalize_text": q_normalize_text,
+        "scope_filter": q_scope_filter,
         "bm25_topk": q_bm25_topk,
         "graph_components": q_graph_components,
         "near_dup_clusters": q_near_dup_clusters,
@@ -2082,6 +2112,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, n_tokens, cum_tokens
             FROM cum WHERE cum_tokens <= 10000
+        """,
+        "scope_filter": """
+            WITH cands AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN 'host' || (doc_id % 20)::VARCHAR || '.example.com'
+                          WHEN doc_id % 4 = 1
+                          THEN 'sub.host' || (doc_id % 20)::VARCHAR || '.example.com'
+                          WHEN doc_id % 4 = 2
+                          THEN 'host' || (doc_id % 20)::VARCHAR || '.other.net'
+                          ELSE 'deep.sub.host' || (doc_id % 20)::VARCHAR || '.example.com'
+                     END AS host,
+                     '/p/' || doc_id::VARCHAR ||
+                     CASE WHEN doc_id % 5 = 0 THEN '/admin/x' ELSE '' END AS path
+              FROM documents
+            ), seeds AS (
+              SELECT * FROM (VALUES ('host3.example.com'),
+                                    ('host7.example.com'),
+                                    ('host3.other.net')) s(seed_host)
+            )
+            SELECT doc_id, 'http://' || host || path AS url
+            FROM cands
+            WHERE EXISTS (SELECT 1 FROM seeds
+                          WHERE host = seed_host
+                             OR host LIKE '%.' || seed_host)
+              AND path NOT LIKE '%/admin/%'
         """,
         "normalize_text": """
             WITH uni AS (
