@@ -462,6 +462,20 @@ def q_token_budget(spark, sf):
         _t(spark, sf, "documents"), 10_000, strata=("lang",))
 
 
+def q_weighted_mix(spark, sf):
+    """Deterministic weighted corpus mixing (pipeline.weighted_mix):
+    src0 kept at 1.0, src1 at 0.25, src3 at 0.1, everything else
+    dropped — decided by a salted md5 threshold, no RNG state. Pure
+    codegen: literal source->threshold map + hash compare, no join, no
+    shuffle."""
+    from warcio_spark.operators.pipeline import weighted_mix
+
+    return weighted_mix(
+        _t(spark, sf, "documents"),
+        {"src0": 1.0, "src1": 0.25, "src3": 0.1},
+    ).select("doc_id", "source", "n_chars")
+
+
 def q_scope_filter(spark, sf):
     """Crawl scope rules (plans/scope.scope_filter, browsertrix-style
     'domain' scope + exclude regex): a deterministic candidate universe
@@ -1465,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipnum_summary": q_zipnum_summary,
         "normalize_text": q_normalize_text,
         "scope_filter": q_scope_filter,
+        "weighted_mix": q_weighted_mix,
         "bm25_topk": q_bm25_topk,
         "graph_components": q_graph_components,
         "near_dup_clusters": q_near_dup_clusters,
@@ -2112,6 +2127,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, n_tokens, cum_tokens
             FROM cum WHERE cum_tokens <= 10000
+        """,
+        "weighted_mix": """
+            WITH thr AS (
+              SELECT * FROM (VALUES ('src0', '1000000'),
+                                    ('src1', '0400000'),
+                                    ('src3', '0199999')) t(source, thr)
+            )
+            SELECT doc_id, source, n_chars
+            FROM documents JOIN thr USING (source)
+            WHERE '0' || substr(md5('mix' || source || doc_id::VARCHAR), 1, 6)
+                  < thr
         """,
         "scope_filter": """
             WITH cands AS (

@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "shard_assignment",
     "zipnum_summary",
     "normalize_text",
+    "scope_filter",
+    "weighted_mix",
 ]
 
 

@@ -132,3 +132,45 @@ def test_token_budget_deterministic(spark):
     a = token_budget_sample(docs, 5000).orderBy("doc_id").collect()
     b = token_budget_sample(docs, 5000).orderBy("doc_id").collect()
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# weighted_mix
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_mix_matches_python_oracle(spark):
+    import hashlib
+
+    from warcio_spark.operators.pipeline import weighted_mix
+
+    rows = [(i, f"src{i % 5}", f"text {i}") for i in range(2000)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    weights = {"src0": 1.0, "src1": 0.25, "src3": 0.1}
+
+    def keep(i, src):
+        if src not in weights:
+            return False
+        h = "0" + hashlib.md5(f"mix{src}{i}".encode()).hexdigest()[:6]
+        return h < format(int(weights[src] * 16 ** 6), "07x")
+
+    got = {r["doc_id"] for r in weighted_mix(docs, weights).collect()}
+    want = {i for i, src, _ in rows if keep(i, src)}
+    assert got == want
+    # rate sanity: src0 all kept, src1 ~25%, src3 ~10%, src2/src4 dropped
+    assert all(i in got for i in range(0, 2000, 5))
+    n1 = sum(1 for i in got if i % 5 == 1)
+    n3 = sum(1 for i in got if i % 5 == 3)
+    assert 60 <= n1 <= 140   # 400 * 0.25 = 100
+    assert 15 <= n3 <= 70    # 400 * 0.10 = 40
+    assert not any(i % 5 in (2, 4) for i in got)
+
+
+def test_weighted_mix_rejects_bad_weights(spark):
+    from warcio_spark.operators.pipeline import weighted_mix
+
+    docs = spark.createDataFrame([(1, "a", "t")], ["doc_id", "source", "text"])
+    with pytest.raises(ValueError):
+        weighted_mix(docs, {"a": 1.5})
+    with pytest.raises(ValueError):
+        weighted_mix(docs, {})

@@ -338,3 +338,41 @@ def shard_sizes(assignment: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
     )
+
+
+def weighted_mix(
+    docs: DataFrame,
+    weights: dict,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic weighted corpus mixing: keep each document with its
+    source's probability — the per-source downsampling step that turns
+    raw corpora into a training mix. The keep decision is a salted md5
+    threshold (`'0' + hex6(md5(salt||source||id)) < thr(source)`, both
+    sides 7 hex digits so rate 1.0 orders correctly), so there is no
+    RNG state anywhere: reruns, resumes, and the DuckDB oracle agree
+    row-for-row. Sources absent from ``weights`` are dropped — the mix
+    is explicit.
+
+    Scale shape: the source->threshold table folds into a literal map
+    (try_element_at — ANSI-safe for unknown sources), the hash is a
+    codegen expression; no join, no shuffle, nothing driver-side."""
+    entries = []
+    for src in sorted(weights):
+        w = weights[src]
+        if not (0.0 <= w <= 1.0):
+            raise ValueError(f"weight for {src!r} must be in [0, 1], got {w}")
+        entries.extend([F.lit(src), F.lit(format(int(w * 16 ** 6), "07x"))])
+    if not entries:
+        raise ValueError("weights must name at least one source")
+    thr = F.try_element_at(F.create_map(*entries), F.col(source_col))
+    hex7 = F.concat(
+        F.lit("0"),
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(source_col),
+                           F.col(id_col).cast("string"))), 1, 6),
+    )
+    return docs.filter(thr.isNotNull() & (hex7 < thr))
