@@ -41,6 +41,8 @@ PICKS = [
     "shard_assignment",  # range exchange + pid window; offsets folded as a map literal
     "zipnum_summary",  # prefix row-number + one block_id groupBy
     "normalize_text",  # ASCII split-union: codegen fast leg, one ArrowEvalPython slow leg
+    "scope_filter",  # broadcast hash LeftSemi (equi tail + subdomain residual), codegen exclude
+    "weighted_mix",  # literal threshold map + md5 compare: zero joins, zero shuffles
 ]
 
 

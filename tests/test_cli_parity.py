@@ -410,3 +410,30 @@ def test_cli_fetch_via_index(spark, capsys, tmp_path, warcio):
             for rec in ArchiveIterator(f, check_digests="raise"):
                 got.append(rec.rec_headers.get_header("WARC-Target-URI"))
     assert sorted(got) == sorted(r["url"] for r in rows)
+
+
+def test_zipnum_cli_roundtrip_and_lookup(spark, capsys, tmp_path):
+    """zipnum verb packs exactly the cdxj verb's lines; lookup returns
+    the prefix-filtered subset in merge order."""
+    out_dir = str(tmp_path / "cluster")
+    warc = os.path.join(CORPUS, "example.warc.gz")
+    code, cdxj_out = run_cli(capsys, ["cdxj", warc])
+    assert code == 0
+    want = sorted(l for l in cdxj_out.splitlines() if l.strip())
+
+    code, _ = run_cli(
+        capsys, ["zipnum", warc, "--out", out_dir, "--lines-per-block", "2"])
+    assert code == 0
+    assert os.path.exists(os.path.join(out_dir, "cluster.idx"))
+
+    from warcio_spark.sources.zipnum import read_zipnum
+
+    got = sorted(r["line"] for r in read_zipnum(spark, out_dir).collect())
+    assert got == want
+
+    prefix = want[0].split(" ", 1)[0].rsplit(")", 1)[0]
+    code, lines = run_cli(capsys, ["lookup", out_dir, prefix])
+    assert code == 0
+    got_lookup = [l for l in lines.splitlines() if l.strip()]
+    assert got_lookup == sorted(l for l in want if l.startswith(prefix))
+    assert got_lookup

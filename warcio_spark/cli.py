@@ -6,6 +6,8 @@
     python -m warcio_spark.cli recompress <input> <output-dir>
     python -m warcio_spark.cli ingest <warc-dir> --state DIR
     python -m warcio_spark.cli fetch --index idx.cdxj --base DIR [filters]
+    python -m warcio_spark.cli zipnum <inputs...> --out DIR [--lines-per-block N]
+    python -m warcio_spark.cli lookup DIR <urlkey-prefix>
     python -m warcio_spark.cli crawl --seeds N --rounds K --state DIR
 
 index emits the same NDJSON lines as ``warcio index`` (field mini-DSL,
@@ -160,6 +162,38 @@ def cmd_cdxj(args) -> int:
         lines = index_cdxj(recs)
     lines = lines.orderBy("urlkey", "timestamp", "line")
     for r in lines.select("line").toLocalIterator():
+        sys.stdout.write(r.line + "\n")
+    return 0
+
+
+def cmd_zipnum(args) -> int:
+    """WARC(s) -> a ZipNum sharded CDX(J) cluster on disk
+    (sources/zipnum.write_zipnum): gzip blocks of --lines-per-block
+    capture lines plus the cluster.idx secondary index. --cdx11 packs
+    the classic 11-field format instead of CDXJ."""
+    from warcio_spark.operators.indexer import index_cdx11, index_cdxj
+    from warcio_spark.sources import read_warc
+    from warcio_spark.sources.zipnum import write_zipnum
+
+    spark = _spark()
+    recs = read_warc(spark, args.inputs, include_payload=False,
+                     include_content=False)
+    idx = index_cdx11(recs) if args.cdx11 else index_cdxj(recs)
+    write_zipnum(idx.select("line"), args.out,
+                 lines_per_block=args.lines_per_block)
+    return 0
+
+
+def cmd_lookup(args) -> int:
+    """Prefix lookup against a ZipNum cluster
+    (sources/zipnum.zipnum_prefix): prints matching index lines in
+    merge order, touching only the gzip blocks whose key range can
+    contain the prefix."""
+    from warcio_spark.sources.zipnum import zipnum_prefix
+
+    spark = _spark()
+    lines = zipnum_prefix(spark, args.cluster, args.prefix).orderBy("line")
+    for r in lines.toLocalIterator():
         sys.stdout.write(r.line + "\n")
     return 0
 
@@ -346,6 +380,19 @@ def main(argv=None) -> int:
                     help="classic 11-field CDX (' CDX N b a m s k r M S "
                          "V g') instead of CDXJ")
     pj.set_defaults(fn=cmd_cdxj)
+
+    pz = sub.add_parser("zipnum")
+    pz.add_argument("inputs", nargs="+")
+    pz.add_argument("--out", required=True, help="cluster output dir")
+    pz.add_argument("--lines-per-block", type=int, default=3000)
+    pz.add_argument("--cdx11", action="store_true",
+                    help="pack classic 11-field CDX lines instead of CDXJ")
+    pz.set_defaults(fn=cmd_zipnum)
+
+    pl = sub.add_parser("lookup")
+    pl.add_argument("cluster", help="ZipNum cluster dir (zipnum verb output)")
+    pl.add_argument("prefix", help="urlkey prefix to look up")
+    pl.set_defaults(fn=cmd_lookup)
 
     pf = sub.add_parser("fetch")
     pf.add_argument("--index", required=True,
