@@ -1126,6 +1126,45 @@ def q_cdx11_read(spark, sf):
     return parse_cdx11_lines(lines, keep=("doc_id",))
 
 
+def q_closest_capture(spark, sf):
+    """Replay lookup (sources/cdxj.closest_captures): pywb CDX-server
+    ``sort=closest`` semantics — for each request (urlkey + requested
+    timestamp, short stamps padding down pywb-style) rank the urlkey's
+    captures by absolute time distance (exact ties to the earlier
+    capture) and keep the top 2. Universe: a multi-capture-per-urlkey
+    index derived from documents (97 hosts x 17 paths, one capture per
+    doc), requests = the even-host urlkeys each with a month-granular
+    requested stamp. The DuckDB oracle replays the join + row_number
+    ranking directly. Plan: requests broadcast (the index side never
+    shuffles for the join), rank filter compiles to WindowGroupLimit."""
+    from warcio_spark.sources.cdxj import closest_captures
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    h, p = d % 97, d % 17
+    urlkey = F.concat(F.lit("com,example,host"), s(h), F.lit(")/q/"), s(p))
+    ts14 = F.date_format(
+        F.timestamp_seconds(F.lit(1704067200) + (d * 37) % 31536000),
+        "yyyyMMddHHmmss")
+    url = F.concat(F.lit("http://host"), s(h), F.lit(".example.com/q/"),
+                   s(p))
+    index = docs.select(urlkey.alias("urlkey"), ts14.alias("timestamp"),
+                        url.alias("url"))
+    reqs = (
+        docs.filter(h % 2 == 0)
+        .select(urlkey.alias("urlkey"),
+                F.concat(F.lit("2024"),
+                         F.lpad(s((h + p) % 12 + 1), 2, "0"))
+                .alias("req_ts"))
+        .distinct()
+    )
+    return closest_captures(index, reqs, k=2).select(
+        "urlkey", "req_ts", "timestamp", "url",
+        F.col("ts_diff_s").cast("long").alias("ts_diff_s"),
+        "closest_rank")
+
+
 def q_wet_extract(spark, sf):
     """WARC -> WET in one shuffle-free plan: the reference corpus parsed,
     responses decoded to text, re-headed as deterministic conversion
@@ -1459,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdxj_read": q_cdxj_read,
         "cdx11_lines": q_cdx11_lines,
         "cdx11_read": q_cdx11_read,
+        "closest_capture": q_closest_capture,
         "outlinks": q_outlinks,
         "wat_links": q_wat_links,
         "wat_head": q_wat_head,
@@ -2000,6 +2040,43 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'seg-' || (doc_id % 10)::VARCHAR || '.warc.gz'
                         ELSE NULL END AS filename
             FROM documents
+        """,
+        "closest_capture": """
+            WITH caps AS (
+              SELECT 'com,example,host' || (doc_id % 97)::VARCHAR
+                       || ')/q/' || (doc_id % 17)::VARCHAR AS urlkey,
+                     strftime(TIMESTAMP '2024-01-01 00:00:00'
+                              + ((doc_id * 37) % 31536000)
+                                * INTERVAL 1 SECOND,
+                              '%Y%m%d%H%M%S') AS ts,
+                     'http://host' || (doc_id % 97)::VARCHAR
+                       || '.example.com/q/' || (doc_id % 17)::VARCHAR
+                       AS url
+              FROM documents),
+            reqs AS (
+              SELECT DISTINCT
+                     'com,example,host' || (doc_id % 97)::VARCHAR
+                       || ')/q/' || (doc_id % 17)::VARCHAR AS urlkey,
+                     '2024' || lpad(((doc_id % 97 + doc_id % 17) % 12
+                                     + 1)::VARCHAR, 2, '0') AS req_ts
+              FROM documents WHERE (doc_id % 97) % 2 = 0),
+            j AS (
+              SELECT r.urlkey, r.req_ts, c.ts AS "timestamp", c.url,
+                     abs(date_diff('second',
+                         strptime(r.req_ts || '01000000',
+                                  '%Y%m%d%H%M%S'),
+                         strptime(c.ts, '%Y%m%d%H%M%S')))::BIGINT
+                       AS ts_diff_s
+              FROM reqs r JOIN caps c USING (urlkey)),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY urlkey, req_ts
+                        ORDER BY ts_diff_s, "timestamp")
+                        ::INTEGER AS closest_rank
+              FROM j)
+            SELECT urlkey, req_ts, "timestamp", url, ts_diff_s,
+                   closest_rank
+            FROM ranked WHERE closest_rank <= 2
         """,
         "repetition_stats": """
             WITH t AS (

@@ -128,3 +128,63 @@ def read_cdx11(spark: SparkSession, source) -> DataFrame:
     else:
         lines = spark.read.text(source).withColumnRenamed("value", "line")
     return parse_cdx11_lines(lines)
+
+
+# pywb timeutils PAD_14_DOWN: a short timestamp extends with the epoch
+# template, so '2024' means 2024-01-01 00:00:00 and '202406' June 1st.
+_PAD_14_DOWN = "19700101000000"
+
+
+def pad_ts14(ts) -> Column:
+    """Pad a 1-14 digit timestamp prefix down to a full ts14 the way
+    pywb's replay lookup does (template-fill, not zero-fill, so the
+    result is always a valid calendar date)."""
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    return F.concat(
+        ts, F.substring(F.lit(_PAD_14_DOWN), F.length(ts) + 1, 14))
+
+
+def _ts14_epoch(col: Column) -> Column:
+    # try_to_timestamp: malformed/short-padded-to-invalid stamps become
+    # NULL rather than ANSI errors (an index merged from many writers
+    # can carry junk lines)
+    return F.unix_timestamp(
+        F.try_to_timestamp(col, F.lit("yyyyMMddHHmmss")))
+
+
+def closest_captures(index: DataFrame, requests: DataFrame,
+                     k: int = 1, req_ts_col: str = "req_ts") -> DataFrame:
+    """Replay lookup: for each request (urlkey + requested timestamp)
+    return the ``k`` captures closest in time — the pywb CDX-server
+    ``sort=closest`` semantics (closest first; exact-distance ties go to
+    the EARLIER capture), distributed over an index of any size.
+
+    ``requests`` must be distinct rows with at least (urlkey,
+    ``req_ts_col``); every requests column is carried through. Short
+    timestamps on either side pad down pywb-style (`pad_ts14`); captures
+    whose timestamp does not parse are never chosen. Output adds the
+    capture columns plus ``ts_diff_s`` and ``closest_rank`` (1 = best).
+
+    Plan shape: the requests side broadcasts, so the 100 TB index never
+    shuffles for the join; the rank filter compiles to WindowGroupLimit,
+    so each map task forwards at most k rows per request into the one
+    exchange on the request key — the shuffle carries O(requests × k ×
+    tasks), independent of index size.
+    """
+    from pyspark.sql import Window
+
+    req_cols = requests.columns
+    if "urlkey" not in req_cols:
+        raise ValueError("requests needs a urlkey column")
+    cap_epoch = _ts14_epoch(pad_ts14(F.col("timestamp")))
+    req_epoch = _ts14_epoch(pad_ts14(F.col(req_ts_col)))
+    joined = (
+        index.join(F.broadcast(requests), "urlkey")
+        .withColumn("ts_diff_s", F.abs(cap_epoch - req_epoch))
+        .filter(F.col("ts_diff_s").isNotNull())
+    )
+    w = (Window.partitionBy(*req_cols)
+         .orderBy(F.col("ts_diff_s").asc(), F.col("timestamp").asc()))
+    return (joined
+            .withColumn("closest_rank", F.row_number().over(w))
+            .filter(F.col("closest_rank") <= k))
