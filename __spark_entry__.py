@@ -1165,6 +1165,47 @@ def q_closest_capture(spark, sf):
         "closest_rank")
 
 
+def q_robots_sitemaps(spark, sf):
+    """robots.txt ``Sitemap:`` discovery (kernels/robots.py ->
+    plans/frontier.robots_sitemap_urls): per-host robots bodies
+    synthesized with 0-3 sitemap lines in deliberately messy shapes
+    (canonical, padded-lowercase-with-trailing-comment, no-space-upper)
+    parsed by the same kernel the crawl loop uses (one Arrow hop over the
+    tiny per-host table), then posexploded to (host, pos, sitemap_url).
+    The DuckDB oracle lists the expected urls per doc directly —
+    line-shape normalization, global collection and order must be exact.
+    urllib.robotparser.site_maps() parity is pinned in
+    tests/test_robots.py."""
+    from warcio_spark.plans.frontier import (
+        robots_sitemap_urls,
+        robots_table_from_pages,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    host = F.concat(F.lit("host"), s(d), F.lit(".example.com"))
+    base = F.concat(F.lit("http://host"), s(d), F.lit(".example.com"))
+    body = F.concat_ws(
+        "\n",
+        F.lit("# generated"),
+        F.lit("User-agent: *"),
+        F.lit("Disallow: /private"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("Sitemap: "), base, F.lit("/sitemap.xml"))),
+        F.when(d % 5 == 0,
+               F.concat(F.lit("  sitemap : "), base,
+                        F.lit("/s2.xml  # trailing comment"))),
+        F.when(d % 7 == 0, F.concat(F.lit("SITEMAP:"), base,
+                                    F.lit("/s3.xml"))),
+        F.lit("Crawl-delay: 4"),
+    )
+    pages = docs.select(host.alias("host"), body.alias("body"))
+    rules = robots_table_from_pages(pages)
+    return robots_sitemap_urls(rules).select(
+        "host", F.col("pos").cast("int").alias("pos"), "sitemap_url")
+
+
 def q_wet_extract(spark, sf):
     """WARC -> WET in one shuffle-free plan: the reference corpus parsed,
     responses decoded to text, re-headed as deterministic conversion
@@ -1503,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_links": q_wat_links,
         "wat_head": q_wat_head,
         "sitemap_locs": q_sitemap_locs,
+        "robots_sitemaps": q_robots_sitemaps,
         "url_hygiene": q_url_hygiene,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -2040,6 +2082,27 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'seg-' || (doc_id % 10)::VARCHAR || '.warc.gz'
                         ELSE NULL END AS filename
             FROM documents
+        """,
+        "robots_sitemaps": """
+            WITH m AS (
+              SELECT doc_id, list_filter([
+                CASE WHEN doc_id % 3 = 0
+                     THEN 'http://host' || doc_id::VARCHAR
+                          || '.example.com/sitemap.xml' END,
+                CASE WHEN doc_id % 5 = 0
+                     THEN 'http://host' || doc_id::VARCHAR
+                          || '.example.com/s2.xml' END,
+                CASE WHEN doc_id % 7 = 0
+                     THEN 'http://host' || doc_id::VARCHAR
+                          || '.example.com/s3.xml' END
+                ], u -> u IS NOT NULL) AS arr
+              FROM documents),
+            e AS (
+              SELECT 'host' || doc_id::VARCHAR || '.example.com' AS host,
+                     CAST(i - 1 AS INTEGER) AS pos,
+                     arr[i] AS sitemap_url
+              FROM m, UNNEST(generate_series(1, len(arr))) AS s(i))
+            SELECT host, pos, sitemap_url FROM e
         """,
         "closest_capture": """
             WITH caps AS (

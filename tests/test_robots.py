@@ -217,3 +217,72 @@ def test_jvm_rule_matching_equals_kernel(spark):
     }
     diffs = {p: (want[p], got[p]) for p in paths if want[p] != got[p]}
     assert not diffs, dict(list(diffs.items())[:5])
+
+
+SITEMAP_ROBOTS = """
+# discovery lines are global, wherever they appear
+Sitemap: https://h.com/before-any-group.xml
+User-agent: mybot
+Disallow: /private/
+sitemap : https://h.com/mid-group.xml   # trailing comment
+User-agent: *
+Disallow: /tmp/
+SITEMAP:https://h.com/no-space.xml
+Sitemap:
+Sitemap: https://h.com/before-any-group.xml
+"""
+
+
+def test_sitemap_lines_are_global_and_ordered():
+    want = [
+        "https://h.com/before-any-group.xml",
+        "https://h.com/mid-group.xml",
+        "https://h.com/no-space.xml",
+        "https://h.com/before-any-group.xml",  # duplicates kept
+    ]
+    for agent in ("mybot", "other", "*"):
+        assert parse_robots_txt(SITEMAP_ROBOTS, agent)["sitemaps"] == want
+    # and a file with none at all
+    assert parse_robots_txt(ROBOTS, "other")["sitemaps"] == []
+    assert parse_robots_txt("", "other")["sitemaps"] == []
+
+
+def test_sitemap_parity_with_urllib_robotparser():
+    rp = robotparser.RobotFileParser()
+    rp.parse(SITEMAP_ROBOTS.splitlines())
+    theirs = rp.site_maps() or []
+    # urllib keeps empty-valued Sitemap lines; we drop them (documented)
+    assert parse_robots_txt(SITEMAP_ROBOTS, "*")["sitemaps"] == [
+        s for s in theirs if s]
+
+
+def test_sitemap_line_does_not_break_agent_grouping():
+    txt = ("User-agent: a\nSitemap: https://h.com/s.xml\n"
+           "User-agent: b\nDisallow: /x\n")
+    # urllib semantics: a sitemap line leaves group state untouched, so
+    # agents a and b still form ONE group sharing the Disallow
+    assert parse_robots_txt(txt, "a")["disallow"] == ["/x"]
+    assert parse_robots_txt(txt, "b")["disallow"] == ["/x"]
+
+
+def test_spark_robots_sitemap_discovery(spark):
+    from warcio_spark.plans.frontier import (
+        robots_sitemap_urls,
+        robots_table_from_pages,
+    )
+
+    robots_pages = spark.createDataFrame(
+        [("h1.com", SITEMAP_ROBOTS.encode()), ("h2.com", ROBOTS.encode()),
+         ("h3.com", b"Sitemap: https://h3.com/s.xml\n")],
+        "host string, body binary",
+    )
+    rules = robots_table_from_pages(robots_pages)
+    got = sorted((r.host, r.pos, r.sitemap_url)
+                 for r in robots_sitemap_urls(rules).collect())
+    assert got == [
+        ("h1.com", 0, "https://h.com/before-any-group.xml"),
+        ("h1.com", 1, "https://h.com/mid-group.xml"),
+        ("h1.com", 2, "https://h.com/no-space.xml"),
+        ("h1.com", 3, "https://h.com/before-any-group.xml"),
+        ("h3.com", 0, "https://h3.com/s.xml"),
+    ]

@@ -17,11 +17,16 @@ def parse_robots_txt(text: str, user_agent: str = "*"):
     """Parse robots.txt content for the given agent.
 
     Returns {"allow": [prefixes], "disallow": [prefixes], "crawl_delay":
-    float|None}. Group selection per RFC 9309: the most specific matching
-    user-agent line's group(s); '*' as fallback. Directives of multiple
-    groups with the same agent merge.
+    float|None, "sitemaps": [urls]}. Group selection per RFC 9309: the
+    most specific matching user-agent line's group(s); '*' as fallback.
+    Directives of multiple groups with the same agent merge. ``Sitemap:``
+    lines are GLOBAL (sitemaps.org "Sitemap location" / RFC 9309 §2.3
+    other records): collected wherever they appear, order-preserving,
+    group state untouched (urllib.robotparser semantics; empty values
+    are dropped unlike urllib's).
     """
     groups = {}  # agent(lower) -> {"allow": [], "disallow": [], "crawl_delay": None}
+    sitemaps = []
     current_agents = []
     last_was_agent = False
 
@@ -32,6 +37,11 @@ def parse_robots_txt(text: str, user_agent: str = "*"):
         field, _, value = line.partition(":")
         field = field.strip().lower()
         value = value.strip()
+
+        if field == "sitemap":
+            if value:
+                sitemaps.append(value)
+            continue
 
         if field == "user-agent":
             agent = value.lower()
@@ -73,8 +83,9 @@ def parse_robots_txt(text: str, user_agent: str = "*"):
     if best is None and "*" in groups:
         best = "*"
     if best is None:
-        return {"allow": [], "disallow": [], "crawl_delay": None}
-    return groups[best]
+        return {"allow": [], "disallow": [], "crawl_delay": None,
+                "sitemaps": sitemaps}
+    return dict(groups[best], sitemaps=sitemaps)
 
 
 @lru_cache(maxsize=8192)

@@ -344,8 +344,9 @@ def robots_table_from_pages(robots_pages: DataFrame, user_agent: str = "*",
                             default_crawl_delay: float = 5.0) -> DataFrame:
     """Build the broadcastable robots rules table from fetched robots.txt
     bodies: robots_pages(host string, body binary|string) ->
-    (host, allow array<string>, disallow array<string>, crawl_delay).
-    One Arrow hop per robots file — the table is tiny vs the frontier."""
+    (host, allow array<string>, disallow array<string>, crawl_delay,
+    sitemaps array<string>). One Arrow hop per robots file — the table
+    is tiny vs the frontier."""
     import pandas as pd
     from pyspark.sql import types as _T
 
@@ -358,6 +359,7 @@ def robots_table_from_pages(robots_pages: DataFrame, user_agent: str = "*",
             _T.StructField("allow", _T.ArrayType(_T.StringType()), True),
             _T.StructField("disallow", _T.ArrayType(_T.StringType()), True),
             _T.StructField("crawl_delay", _T.DoubleType(), True),
+            _T.StructField("sitemaps", _T.ArrayType(_T.StringType()), True),
         ]
     )
 
@@ -373,11 +375,26 @@ def robots_table_from_pages(robots_pages: DataFrame, user_agent: str = "*",
                         "allow": rules["allow"],
                         "disallow": rules["disallow"],
                         "crawl_delay": rules["crawl_delay"],
+                        "sitemaps": rules["sitemaps"],
                     }
                 )
-            yield pd.DataFrame(rows, columns=["host", "allow", "disallow", "crawl_delay"])
+            yield pd.DataFrame(
+                rows,
+                columns=["host", "allow", "disallow", "crawl_delay",
+                         "sitemaps"])
 
     return robots_pages.select("host", "body").mapInPandas(run, schema)
+
+
+def robots_sitemap_urls(rules: DataFrame) -> DataFrame:
+    """The sitemaps.org discovery channel: (host, pos, sitemap_url) from
+    the rules table's global ``Sitemap:`` lines, order-preserving. Fetch
+    these urls, then feed the bodies to
+    operators/links.seeds_from_sitemaps — closing the loop
+    robots.txt -> sitemap -> seed candidates. Pure explode over the tiny
+    per-host rules table; nothing here touches the frontier."""
+    return rules.select(
+        "host", F.posexplode("sitemaps").alias("pos", "sitemap_url"))
 
 
 def apply_robots_rules(cands: DataFrame, rules: DataFrame,
