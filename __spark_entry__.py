@@ -1165,6 +1165,47 @@ def q_closest_capture(spark, sf):
         "closest_rank")
 
 
+def q_index_dedup(spark, sf):
+    """Cross-job dedup-on-write decision table
+    (operators/dedup.index_originals + the join
+    substitute_revisits_against_index performs): a prior-crawl capture
+    index (211 distinct payload digests captured many times each)
+    collapses to one earliest-capture row per digest (min over
+    (timestamp, url) structs — exact ties to the lexicographically first
+    url), then a new crawl's captures left-join it on digest: matched
+    non-empty payloads are dups pointing at the indexed original,
+    empty payloads never dedup. The DuckDB oracle replays the
+    row_number-1 original selection and the join. Full record-rewrite +
+    reference-readback parity is pinned in tests/test_writer_streaming.py."""
+    from warcio_spark.operators.dedup import index_originals
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    idx = docs.select(
+        F.concat(F.lit("sha1:"), F.upper(F.md5(s(d % 211)))).alias("digest"),
+        F.date_format(
+            F.timestamp_seconds(F.lit(1704067200) + (d * 61) % 31536000),
+            "yyyyMMddHHmmss").alias("timestamp"),
+        F.concat(F.lit("http://host"), s(d % 31), F.lit(".example.com/x/"),
+                 s(d)).alias("url"),
+    )
+    orig = index_originals(idx)
+    newc = docs.filter(d % 2 == 0).select(
+        F.concat(F.lit("http://new"), s(d), F.lit(".example.com/"))
+        .alias("url"),
+        F.upper(F.md5(s(d % 400))).alias("digest_b32"),
+        F.when(d % 10 == 0, F.lit(0)).otherwise(F.lit(100) + d % 50)
+        .cast("long").alias("plen"),
+    )
+    j = newc.join(orig, "digest_b32", "left")
+    is_dup = F.col("orig_url").isNotNull() & (F.col("plen") > 0)
+    return j.select(
+        "url", "digest_b32", is_dup.alias("is_dup"),
+        F.when(is_dup, F.col("orig_url")).alias("orig_url"),
+        F.when(is_dup, F.col("orig_ts14")).alias("orig_ts14"))
+
+
 def q_robots_sitemaps(spark, sf):
     """robots.txt ``Sitemap:`` discovery (kernels/robots.py ->
     plans/frontier.robots_sitemap_urls): per-host robots bodies
@@ -1545,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_head": q_wat_head,
         "sitemap_locs": q_sitemap_locs,
         "robots_sitemaps": q_robots_sitemaps,
+        "index_dedup": q_index_dedup,
         "url_hygiene": q_url_hygiene,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -2082,6 +2124,37 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'seg-' || (doc_id % 10)::VARCHAR || '.warc.gz'
                         ELSE NULL END AS filename
             FROM documents
+        """,
+        "index_dedup": """
+            WITH idx AS (
+              SELECT upper(md5((doc_id % 211)::VARCHAR)) AS digest_b32,
+                     strftime(TIMESTAMP '2024-01-01 00:00:00'
+                              + ((doc_id * 61) % 31536000)
+                                * INTERVAL 1 SECOND,
+                              '%Y%m%d%H%M%S') AS ts,
+                     'http://host' || (doc_id % 31)::VARCHAR
+                       || '.example.com/x/' || doc_id::VARCHAR AS url
+              FROM documents),
+            orig AS (
+              SELECT digest_b32, url AS orig_url, ts AS orig_ts14
+              FROM (SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY digest_b32 ORDER BY ts, url) AS rn
+                    FROM idx)
+              WHERE rn = 1),
+            newc AS (
+              SELECT 'http://new' || doc_id::VARCHAR || '.example.com/'
+                       AS url,
+                     upper(md5((doc_id % 400)::VARCHAR)) AS digest_b32,
+                     CASE WHEN doc_id % 10 = 0 THEN 0
+                          ELSE 100 + doc_id % 50 END::BIGINT AS plen
+              FROM documents WHERE doc_id % 2 = 0)
+            SELECT n.url, n.digest_b32,
+                   (o.orig_url IS NOT NULL AND n.plen > 0) AS is_dup,
+                   CASE WHEN o.orig_url IS NOT NULL AND n.plen > 0
+                        THEN o.orig_url END AS orig_url,
+                   CASE WHEN o.orig_url IS NOT NULL AND n.plen > 0
+                        THEN o.orig_ts14 END AS orig_ts14
+            FROM newc n LEFT JOIN orig o USING (digest_b32)
         """,
         "robots_sitemaps": """
             WITH m AS (

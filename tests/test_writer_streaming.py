@@ -394,3 +394,73 @@ def test_archive_pages_dedup_revisits(spark, warcio, tmp_path):
     urls = {r.url for r in pages.collect()}
     for src, orig in revisits.items():
         assert orig in urls
+
+
+def test_substitute_revisits_against_index_cross_job(spark, warcio, tmp_path):
+    """Cross-job dedup-on-write: a NEW crawl's responses dedup against the
+    PREVIOUS crawl's CDX index — matches become revisits pointing at the
+    indexed original capture, the reference reads the output, and the
+    classic-CDX / broadcast variants agree."""
+    from warcio.archiveiterator import ArchiveIterator
+
+    from warcio_spark.kernels.build import build_record, serialize_records
+    from warcio_spark.operators.dedup import substitute_revisits_against_index
+    from warcio_spark.operators.indexer import index_cdx11, index_cdxj
+    from warcio_spark.sources import read_cdx11, read_cdxj, read_warc
+
+    same = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nsame-bytes"
+    # previous crawl: the payload captured twice; the INDEX original must
+    # be the earliest capture (a/1)
+    prev = [
+        build_record("http://a.com/1", "response", payload=same,
+                     record_id="<urn:uuid:p0>",
+                     warc_date="2024-01-01T06:30:00Z"),
+        build_record("http://a.com/2", "response", payload=same,
+                     record_id="<urn:uuid:p1>",
+                     warc_date="2024-02-01T00:00:00Z"),
+    ]
+    (tmp_path / "prev.warc.gz").write_bytes(serialize_records(prev, gzip=True))
+    prev_tbl = read_warc(spark, str(tmp_path / "prev.warc.gz"))
+    idx_cdxj = index_cdxj(prev_tbl)
+    idx_cdx11 = index_cdx11(prev_tbl)
+
+    new = [
+        build_record("http://c.com/9", "response", payload=same,
+                     record_id="<urn:uuid:n0>",
+                     warc_date="2024-03-01T00:00:00Z"),
+        build_record("http://c.com/10", "response",
+                     payload=b"HTTP/1.1 200 OK\r\n\r\nfresh",
+                     record_id="<urn:uuid:n1>",
+                     warc_date="2024-03-01T00:00:01Z"),
+    ]
+    (tmp_path / "new.warc.gz").write_bytes(serialize_records(new, gzip=True))
+    new_tbl = read_warc(spark, str(tmp_path / "new.warc.gz"))
+
+    outs = []
+    for idx, reader in ((idx_cdxj, read_cdxj), (idx_cdx11, read_cdx11)):
+        typed = reader(spark, idx.select(F.col("line"))).filter(
+            F.col("urlkey").isNotNull())
+        for bcast in (False, True):
+            rewritten = substitute_revisits_against_index(
+                new_tbl, typed, broadcast_index=bcast)
+            rows = {r.url: r.rec_type for r in rewritten.collect()}
+            outs.append(rows)
+    assert all(o == {"http://c.com/9": "revisit",
+                     "http://c.com/10": "response"} for o in outs)
+
+    from warcio_spark.operators.writer import write_warc
+
+    rewritten = substitute_revisits_against_index(
+        new_tbl, read_cdxj(spark, idx_cdxj.select("line")), broadcast_index=True)
+    paths = write_warc(rewritten.orderBy("offset"), str(tmp_path / "out"),
+                       gzip=True, files=1)
+    with open(paths[0], "rb") as f:
+        got = {r.rec_headers.get_header("WARC-Target-URI"): r
+               for r in ArchiveIterator(f, check_digests="raise")}
+    rv = got["http://c.com/9"]
+    assert rv.rec_type == "revisit"
+    assert rv.rec_headers.get_header(
+        "WARC-Refers-To-Target-URI") == "http://a.com/1"
+    assert rv.rec_headers.get_header(
+        "WARC-Refers-To-Date") == "2024-01-01T06:30:00Z"
+    assert got["http://c.com/10"].rec_type == "response"

@@ -149,7 +149,6 @@ def substitute_revisits(records: DataFrame) -> DataFrame:
         .withColumn("_orig_ts", F.first("warc_ts").over(w))
     )
 
-    profile = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
     # empty payloads are NOT dedup candidates: every 3xx/204/HEAD capture
     # shares the empty-body digest, and rewriting them as revisits would
     # point unrelated urls at each other (real dedup pipelines exclude
@@ -162,6 +161,23 @@ def substitute_revisits(records: DataFrame) -> DataFrame:
         (F.col("_rn") > 1)
         & (F.coalesce(F.length(F.col("payload")), F.lit(0)) > 0),
     )
+    rewritten = _rewrite_flagged_revisits(
+        flagged, ["_digest", "_rn", "_orig_url", "_orig_ts", "_is_dup"])
+    return rewritten.unionByName(other)
+
+
+_REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+)
+
+
+def _rewrite_flagged_revisits(flagged: DataFrame, drop_cols: list) -> DataFrame:
+    """Shared revisit rewrite: expects materialized ``_is_dup`` boolean,
+    ``_orig_url`` string and ``_orig_ts`` timestamp columns; rewrites the
+    flagged rows to revisit records (headers swapped, payload emptied,
+    length cleared for serializer recompute) and drops ``drop_cols``."""
+    from warcio_spark import functions as WF
+
     is_dup = F.col("_is_dup")
     new_headers = F.when(
         is_dup,
@@ -171,7 +187,8 @@ def substitute_revisits(records: DataFrame) -> DataFrame:
             ),
             F.array(
                 F.struct(F.lit("WARC-Type").alias("name"), F.lit("revisit").alias("value")),
-                F.struct(F.lit("WARC-Profile").alias("name"), F.lit(profile).alias("value")),
+                F.struct(F.lit("WARC-Profile").alias("name"),
+                         F.lit(_REVISIT_PROFILE).alias("value")),
                 F.struct(
                     F.lit("WARC-Refers-To-Target-URI").alias("name"),
                     F.col("_orig_url").alias("value"),
@@ -184,7 +201,7 @@ def substitute_revisits(records: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.col("rec_headers"))
 
-    rewritten = (
+    return (
         flagged.withColumn("rec_type", F.when(is_dup, "revisit").otherwise(F.col("rec_type")))
         .withColumn("rec_headers", new_headers)
         .withColumn("payload", F.when(is_dup, F.lit(b"")).otherwise(F.col("payload")))
@@ -196,7 +213,90 @@ def substitute_revisits(records: DataFrame) -> DataFrame:
             "length",
             F.when(is_dup, F.lit(None).cast("long")).otherwise(F.col("length")),
         )
-        .drop("_digest", "_rn", "_orig_url", "_orig_ts", "_is_dup")
+        .drop(*drop_cols)
+    )
+
+
+def index_originals(index: DataFrame) -> DataFrame:
+    """One row per payload digest in a prior crawl's CDX index: the
+    EARLIEST capture carrying that payload — (digest_b32, orig_url,
+    orig_ts14). Accepts the typed output of read_cdxj OR read_cdx11 (the
+    ``sha1:`` prefix CDXJ stores is normalized away, classic CDX is
+    already bare). Deterministic: min over (timestamp, url) structs, so
+    an exact-timestamp tie picks the lexicographically first url.
+
+    One partial-aggregated groupBy on digest — at 100 TB this is the
+    digest-keyed shuffle any storage dedup pays, and the output (one row
+    per distinct payload) is the small side downstream joins broadcast."""
+    d = F.substring_index(F.col("digest"), ":", -1)
+    return (
+        index.filter(F.col("digest").isNotNull()
+                     & F.col("timestamp").isNotNull()
+                     & F.col("url").isNotNull())
+        .select(d.alias("digest_b32"),
+                F.struct("timestamp", "url").alias("_cap"))
+        .groupBy("digest_b32")
+        .agg(F.min("_cap").alias("_cap"))
+        .select("digest_b32", F.col("_cap.url").alias("orig_url"),
+                F.col("_cap.timestamp").alias("orig_ts14"))
+    )
+
+
+def substitute_revisits_against_index(records: DataFrame, index: DataFrame,
+                                      broadcast_index: bool = False) -> DataFrame:
+    """Cross-job dedup-on-write (the Heritrix/pywb dedup-via-CDX shape):
+    response records whose payload digest already appears in a PRIOR
+    crawl's capture index become revisit records pointing at the index's
+    earliest capture of that payload (WARC-Refers-To-Target-URI/Date from
+    the index row, identical-payload-digest profile), with empty payload.
+    Non-response records and unmatched/empty-payload responses pass
+    through untouched. The index always wins: a matched record becomes a
+    revisit even if its own timestamp precedes the indexed capture —
+    refers-to points at what the archive already stores.
+
+    Compose with ``substitute_revisits`` (in-batch window dedup) for
+    full dedup-on-write: index first, then window over the survivors.
+
+    Plan: the index collapses to one row per digest (``index_originals``)
+    before the join, so the record side joins against the small distinct-
+    payload table — broadcast it with ``broadcast_index=True`` when the
+    prior index fits, otherwise it is one digest-keyed shuffle join.
+    """
+    resp = records.filter(F.col("rec_type") == "response")
+    other = records.filter(F.col("rec_type") != "response")
+
+    from warcio_spark import functions as WF
+
+    originals = index_originals(index)
+    if broadcast_index:
+        originals = F.broadcast(originals)
+
+    digest = F.substring_index(
+        F.coalesce(
+            WF.header_get("rec_headers", "WARC-Payload-Digest"),
+            WF.sha1_b32(F.col("payload")),
+        ),
+        ":", -1,
+    )
+    flagged = (
+        resp.withColumn("_digest", digest)
+        .join(originals, F.col("_digest") == F.col("digest_b32"), "left")
+        .withColumn("_orig_url", F.col("orig_url"))
+        .withColumn(
+            "_orig_ts",
+            F.try_to_timestamp(F.col("orig_ts14"), F.lit("yyyyMMddHHmmss")),
+        )
+        # materialized BEFORE the rewrite chain (reads `payload`)
+        .withColumn(
+            "_is_dup",
+            F.col("orig_url").isNotNull() & F.col("_orig_ts").isNotNull()
+            & (F.coalesce(F.length(F.col("payload")), F.lit(0)) > 0),
+        )
+    )
+    rewritten = _rewrite_flagged_revisits(
+        flagged,
+        ["_digest", "digest_b32", "orig_url", "orig_ts14",
+         "_orig_url", "_orig_ts", "_is_dup"],
     )
     return rewritten.unionByName(other)
 
