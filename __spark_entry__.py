@@ -1165,6 +1165,64 @@ def q_closest_capture(spark, sf):
         "closest_rank")
 
 
+def q_revalidation(spark, sf):
+    """Conditional-GET revalidation (plans/revalidate.py): a synthetic
+    archive of response/request records with ETag / Last-Modified
+    headers in varying presence (251 urls, ~26 captures each, latest
+    capture wins WHOLESALE — stale validators from older captures must
+    not leak), collapsed by validators_table (header_get over the
+    headers array + one max-struct groupBy), then conditional_requests
+    decorates a due set (half the known urls + never-seen urls) with
+    the RFC 9110 verbatim-echo headers and the revalidate flag. The
+    DuckDB oracle replays latest-capture selection via max(doc_id) per
+    url. 304 -> server-not-modified revisit records are covered against
+    the reference reader in tests/test_revalidate.py."""
+    from warcio_spark.plans.revalidate import (
+        conditional_requests,
+        validators_table,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    u = d % 251
+    url = F.concat(F.lit("http://h"), s(u % 13), F.lit(".example.com/r/"),
+                   s(u))
+    etag = F.when(u % 3 != 0, F.concat(F.lit('"e-'), s(u), F.lit("-"),
+                                       s(d), F.lit('"')))
+    lm = F.when(u % 4 != 0,
+                F.concat(F.lit("Wed, 21 Oct 2015 07:28:"),
+                         F.lpad(s(d % 60), 2, "0"), F.lit(" GMT")))
+    headers = F.filter(
+        F.array(
+            F.struct(F.lit("ETag").alias("name"), etag.alias("value")),
+            F.struct(F.lit("Last-Modified").alias("name"),
+                     lm.alias("value")),
+            F.struct(F.lit("Content-Type").alias("name"),
+                     F.lit("text/html").alias("value")),
+        ),
+        lambda h: h["value"].isNotNull(),
+    )
+    records = docs.select(
+        F.when(d % 11 == 0, F.lit("request")).otherwise(F.lit("response"))
+        .alias("rec_type"),
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + d).alias("warc_ts"),
+        headers.alias("http_headers"),
+    )
+    vals = validators_table(records)
+    due = (
+        docs.filter(u % 2 == 0).select(url.alias("url"))
+        .unionByName(
+            docs.filter(d % 97 == 0).select(
+                F.concat(F.lit("http://h0.example.com/new/"), s(d))
+                .alias("url")))
+        .distinct()
+    )
+    return conditional_requests(due, vals).select(
+        "url", "if_none_match", "if_modified_since", "revalidate")
+
+
 def q_index_dedup(spark, sf):
     """Cross-job dedup-on-write decision table
     (operators/dedup.index_originals + the join
@@ -1587,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_locs": q_sitemap_locs,
         "robots_sitemaps": q_robots_sitemaps,
         "index_dedup": q_index_dedup,
+        "revalidation": q_revalidation,
         "url_hygiene": q_url_hygiene,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -2124,6 +2183,36 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'seg-' || (doc_id % 10)::VARCHAR || '.warc.gz'
                         ELSE NULL END AS filename
             FROM documents
+        """,
+        "revalidation": """
+            WITH resp AS (
+              SELECT doc_id, doc_id % 251 AS u
+              FROM documents WHERE doc_id % 11 <> 0),
+            last AS (
+              SELECT u, max(doc_id) AS d FROM resp GROUP BY u),
+            vals AS (
+              SELECT 'http://h' || (u % 13)::VARCHAR
+                       || '.example.com/r/' || u::VARCHAR AS url,
+                     CASE WHEN u % 3 <> 0
+                          THEN '"e-' || u::VARCHAR || '-' || d::VARCHAR
+                               || '"' END AS inm,
+                     CASE WHEN u % 4 <> 0
+                          THEN 'Wed, 21 Oct 2015 07:28:'
+                               || lpad((d % 60)::VARCHAR, 2, '0')
+                               || ' GMT' END AS ims
+              FROM last),
+            due AS (
+              SELECT DISTINCT 'http://h' || ((doc_id % 251) % 13)::VARCHAR
+                       || '.example.com/r/' || (doc_id % 251)::VARCHAR
+                       AS url
+              FROM documents WHERE (doc_id % 251) % 2 = 0
+              UNION
+              SELECT 'http://h0.example.com/new/' || doc_id::VARCHAR
+              FROM documents WHERE doc_id % 97 = 0)
+            SELECT due.url, v.inm AS if_none_match,
+                   v.ims AS if_modified_since,
+                   (v.inm IS NOT NULL OR v.ims IS NOT NULL) AS revalidate
+            FROM due LEFT JOIN vals v USING (url)
         """,
         "index_dedup": """
             WITH idx AS (

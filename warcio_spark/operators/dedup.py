@@ -171,7 +171,8 @@ _REVISIT_PROFILE = (
 )
 
 
-def _rewrite_flagged_revisits(flagged: DataFrame, drop_cols: list) -> DataFrame:
+def _rewrite_flagged_revisits(flagged: DataFrame, drop_cols: list,
+                              profile: str = _REVISIT_PROFILE) -> DataFrame:
     """Shared revisit rewrite: expects materialized ``_is_dup`` boolean,
     ``_orig_url`` string and ``_orig_ts`` timestamp columns; rewrites the
     flagged rows to revisit records (headers swapped, payload emptied,
@@ -188,7 +189,7 @@ def _rewrite_flagged_revisits(flagged: DataFrame, drop_cols: list) -> DataFrame:
             F.array(
                 F.struct(F.lit("WARC-Type").alias("name"), F.lit("revisit").alias("value")),
                 F.struct(F.lit("WARC-Profile").alias("name"),
-                         F.lit(_REVISIT_PROFILE).alias("value")),
+                         F.lit(profile).alias("value")),
                 F.struct(
                     F.lit("WARC-Refers-To-Target-URI").alias("name"),
                     F.col("_orig_url").alias("value"),
