@@ -1165,6 +1165,59 @@ def q_closest_capture(spark, sf):
         "closest_rank")
 
 
+def q_boilerplate(spark, sf):
+    """Scoped boilerplate-line removal (dedup.boilerplate_strip): each
+    doc becomes a multi-line page — a per-source header line (boiler by
+    construction: every doc of the source carries it), the doc's own
+    text, and a 'footer common' line on even docs — then lines appearing
+    in >= 3 distinct docs of the SAME source are stripped and docs
+    reassembled. The DuckDB oracle replays the distinct-doc counting and
+    ordered reassembly (string_agg ORDER BY pos), so threshold, scoping
+    and seam behavior must be exact. Note documents contains true exact
+    duplicates, so the text line itself crosses the threshold for some
+    docs — both sides must agree on those too."""
+    from warcio_spark.operators.dedup import boilerplate_strip
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "source")
+    d = F.col("doc_id")
+    page = docs.select(
+        "doc_id", "source",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("header-"), F.col("source")),
+            F.col("text"),
+            F.when(d % 2 == 0, F.lit("footer common")),
+        ).alias("text"),
+    )
+    return boilerplate_strip(page, min_docs=3)
+
+
+def q_timemap(spark, sf):
+    """Memento TimeMap (operators/indexer.timemap_links): the
+    closest_capture index universe (97 hosts x 17 paths, one capture per
+    doc) rendered to RFC 7089 link-format lines — original line per
+    urlkey plus ordered memento lines with first/last rel flags,
+    http-date stamps, and the no-comma final line. The DuckDB oracle
+    rebuilds every line with the same row_number/count windows, so
+    ordering, rel composition and punctuation must be exact."""
+    from warcio_spark.operators.indexer import timemap_links
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    h, p = d % 97, d % 17
+    index = docs.select(
+        F.concat(F.lit("com,example,host"), s(h), F.lit(")/q/"), s(p))
+        .alias("urlkey"),
+        F.date_format(
+            F.timestamp_seconds(F.lit(1704067200) + (d * 37) % 31536000),
+            "yyyyMMddHHmmss").alias("timestamp"),
+        F.concat(F.lit("http://host"), s(h), F.lit(".example.com/q/"),
+                 s(p)).alias("url"),
+    )
+    return timemap_links(index, replay_prefix="/web/")
+
+
 def q_revalidation(spark, sf):
     """Conditional-GET revalidation (plans/revalidate.py): a synthetic
     archive of response/request records with ETag / Last-Modified
@@ -1646,6 +1699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "index_dedup": q_index_dedup,
         "revalidation": q_revalidation,
+        "timemap": q_timemap,
+        "boilerplate": q_boilerplate,
         "url_hygiene": q_url_hygiene,
         "host_graph": q_host_graph,
         "host_rank": q_host_rank,
@@ -2183,6 +2238,69 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'seg-' || (doc_id % 10)::VARCHAR || '.warc.gz'
                         ELSE NULL END AS filename
             FROM documents
+        """,
+        "boilerplate": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN ['header-' || source, text, 'footer common']
+                          ELSE ['header-' || source, text] END AS ls
+              FROM documents),
+            l AS (
+              SELECT doc_id, source, CAST(i - 1 AS INTEGER) AS pos,
+                     ls[i] AS line
+              FROM d, UNNEST(generate_series(1, len(ls))) AS s(i)),
+            f AS (
+              SELECT source, line, COUNT(DISTINCT doc_id) AS nd
+              FROM l GROUP BY source, line),
+            k AS (
+              SELECT l.doc_id, l.pos, l.line, (f.nd >= 3) AS boiler
+              FROM l JOIN f USING (source, line))
+            SELECT doc_id,
+                   coalesce(string_agg(
+                       CASE WHEN NOT boiler THEN line END,
+                       chr(10) ORDER BY pos), '') AS text_clean,
+                   COUNT(*)::BIGINT AS n_lines_in,
+                   SUM(CASE WHEN boiler THEN 0 ELSE 1 END)::BIGINT
+                     AS n_lines_kept
+            FROM k GROUP BY doc_id
+        """,
+        "timemap": """
+            WITH caps AS (
+              SELECT 'com,example,host' || (doc_id % 97)::VARCHAR
+                       || ')/q/' || (doc_id % 17)::VARCHAR AS urlkey,
+                     strftime(TIMESTAMP '2024-01-01 00:00:00'
+                              + ((doc_id * 37) % 31536000)
+                                * INTERVAL 1 SECOND,
+                              '%Y%m%d%H%M%S') AS ts,
+                     'http://host' || (doc_id % 97)::VARCHAR
+                       || '.example.com/q/' || (doc_id % 17)::VARCHAR
+                       AS url
+              FROM documents),
+            r AS (
+              SELECT urlkey, ts, url,
+                     ROW_NUMBER() OVER (PARTITION BY urlkey
+                                        ORDER BY ts, url) AS rn,
+                     COUNT(*) OVER (PARTITION BY urlkey) AS cnt
+              FROM caps),
+            mem AS (
+              SELECT urlkey, rn::INTEGER AS pos,
+                     '</web/' || ts || '/' || url || '>; rel="'
+                     || CASE WHEN rn = 1 THEN 'first ' ELSE '' END
+                     || CASE WHEN rn = cnt THEN 'last ' ELSE '' END
+                     || 'memento"; datetime="'
+                     || strftime(strptime(ts, '%Y%m%d%H%M%S'),
+                                 '%a, %d %b %Y %H:%M:%S')
+                     || ' GMT"'
+                     || CASE WHEN rn = cnt THEN '' ELSE ',' END AS line
+              FROM r),
+            orig AS (
+              SELECT urlkey, 0::INTEGER AS pos,
+                     '<' || url || '>; rel="original",' AS line
+              FROM r WHERE rn = 1)
+            SELECT urlkey, pos, line FROM orig
+            UNION ALL
+            SELECT urlkey, pos, line FROM mem
         """,
         "revalidation": """
             WITH resp AS (

@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "normalize_text",
     "scope_filter",
     "weighted_mix",
+    "boilerplate",
+    "timemap",
 ]
 
 

@@ -669,3 +669,61 @@ def minhash_dedup_corpus(df: DataFrame, threshold: float = 0.8,
         cached.unpersist()
     return dedup_by_pairs(df, pairs, id_col,
                           checkpoint_dir=checkpoint_dir)
+
+
+def boilerplate_strip(df: DataFrame, min_docs: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      scope_col: str = "source",
+                      sep: str = "\n") -> DataFrame:
+    """Scoped boilerplate-line removal (the CCNet/C4-adjacent cleanup for
+    nav bars, cookie banners, footers): a line is boilerplate within a
+    scope (site/host/source shard) when it appears in >= ``min_docs``
+    DISTINCT documents of that scope; boilerplate lines are dropped and
+    documents reassembled from the survivors in original order. Differs
+    from ``dedup_lines`` (corpus-wide keep-first): here NO occurrence
+    survives once the line crosses the threshold, and lines below it
+    keep every occurrence. Empty lines count like any other (they cross
+    the threshold immediately in multi-doc scopes — by design; the
+    reassembly seam collapses them).
+
+    Returns one row per input doc: (id_col, text_clean, n_lines_in,
+    n_lines_kept).
+
+    Scale shape: posexplode (no shuffle) → distinct on (scope, line-md5,
+    doc) + count >= K (two partial-aggregated shuffles on uniform hash
+    keys) → one join back on (scope, line-md5) → one groupBy(id)
+    reassembly. Line text never shuffles into the frequency side — only
+    its md5 does. No Python anywhere.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.col(scope_col).alias("_scope"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("_lh", F.md5(F.col("line")))
+    boiler = (
+        lines.select("_scope", "_lh", id_col).distinct()
+        .groupBy("_scope", "_lh")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_scope", "_lh", F.lit(True).alias("_boiler"))
+    )
+    kept = (
+        lines.join(boiler, ["_scope", "_lh"], "left")
+        .withColumn("_keep", F.col("_boiler").isNull())
+    )
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines_in"),
+        F.sum(F.col("_keep").cast("long")).alias("n_lines_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"),
+                               F.struct(F.col("pos"), F.col("line")))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+    ).select(id_col, "text_clean", "n_lines_in", "n_lines_kept")

@@ -187,3 +187,70 @@ def index_cdx11(records: DataFrame) -> DataFrame:
             F.col("rec_length"), F.col("offset"), F.col("filename"),
         ).alias("line"),
     )
+
+
+def timemap_links(index: DataFrame,
+                  replay_prefix: str = "/web/") -> DataFrame:
+    """RFC 7089 TimeMap (application/link-format) lines from a typed
+    capture index (read_cdxj/read_cdx11 output) — the Memento API
+    surface pywb/OpenWayback serve from the same CDX data. One output
+    row per link-format line, keyed (urlkey, pos) so a serving layer
+    range-reads one urlkey's lines in order:
+
+      pos 0: <original-url>; rel="original",
+      pos i: <{replay_prefix}{ts14}/{url}>; rel="[first ][last ]memento";
+             datetime="{http-date}",   (comma absent on the final line)
+
+    Mementos order by (timestamp, url); a single capture is
+    ``first last memento`` (RFC 7089 §2.2.2). The original url is the
+    earliest capture's raw url (captures of one urlkey can differ in
+    scheme). Plan: one window over urlkey — row_number + count ride the
+    same sort, the original line is a conditional second projection of
+    the rn=1 row (no groupBy, no join, no second shuffle).
+    """
+    caps = index.filter(
+        F.col("urlkey").isNotNull() & F.col("url").isNotNull()
+        & F.try_to_timestamp(
+            F.col("timestamp"), F.lit("yyyyMMddHHmmss")).isNotNull()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("urlkey").orderBy("timestamp", "url")
+    ranked = caps.select(
+        "urlkey", "timestamp", "url",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("urlkey")).alias("_cnt"),
+    )
+    http_date = F.concat(
+        F.date_format(
+            F.try_to_timestamp(F.col("timestamp"),
+                               F.lit("yyyyMMddHHmmss")),
+            "EEE, dd MMM yyyy HH:mm:ss"),
+        F.lit(" GMT"),
+    )
+    rel = F.concat(
+        F.when(F.col("_rn") == 1, F.lit("first ")).otherwise(F.lit("")),
+        F.when(F.col("_rn") == F.col("_cnt"), F.lit("last "))
+        .otherwise(F.lit("")),
+        F.lit("memento"),
+    )
+    memento = ranked.select(
+        "urlkey",
+        F.col("_rn").alias("pos"),
+        F.concat(
+            F.lit("<"), F.lit(replay_prefix), F.col("timestamp"),
+            F.lit("/"), F.col("url"),
+            F.lit('>; rel="'), rel, F.lit('"; datetime="'), http_date,
+            F.lit('"'),
+            F.when(F.col("_rn") == F.col("_cnt"), F.lit(""))
+            .otherwise(F.lit(",")),
+        ).alias("line"),
+    )
+    original = ranked.filter(F.col("_rn") == 1).select(
+        "urlkey",
+        F.lit(0).alias("pos"),
+        F.concat(F.lit("<"), F.col("url"),
+                 F.lit('>; rel="original",')).alias("line"),
+    )
+    return original.unionByName(memento)
