@@ -1165,6 +1165,46 @@ def q_closest_capture(spark, sf):
         "closest_rank")
 
 
+def q_cdx_query(spark, sf):
+    """CDX-server query (sources/cdxj.cdx_query): the pywb / IA Wayback
+    CDX Server API — matchType=domain over example.com, from/to year
+    prefixes (to= pads UP to end-of-period), anchored field filters
+    (mime:text/.* plus negated !status:3.., NULL status never matching
+    either way), and digest adjacency-collapse — over the
+    closest_capture index universe (97 hosts x 17 paths) enriched with
+    mime/status/digest cycles. The DuckDB oracle replays the predicates
+    and the lag-based collapse (IS DISTINCT FROM == Spark's
+    ~eqNullSafe). Plan: every predicate is a constant comparison over
+    the scan; collapse is the single urlkey hash shuffle."""
+    from warcio_spark.sources.cdxj import cdx_query
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    h, p = d % 97, d % 17
+    index = docs.select(
+        F.concat(F.lit("com,example,host"), s(h), F.lit(")/q/"),
+                 s(p)).alias("urlkey"),
+        F.date_format(
+            F.timestamp_seconds(F.lit(1704067200) + (d * 37) % 31536000),
+            "yyyyMMddHHmmss").alias("timestamp"),
+        F.concat(F.lit("http://host"), s(h), F.lit(".example.com/q/"),
+                 s(p)).alias("url"),
+        F.element_at(
+            F.array(F.lit("text/html"), F.lit("application/pdf"),
+                    F.lit("text/plain")),
+            (d % 3 + 1).cast("int")).alias("mime"),
+        F.when(d % 11 == 0, F.lit(None).cast("int"))
+        .when(d % 5 == 0, F.lit(301)).otherwise(F.lit(200))
+        .alias("status"),
+        F.concat(F.lit("sha1:D"), s(d % 7)).alias("digest"),
+    )
+    return cdx_query(
+        index, url="http://example.com/", match_type="domain",
+        from_ts="2024", to_ts="2024",
+        filters=["mime:text/.*", "!status:3.."], collapse="digest")
+
+
 def q_boilerplate(spark, sf):
     """Scoped boilerplate-line removal (dedup.boilerplate_strip): each
     doc becomes a multi-line page — a per-source header line (boiler by
@@ -1692,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx11_lines": q_cdx11_lines,
         "cdx11_read": q_cdx11_read,
         "closest_capture": q_closest_capture,
+        "cdx_query": q_cdx_query,
         "outlinks": q_outlinks,
         "wat_links": q_wat_links,
         "wat_head": q_wat_head,
@@ -2420,6 +2461,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT urlkey, req_ts, "timestamp", url, ts_diff_s,
                    closest_rank
             FROM ranked WHERE closest_rank <= 2
+        """,
+        "cdx_query": """
+            WITH caps AS (
+              SELECT 'com,example,host' || (doc_id % 97)::VARCHAR
+                       || ')/q/' || (doc_id % 17)::VARCHAR AS urlkey,
+                     strftime(TIMESTAMP '2024-01-01 00:00:00'
+                              + ((doc_id * 37) % 31536000)
+                                * INTERVAL 1 SECOND,
+                              '%Y%m%d%H%M%S') AS ts,
+                     'http://host' || (doc_id % 97)::VARCHAR
+                       || '.example.com/q/' || (doc_id % 17)::VARCHAR
+                       AS url,
+                     (['text/html', 'application/pdf',
+                       'text/plain'])[doc_id % 3 + 1] AS mime,
+                     CASE WHEN doc_id % 11 = 0 THEN NULL
+                          WHEN doc_id % 5 = 0 THEN 301
+                          ELSE 200 END::INTEGER AS status,
+                     'sha1:D' || (doc_id % 7)::VARCHAR AS digest
+              FROM documents),
+            m AS (
+              SELECT * FROM caps
+              WHERE (split_part(urlkey, ')', 1) = 'com,example'
+                     OR starts_with(split_part(urlkey, ')', 1),
+                                    'com,example,'))
+                AND ts >= '20240101000000' AND ts <= '20241231235959'
+                AND regexp_matches(mime, '^(?:text/.*)$')
+                AND NOT regexp_matches(status::VARCHAR, '^(?:3..)$')),
+            sel AS (
+              SELECT *, lag(digest) OVER (
+                        PARTITION BY urlkey ORDER BY ts, url) AS prev
+              FROM m)
+            SELECT urlkey, ts AS "timestamp", url, mime, status, digest
+            FROM sel WHERE digest IS DISTINCT FROM prev
         """,
         "repetition_stats": """
             WITH t AS (

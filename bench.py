@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "lsh_topk",
     "embedding_near_dup",
     "cdxj_read",
+    "cdx_query",
     "closest_capture",
     "host_graph",
     "host_rank",

@@ -152,6 +152,124 @@ def _ts14_epoch(col: Column) -> Column:
         F.try_to_timestamp(col, F.lit("yyyyMMddHHmmss")))
 
 
+# pywb timeutils PAD_*_UP analog: a short `to=` prefix extends to the END
+# of its period (to=2024 means through 20241231235959). Comparison is
+# lexicographic on the ts14 string, exactly like the CDX server's.
+_PAD_14_UP = "99991231235959"
+
+
+def pad_ts14_up(ts) -> Column:
+    """Pad a 1-14 digit timestamp prefix UP (end of period) the way the
+    CDX server's ``to=`` bound does (template-fill with 1231235959)."""
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    return F.concat(
+        ts, F.substring(F.lit(_PAD_14_UP), F.length(ts) + 1, 14))
+
+
+def _host_part(key: Column) -> Column:
+    return F.split_part(key, F.lit(")"), F.lit(1))
+
+
+def cdx_query(index: DataFrame, url: str | None = None,
+              match_type: str = "exact", from_ts: str | None = None,
+              to_ts: str | None = None, filters=(),
+              collapse: str | None = None, limit: int | None = None,
+              reverse: bool = False, fields=None) -> DataFrame:
+    """CDX-server query over a typed capture index (read_cdxj/read_cdx11
+    output) — the pywb / IA Wayback CDX Server API re-expressed as one
+    declarative plan (reference ecosystem: pywb cdxserver queries run on
+    indexes built by warcio iteration):
+
+    - ``url`` + ``match_type``: ``exact`` (urlkey equality), ``prefix``
+      (urlkey startswith), ``host`` (same SURT host), ``domain`` (host
+      plus all subdomains). The url is SURT-keyed with the same
+      ``functions.surt_key`` expressions the index writer used, over a
+      literal — Catalyst constant-folds it to a plain string comparison
+      that pushes into the index scan.
+    - ``from_ts``/``to_ts``: 1-14 digit prefixes; ``from`` pads down to
+      the start of its period, ``to`` pads UP (to=2024 means through
+      20241231235959), compared lexicographically like the CDX server.
+    - ``filters``: ``[!]field:regex`` strings (IA spec). The regex must
+      FULLY match the field (anchored); ``!`` negates. Rows whose field
+      is NULL never match, negated or not (SQL three-valued logic).
+      Keep patterns in the Java∩RE2 common subset for oracle parity.
+    - ``collapse``: ``field`` or ``field:N`` (compare only the first N
+      chars). ADJACENT rows with equal collapse values — in (timestamp,
+      url) order within a urlkey, direction following ``reverse`` —
+      keep only the first, the IA adjacency semantics (a value
+      recurring NON-adjacently is kept again). Unlike the flat-file
+      server, adjacency is evaluated per urlkey partition, so a run of
+      equal values spanning two urlkeys keeps both heads (identical
+      result for ``timestamp:N``/``digest`` collapses, where runs
+      cannot span keys in practice).
+    - ``limit`` + ``reverse``: global (urlkey asc, timestamp, url)
+      ordering — reversed WITHIN urlkey when ``reverse`` (the server's
+      newest-first mode) — compiled to TakeOrderedAndProject.
+    - ``fields``: output projection (CDX ``fl=``).
+
+    Plan shape: match/time/filter predicates are constant comparisons
+    (pushdown-eligible); ``collapse`` costs ONE hash shuffle on urlkey
+    (lag window); without collapse/limit the query is shuffle-free.
+    Compose with ``sources.warc.read_warc_entries`` to fetch only the
+    matching byte ranges out of a 100 TB archive.
+    """
+    from pyspark.sql import Window
+
+    from warcio_spark.functions import surt_key
+
+    out = index
+    if url is not None:
+        key = surt_key(F.lit(url))
+        if match_type == "exact":
+            out = out.filter(F.col("urlkey") == key)
+        elif match_type == "prefix":
+            out = out.filter(F.col("urlkey").startswith(key))
+        elif match_type == "host":
+            out = out.filter(_host_part(F.col("urlkey")) == _host_part(key))
+        elif match_type == "domain":
+            hp = _host_part(F.col("urlkey"))
+            dom = _host_part(key)
+            out = out.filter(
+                (hp == dom) | hp.startswith(F.concat(dom, F.lit(","))))
+        else:
+            raise ValueError(
+                "match_type must be exact|prefix|host|domain, got %r"
+                % (match_type,))
+    if from_ts is not None:
+        out = out.filter(F.col("timestamp") >= pad_ts14(F.lit(from_ts)))
+    if to_ts is not None:
+        out = out.filter(F.col("timestamp") <= pad_ts14_up(F.lit(to_ts)))
+    for spec in filters:
+        neg = spec.startswith("!")
+        field, sep, pat = spec.lstrip("!").partition(":")
+        if not sep:
+            raise ValueError("filter needs field:regex, got %r" % (spec,))
+        matched = F.col(field).cast("string").rlike("^(?:%s)$" % pat)
+        out = out.filter(~matched if neg else matched)
+
+    direction = (lambda c: c.desc()) if reverse else (lambda c: c.asc())
+    if collapse is not None:
+        cfield, _, n = collapse.partition(":")
+        val = F.col(cfield).cast("string")
+        if n:
+            val = F.substring(val, 1, int(n))
+        w = Window.partitionBy("urlkey").orderBy(
+            direction(F.col("timestamp")), direction(F.col("url")))
+        out = (out.withColumn("_cv", val)
+               .withColumn("_keep",
+                           ~F.col("_cv").eqNullSafe(
+                               F.lag("_cv").over(w)))
+               .filter(F.col("_keep"))
+               .drop("_cv", "_keep"))
+    if limit is not None:
+        out = out.orderBy(
+            F.col("urlkey").asc(), direction(F.col("timestamp")),
+            direction(F.col("url"))).limit(int(limit))
+    if fields is not None:
+        out = out.select(*fields)
+    return out
+
+
 def closest_captures(index: DataFrame, requests: DataFrame,
                      k: int = 1, req_ts_col: str = "req_ts") -> DataFrame:
     """Replay lookup: for each request (urlkey + requested timestamp)
