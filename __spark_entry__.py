@@ -1232,6 +1232,67 @@ def q_boilerplate(spark, sf):
     return boilerplate_strip(page, min_docs=3)
 
 
+def q_sitemap_recrawl(spark, sf):
+    """Full sitemap entry parsing + lastmod-aware recrawl hints
+    (links.sitemap_entries + links.modified_since_capture): per-doc
+    urlset XML cycling lastmod through date-only / Z-datetime /
+    +02:00-offset / garbage / absent forms (day and hour varying with
+    doc_id so the W3C parser is exercised generically, not on constants),
+    changefreq through valid / case-variant / invalid / absent, priority
+    through numeric / garbage / absent; half the locs carry a prior
+    capture whose ts14 lands either side of lastmod. The DuckDB oracle
+    recomputes lastmod_ts and last_capture_ts from the SAME doc_id
+    arithmetic (first principles, not re-parsing) and replays the due
+    rule: never captured -> true, else lastmod strictly newer else
+    false."""
+    from warcio_spark.operators.links import (
+        modified_since_capture, sitemap_entries)
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    day2 = F.lpad(s(d % 28 + 1), 2, "0")
+    hh2 = F.lpad(s(d % 24), 2, "0")
+    lastmod = (
+        F.when(d % 5 == 0, F.concat(F.lit("<lastmod>2024-03-"), day2,
+                                    F.lit("</lastmod>")))
+        .when(d % 5 == 1, F.concat(F.lit("<lastmod>2024-03-"), day2,
+                                   F.lit("T"), hh2,
+                                   F.lit(":30:00Z</lastmod>")))
+        .when(d % 5 == 2, F.concat(F.lit("<lastmod>2024-03-"), day2,
+                                   F.lit("T"), hh2,
+                                   F.lit(":30:00+02:00</lastmod>")))
+        .when(d % 5 == 3, F.lit("<lastmod>not-a-date</lastmod>"))
+        .otherwise(F.lit("")))
+    changefreq = (
+        F.when(d % 4 == 0, F.lit("<changefreq>daily</changefreq>"))
+        .when(d % 4 == 1, F.lit("<changefreq>WEEKLY</changefreq>"))
+        .when(d % 4 == 2, F.lit("<changefreq>sometimes</changefreq>"))
+        .otherwise(F.lit("")))
+    prio = (
+        F.when(d % 3 == 0, F.lit("<priority>0.8</priority>"))
+        .when(d % 3 == 1, F.lit("<priority>high</priority>"))
+        .otherwise(F.lit("")))
+    loc = F.concat(F.lit("http://host"), s(d % 41), F.lit(".example.com/pg"),
+                   s(d), F.lit(".html"))
+    sm = docs.select(
+        F.concat(F.lit("http://host"), s(d % 41),
+                 F.lit(".example.com/sitemap.xml")).alias("url"),
+        F.concat(F.lit("<urlset><url><loc>"), loc, F.lit("</loc>"),
+                 lastmod, changefreq, prio,
+                 F.lit("</url></urlset>")).alias("xml"),
+    )
+    index = docs.filter(d % 2 == 0).select(
+        loc.alias("url"),
+        F.concat(F.lit("202403"), day2,
+                 F.when(d % 4 == 0, F.lit("230000"))
+                 .otherwise(F.lit("010000"))).alias("timestamp"),
+    )
+    return modified_since_capture(sitemap_entries(sm), index).select(
+        "loc", "lastmod", "lastmod_ts", "changefreq", "priority",
+        "last_capture_ts", "due")
+
+
 def q_timemap(spark, sf):
     """Memento TimeMap (operators/indexer.timemap_links): the
     closest_capture index universe (97 hosts x 17 paths, one capture per
@@ -1737,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_links": q_wat_links,
         "wat_head": q_wat_head,
         "sitemap_locs": q_sitemap_locs,
+        "sitemap_recrawl": q_sitemap_recrawl,
         "robots_sitemaps": q_robots_sitemaps,
         "index_dedup": q_index_dedup,
         "revalidation": q_revalidation,
@@ -2036,6 +2098,53 @@ def oracle_sql() -> dict[str, str]:
                    (path_depth > 12 OR url_len > 512 OR n_params > 12
                     OR dup_segments > 2) AS is_trap
             FROM y
+        """,
+        "sitemap_recrawl": """
+            WITH e AS (
+              SELECT doc_id,
+                'http://host' || (doc_id % 41)::VARCHAR
+                  || '.example.com/pg' || doc_id::VARCHAR || '.html'
+                  AS loc,
+                CASE doc_id % 5
+                  WHEN 0 THEN '2024-03-'
+                              || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+                  WHEN 1 THEN '2024-03-'
+                              || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+                              || 'T' || lpad((doc_id % 24)::VARCHAR, 2, '0')
+                              || ':30:00Z'
+                  WHEN 2 THEN '2024-03-'
+                              || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+                              || 'T' || lpad((doc_id % 24)::VARCHAR, 2, '0')
+                              || ':30:00+02:00'
+                  WHEN 3 THEN 'not-a-date'
+                  ELSE NULL END AS lastmod,
+                CAST(epoch(TIMESTAMP '2024-03-01 00:00:00') AS BIGINT)
+                  + (doc_id % 28) * 86400 AS day_epoch,
+                CASE doc_id % 4 WHEN 0 THEN 'daily'
+                                WHEN 1 THEN 'weekly'
+                                ELSE NULL END AS changefreq,
+                CASE WHEN doc_id % 3 = 0 THEN 0.8
+                     ELSE NULL END::DOUBLE AS priority
+              FROM documents),
+            t AS (
+              SELECT *,
+                CASE doc_id % 5
+                  WHEN 0 THEN day_epoch
+                  WHEN 1 THEN day_epoch + (doc_id % 24) * 3600 + 1800
+                  WHEN 2 THEN day_epoch + (doc_id % 24) * 3600 + 1800
+                              - 7200
+                  ELSE NULL END AS lastmod_ts,
+                CASE WHEN doc_id % 2 = 0 THEN
+                  day_epoch + CASE WHEN doc_id % 4 = 0
+                                   THEN 82800 ELSE 3600 END
+                  ELSE NULL END AS last_capture_ts
+              FROM e)
+            SELECT loc, lastmod, lastmod_ts, changefreq, priority,
+                   last_capture_ts,
+                   CASE WHEN last_capture_ts IS NULL THEN TRUE
+                        ELSE coalesce(lastmod_ts > last_capture_ts,
+                                      FALSE) END AS due
+            FROM t
         """,
         "sitemap_locs": """
             WITH u AS (

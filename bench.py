@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "cdxj_read",
     "cdx_query",
+    "sitemap_recrawl",
     "closest_capture",
     "host_graph",
     "host_rank",

@@ -308,6 +308,16 @@ def redirect_candidates(fetched: DataFrame, url_col: str = "page_url") -> DataFr
 _LOC_RX = "<loc>\\s*([^<]*?)\\s*</loc>"
 
 
+def _xml_unescape(col: Column) -> Column:
+    """The five NAMED XML escapes — the only escaping sitemaps.org
+    requires. &amp; last so double-escapes stay single-decoded."""
+    out = col
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        out = F.regexp_replace(out, ent, ch)
+    return out
+
+
 def sitemap_locs(sitemaps: DataFrame, url_col: str = "url",
                  xml_col: str = "xml") -> DataFrame:
     """Sitemap ingestion (the crawler's third discovery channel beside
@@ -328,20 +338,7 @@ def sitemap_locs(sitemaps: DataFrame, url_col: str = "url",
         .drop(url_col)
         .select("*", F.posexplode(locs).alias("pos", "raw"))
         .drop(xml_col)
-        .withColumn(
-            "loc",
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(
-                        F.regexp_replace(
-                            F.regexp_replace("raw", "&lt;", "<"),
-                            "&gt;", ">",
-                        ),
-                        "&quot;", "\""),
-                    "&apos;", "'"),
-                "&amp;", "&",
-            ),
-        )
+        .withColumn("loc", _xml_unescape(F.col("raw")))
         .filter(F.col("loc").rlike("^https?://"))
         .drop("raw")
     )
@@ -378,6 +375,148 @@ def seeds_from_sitemaps(sitemaps: DataFrame, url_col: str = "url",
             + s * (MAX_LINKS_PER_PAGE * 1024)
             + F.col("pos")
         ).alias("seq"),
+    )
+
+
+# W3C datetime (the sitemaps.org <lastmod> format): date-only or full
+# datetime with mandatory hh:mm, optional :ss(.frac), optional Z/±hh:mm.
+_W3C_DT_RX = ("^(\\d{4})-(\\d{2})-(\\d{2})"
+              "(?:[Tt](\\d{2}):(\\d{2})(?::(\\d{2})(?:\\.\\d+)?)?"
+              "([Zz]|[+-]\\d{2}:\\d{2})?)?$")
+
+CHANGEFREQS = ("always", "hourly", "daily", "weekly", "monthly",
+               "yearly", "never")
+
+
+def w3c_datetime_epoch(col: Column) -> Column:
+    """W3C datetime string -> UTC epoch SECONDS, NULL on no-parse.
+
+    Deliberately timezone-free integer arithmetic (days-since-epoch via
+    the date type, time-of-day and offset as plain seconds) so the value
+    is identical under any Spark session timezone and byte-for-byte
+    reproducible by the DuckDB oracle — ``to_timestamp``/``unix_timestamp``
+    would silently re-interpret wall times in the session zone. Invalid
+    calendar dates (2024-02-31) null out via try_to_date; a datetime with
+    no designator is treated as UTC (lenient — W3C requires the
+    designator; real sitemaps omit it)."""
+    t = F.trim(col)
+
+    def g(i: int) -> Column:
+        return F.nullif(F.regexp_extract(t, _W3C_DT_RX, i), F.lit(""))
+
+    days = F.datediff(
+        F.try_to_date(F.concat_ws("-", g(1), g(2), g(3))),
+        F.lit("1970-01-01"))
+    sec = (F.coalesce(g(4).cast("int"), F.lit(0)) * 3600
+           + F.coalesce(g(5).cast("int"), F.lit(0)) * 60
+           + F.coalesce(g(6).cast("int"), F.lit(0)))
+    tz = F.coalesce(g(7), F.lit("Z"))
+    off = F.when(
+        tz.rlike("^[+-]"),
+        F.when(tz.startswith("-"), -1).otherwise(1)
+        * (F.substring(tz, 2, 2).cast("int") * 3600
+           + F.substring(tz, 5, 2).cast("int") * 60),
+    ).otherwise(F.lit(0))
+    return (days.cast("long") * 86400 + sec - off).alias("lastmod_ts")
+
+
+def sitemap_entries(sitemaps: DataFrame, url_col: str = "url",
+                    xml_col: str = "xml",
+                    block_tag: str = "url") -> DataFrame:
+    """Full sitemaps.org ``<url>`` entry parsing — the metadata
+    ``sitemap_locs`` drops: (src_url, pos, loc, lastmod, lastmod_ts,
+    changefreq, priority) per entry block, in document order.
+
+    * ``loc``: trimmed + XML-entity-decoded, http(s)-gated (blocks
+      without a usable loc are dropped AFTER pos assignment, so pos
+      stays the document position among all blocks);
+    * ``lastmod``: the raw trimmed string plus ``lastmod_ts`` =
+      ``w3c_datetime_epoch`` (NULL when absent/unparseable);
+    * ``changefreq``: lowercased, gated to the protocol's enumeration,
+      else NULL;
+    * ``priority``: try-cast double — the protocol's 0.0–1.0 range is
+      NOT clamped (out-of-range values pass through for the caller to
+      judge), garbage becomes NULL. Absent stays NULL; the protocol
+      default 0.5 is the CONSUMER's business (seeds_from_sitemaps keeps
+      its own priority scale).
+
+    ``block_tag="sitemap"`` parses a sitemapindex the same way (its
+    blocks carry loc + lastmod only). Pure JVM regexp + one posexplode —
+    a map-only stage at 100 TB, same discipline as ``sitemap_locs``.
+    """
+    rx = "(?s)<%s>(.*?)</%s>" % (block_tag, block_tag)
+    blocks = F.regexp_extract_all(F.col(xml_col), F.lit(rx), F.lit(1))
+
+    def child(tag: str) -> Column:
+        return F.nullif(
+            F.trim(F.regexp_extract(
+                "_blk", "(?s)<%s>([^<]*)</%s>" % (tag, tag), 1)),
+            F.lit(""))
+
+    loc = _xml_unescape(child("loc"))
+    cf = F.lower(child("changefreq"))
+    return (
+        sitemaps.select(F.col(url_col).alias("src_url"), "*")
+        .drop(url_col)
+        .select("*", F.posexplode(blocks).alias("pos", "_blk"))
+        .drop(xml_col)
+        .select(
+            "*",
+            loc.alias("loc"),
+            child("lastmod").alias("lastmod"),
+            w3c_datetime_epoch(child("lastmod")).alias("lastmod_ts"),
+            F.when(cf.isin(*CHANGEFREQS), cf).alias("changefreq"),
+            child("priority").try_cast("double").alias("priority"),
+        )
+        .drop("_blk")
+        .filter(F.col("loc").rlike("^https?://"))
+    )
+
+
+def _ts14_epoch_s(ts14: Column) -> Column:
+    """CDX 14-digit timestamp -> UTC epoch seconds, same TZ-free
+    arithmetic contract as w3c_datetime_epoch (see there)."""
+    days = F.datediff(
+        F.try_to_date(F.substring(ts14, 1, 8), "yyyyMMdd"),
+        F.lit("1970-01-01"))
+    return (days.cast("long") * 86400
+            + F.substring(ts14, 9, 2).cast("int") * 3600
+            + F.substring(ts14, 11, 2).cast("int") * 60
+            + F.substring(ts14, 13, 2).cast("int"))
+
+
+def modified_since_capture(entries: DataFrame,
+                           index: DataFrame) -> DataFrame:
+    """lastmod-aware recrawl hints: sitemap entries joined against the
+    LATEST capture per url in a CDX index (read_cdxj/read_cdx11 shape:
+    ``url`` + 14-digit ``timestamp``), flagging what the site claims
+    changed since we last archived it — the signal Googlebot-class
+    crawlers use to skip unchanged refetches, complementing the
+    TTL-driven ``plans.crawl.recrawl_due``.
+
+    Adds ``last_capture_ts`` (epoch seconds, NULL when never captured)
+    and ``due``: never captured -> true; captured and lastmod strictly
+    newer -> true; captured and lastmod absent/unparseable or older ->
+    false (the unknown-lastmod case is the TTL path's business, not a
+    forced refetch).
+
+    Plan shape: the index aggregates to one max-timestamp row per url
+    BEFORE the join, so entry fanout never multiplies captures and the
+    join side is the (much smaller) distinct-url table — broadcastable
+    when the sitemap universe is per-host."""
+    last = index.groupBy(F.col("url").alias("_cap_url")).agg(
+        F.max("timestamp").alias("_last_ts14"))
+    cap_epoch = _ts14_epoch_s(F.col("_last_ts14"))
+    return (
+        entries.join(last, entries["loc"] == last["_cap_url"], "left")
+        .select(
+            entries["*"],
+            cap_epoch.alias("last_capture_ts"),
+            F.when(F.col("_last_ts14").isNull(), F.lit(True))
+            .otherwise(
+                F.coalesce(F.col("lastmod_ts") > cap_epoch, F.lit(False))
+            ).alias("due"),
+        )
     )
 
 
