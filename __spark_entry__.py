@@ -1293,6 +1293,65 @@ def q_sitemap_recrawl(spark, sf):
         "last_capture_ts", "due")
 
 
+def q_freshness(spark, sf):
+    """RFC 9111 freshness-driven recrawl (plans/revalidate.py:
+    freshness_table + due_by_freshness): synthetic response captures
+    cycling the header precedence ladder — max-age / s-maxage-beats-
+    max-age / no-store / Expires-minus-Date / Date-minus-Last-Modified
+    heuristic / no-signal — with values varying by doc_id so the
+    Cache-Control grammar and IMF-fixdate parser are exercised
+    generically; even doc_ids carry a LATER second capture (latest-wins
+    aggregation). Returns the urls due at a fixed as-of instant
+    (header lifetime when present, default TTL otherwise). The DuckDB
+    oracle recomputes lifetimes and epochs from the same doc_id
+    arithmetic and replays latest-wins + the due filter."""
+    from warcio_spark.plans.revalidate import (
+        due_by_freshness, freshness_table)
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    hh2 = F.lpad(s(d % 24), 2, "0")
+    url = F.concat(F.lit("http://host"), s(d % 41), F.lit(".example.com/pg"),
+                   s(d))
+    hdr = lambda n, v: F.struct(F.lit(n).alias("name"),  # noqa: E731
+                                v.alias("value"))
+    cap1_headers = (
+        F.when(d % 6 == 0, F.array(hdr(
+            "Cache-Control",
+            F.concat(F.lit("max-age="), s((d % 10) * 43200)))))
+        .when(d % 6 == 1, F.array(hdr(
+            "Cache-Control",
+            F.concat(F.lit("public, s-maxage="), s(d % 3000),
+                     F.lit(", max-age=5")))))
+        .when(d % 6 == 2, F.array(hdr("Cache-Control",
+                                      F.lit("private, no-store"))))
+        .when(d % 6 == 3, F.array(
+            hdr("Expires", F.concat(F.lit("Mon, 01 Jan 2024 "),
+                                    F.lpad(s(d % 23 + 1), 2, "0"),
+                                    F.lit(":00:00 GMT"))),
+            hdr("Date", F.lit("Mon, 01 Jan 2024 00:00:00 GMT"))))
+        .when(d % 6 == 4, F.array(
+            hdr("Date", F.concat(F.lit("Thu, 11 Jan 2024 "), hh2,
+                                 F.lit(":00:00 GMT"))),
+            hdr("Last-Modified", F.lit("Mon, 01 Jan 2024 00:00:00 GMT"))))
+        .otherwise(F.array(hdr("Content-Type", F.lit("text/html")))))
+    cap1 = docs.select(
+        F.lit("response").alias("rec_type"), url.alias("url"),
+        F.concat(F.lit("20240101"), hh2, F.lit("0000")).alias("warc_ts"),
+        cap1_headers.alias("http_headers"))
+    cap2 = docs.filter(d % 2 == 0).select(
+        F.lit("response").alias("rec_type"), url.alias("url"),
+        F.concat(F.lit("20240105"), hh2, F.lit("0000")).alias("warc_ts"),
+        F.array(hdr("Cache-Control",
+                    F.concat(F.lit("max-age="), s((d % 7) * 86400))))
+        .alias("http_headers"))
+    ft = freshness_table(cap1.unionByName(cap2))
+    as_of = 1704585600  # 2024-01-07T00:00:00Z
+    return due_by_freshness(ft, as_of, default_ttl_s=259200).select(
+        "url", "last_fetch_ts", "lifetime_s", "stale_at")
+
+
 def q_timemap(spark, sf):
     """Memento TimeMap (operators/indexer.timemap_links): the
     closest_capture index universe (97 hosts x 17 paths, one capture per
@@ -1799,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_head": q_wat_head,
         "sitemap_locs": q_sitemap_locs,
         "sitemap_recrawl": q_sitemap_recrawl,
+        "freshness": q_freshness,
         "robots_sitemaps": q_robots_sitemaps,
         "index_dedup": q_index_dedup,
         "revalidation": q_revalidation,
@@ -2098,6 +2158,47 @@ def oracle_sql() -> dict[str, str]:
                    (path_depth > 12 OR url_len > 512 OR n_params > 12
                     OR dup_segments > 2) AS is_trap
             FROM y
+        """,
+        "freshness": """
+            WITH c1 AS (
+              SELECT doc_id,
+                'http://host' || (doc_id % 41)::VARCHAR
+                  || '.example.com/pg' || doc_id::VARCHAR AS url,
+                '20240101' || lpad((doc_id % 24)::VARCHAR, 2, '0')
+                  || '0000' AS ts,
+                CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT)
+                  + (doc_id % 24) * 3600 AS fetched,
+                CASE doc_id % 6
+                  WHEN 0 THEN CAST((doc_id % 10) * 43200 AS BIGINT)
+                  WHEN 1 THEN CAST(doc_id % 3000 AS BIGINT)
+                  WHEN 2 THEN 0
+                  WHEN 3 THEN CAST((doc_id % 23 + 1) * 3600 AS BIGINT)
+                  WHEN 4 THEN CAST(floor(0.1 * (10 * 86400
+                                  + (doc_id % 24) * 3600)) AS BIGINT)
+                  ELSE NULL END AS life
+              FROM documents),
+            c2 AS (
+              SELECT doc_id, url,
+                '20240105' || lpad((doc_id % 24)::VARCHAR, 2, '0')
+                  || '0000' AS ts,
+                CAST(epoch(TIMESTAMP '2024-01-05 00:00:00') AS BIGINT)
+                  + (doc_id % 24) * 3600 AS fetched,
+                CAST((doc_id % 7) * 86400 AS BIGINT) AS life
+              FROM c1 WHERE doc_id % 2 = 0),
+            latest AS (
+              SELECT url, ts AS last_fetch_ts, life AS lifetime_s,
+                     CASE WHEN life IS NULL THEN NULL
+                          ELSE fetched + life END AS stale_at,
+                     fetched,
+                     row_number() OVER (PARTITION BY url
+                                        ORDER BY ts DESC) AS rn
+              FROM (SELECT url, ts, fetched, life FROM c1
+                    UNION ALL
+                    SELECT url, ts, fetched, life FROM c2))
+            SELECT url, last_fetch_ts, lifetime_s, stale_at
+            FROM latest
+            WHERE rn = 1
+              AND coalesce(stale_at, fetched + 259200) <= 1704585600
         """,
         "sitemap_recrawl": """
             WITH e AS (

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "cdxj_read",
     "cdx_query",
     "sitemap_recrawl",
+    "freshness",
     "closest_capture",
     "host_graph",
     "host_rank",

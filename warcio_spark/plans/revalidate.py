@@ -30,7 +30,7 @@ verbatim).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from warcio_spark import functions as WF
@@ -124,3 +124,141 @@ def not_modified_revisits(responses: DataFrame, validators: DataFrame,
 _SERVER_NOT_MODIFIED = (
     "http://netpreserve.org/warc/1.0/revisit/server-not-modified"
 )
+
+
+# ---------------------------------------------------------------------------
+# RFC 9111 freshness: how LONG a capture stays fresh, from its own
+# response headers — the per-url TTL signal that upgrades the crawl
+# loop's single global recrawl_ttl into header-driven scheduling.
+
+_MONTHS = ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+           "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+# IMF-fixdate only (RFC 9110 §5.6.7 preferred form; the obsolete
+# rfc850/asctime forms parse to NULL — modern servers do not emit them).
+# The weekday token is matched but ignored, like every real parser.
+_IMF_RX = ("^[A-Za-z]{3}, (\\d{2}) ([A-Za-z]{3}) (\\d{4}) "
+           "(\\d{2}):(\\d{2}):(\\d{2}) GMT$")
+
+
+def http_date_epoch(col) -> Column:
+    """IMF-fixdate HTTP-date -> UTC epoch seconds, NULL on no-parse.
+
+    Same TZ-free integer-arithmetic contract as
+    ``links.w3c_datetime_epoch`` (see there): days-since-epoch via the
+    date type plus plain seconds, identical under any Spark session
+    timezone and mirrored exactly by the DuckDB oracles."""
+    col = F.col(col) if isinstance(col, str) else col
+    t = F.trim(col)
+
+    def g(i: int):
+        return F.nullif(F.regexp_extract(t, _IMF_RX, i), F.lit(""))
+
+    mon = F.array_position(
+        F.array(*[F.lit(m) for m in _MONTHS]), g(2)).cast("int")
+    days = F.datediff(
+        F.try_to_date(
+            F.concat_ws("-", g(3), F.lpad(mon.cast("string"), 2, "0"),
+                        g(1))),
+        F.lit("1970-01-01"))
+    # array_position returns 0 (not NULL) for an unknown month name; the
+    # lpad('00') date then fails try_to_date -> NULL, as it should
+    return (days.cast("long") * 86400
+            + g(4).cast("int") * 3600
+            + g(5).cast("int") * 60
+            + g(6).cast("int"))
+
+
+def freshness_lifetime(headers, heuristic_frac: float = 0.1) -> Column:
+    """Freshness lifetime in SECONDS of a response, per RFC 9111 §4.2.1
+    precedence, as pure codegen expressions over the parsed headers
+    array:
+
+    1. ``Cache-Control: no-store`` / ``no-cache`` -> 0 (always
+       revalidate; the qualified ``no-cache="field"`` form is treated
+       as bare no-cache — conservative for a crawler);
+    2. ``s-maxage=N`` (a crawl archive is a shared cache), then
+       ``max-age=N`` — first directive occurrence, quoted form
+       accepted, negative impossible by grammar;
+    3. ``Expires`` header present: ``Expires - Date`` clamped at 0 when
+       both parse as IMF-fixdate, else 0 (RFC 9111 §5.3: an invalid or
+       ungrounded Expires means already stale);
+    4. heuristic (§4.2.2): ``heuristic_frac x (Date - Last-Modified)``
+       clamped at 0, when both parse;
+    5. NULL — no freshness information (caller falls back to the global
+       recrawl TTL).
+    """
+    cc = F.lower(F.coalesce(WF.header_get(headers, "Cache-Control"),
+                            F.lit("")))
+    smax = F.nullif(
+        F.regexp_extract(cc, "\\bs-maxage\\s*=\\s*\"?(\\d+)", 1),
+        F.lit("")).cast("long")
+    maxage = F.nullif(
+        F.regexp_extract(cc, "\\bmax-age\\s*=\\s*\"?(\\d+)", 1),
+        F.lit("")).cast("long")
+    expires_raw = WF.header_get(headers, "Expires")
+    expires_e = http_date_epoch(expires_raw)
+    date_e = http_date_epoch(WF.header_get(headers, "Date"))
+    lm_e = http_date_epoch(WF.header_get(headers, "Last-Modified"))
+    return (
+        F.when(cc.rlike("\\bno-store\\b|\\bno-cache\\b"), F.lit(0).cast("long"))
+        .when(smax.isNotNull(), smax)
+        .when(maxage.isNotNull(), maxage)
+        .when(expires_raw.isNotNull(),
+              F.coalesce(F.greatest(expires_e - date_e,
+                                    F.lit(0).cast("long")),
+                         F.lit(0).cast("long")))
+        .when(lm_e.isNotNull() & date_e.isNotNull(),
+              F.greatest((F.lit(float(heuristic_frac))
+                          * (date_e - lm_e)).cast("long"),
+                         F.lit(0).cast("long")))
+    )
+
+
+def freshness_table(records: DataFrame, url_col: str = "url",
+                    heuristic_frac: float = 0.1) -> DataFrame:
+    """Per-url freshness from archived responses: (url, last_fetch_ts,
+    lifetime_s, stale_at) of the LATEST capture — same latest-wins
+    max-struct aggregation as ``validators_table`` (one partial-agg
+    groupBy, no window, no join). ``stale_at`` = capture epoch +
+    lifetime (NULL lifetime -> NULL stale_at: no header signal).
+
+    Composition with the 10^10 crawl loop: bucket ``lifetime_s`` into
+    TTL classes and store the class as a partition column next to
+    fetch_round in the compacted seen snapshot — ``recrawl_due`` then
+    prunes each class at its own cutoff instead of one global ttl, and
+    ``due_by_freshness`` is the small-scale/exact form of that read."""
+    resp = records.filter(F.col("rec_type") == "response")
+    cap = F.struct(
+        F.col("warc_ts").alias("ts"),
+        freshness_lifetime("http_headers", heuristic_frac).alias("life"),
+    )
+    from warcio_spark.operators.links import _ts14_epoch_s
+
+    fetched = _ts14_epoch_s(F.col("_cap.ts"))
+    return (
+        resp.select(F.col(url_col).alias("url"), cap.alias("_cap"))
+        .groupBy("url")
+        .agg(F.max("_cap").alias("_cap"))
+        .select(
+            "url",
+            F.col("_cap.ts").alias("last_fetch_ts"),
+            F.col("_cap.life").alias("lifetime_s"),
+            (fetched + F.col("_cap.life")).alias("stale_at"),
+        )
+    )
+
+
+def due_by_freshness(freshness: DataFrame, as_of_epoch: int,
+                     default_ttl_s: int) -> DataFrame:
+    """Urls whose capture has outlived its freshness at ``as_of_epoch``:
+    header-driven lifetime when present, ``default_ttl_s`` past the
+    capture otherwise. A pure filter over ``freshness_table`` output —
+    no shuffle; at scale this is the TTL-class partition-pruned read
+    described in ``freshness_table``."""
+    from warcio_spark.operators.links import _ts14_epoch_s
+
+    fetched = _ts14_epoch_s(F.col("last_fetch_ts"))
+    effective = F.coalesce(
+        F.col("stale_at"), fetched + F.lit(int(default_ttl_s)))
+    return freshness.filter(effective <= F.lit(int(as_of_epoch)))
