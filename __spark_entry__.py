@@ -551,6 +551,32 @@ def q_zipnum_summary(spark, sf):
     return zipnum_block_summary(lines, 25, persist_tracker=_QUERY_PERSISTS)
 
 
+def q_zipnum_pages(spark, sf):
+    """CDX-server pagination API (sources/zipnum.paged_block_summary —
+    the pure-DataFrame twin of zipnum_num_pages/zipnum_page, which are
+    pytest-pinned to it against a materialized cluster): the
+    zipnum_summary universe in 25-line blocks grouped into 4-block
+    pages, one row per page with block/line accounting and the page's
+    key range. The DuckDB oracle replays the global line ordering,
+    block assignment, and page aggregation with window functions."""
+    from warcio_spark.sources.zipnum import paged_block_summary
+
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    line = F.concat(
+        F.lit("com,example,host"), s(d % 53), F.lit(")/p/"), s(d),
+        F.lit(" 2024"),
+        F.lpad(s(d % 12 + 1), 2, "0"), F.lpad(s(d % 28 + 1), 2, "0"),
+        F.lpad(s(d % 24), 2, "0"), F.lpad(s(d % 60), 2, "0"),
+        F.lpad(s(d % 60), 2, "0"),
+        F.lit(' {"url": "http://host'), s(d % 53),
+        F.lit('.example.com/p/'), s(d), F.lit('"}'),
+    )
+    lines = _t(spark, sf, "documents").select(line.alias("line"))
+    return paged_block_summary(lines, 25, 4,
+                               persist_tracker=_QUERY_PERSISTS)
+
+
 def q_shard_assignment(spark, sf):
     """Token-balanced output sharding (pipeline.shard_assignment):
     shard_id = floor(global-exclusive-cumsum(n_tokens) / 2000) in doc_id
@@ -1878,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_backlog": q_retry_backlog,
         "shard_assignment": q_shard_assignment,
         "zipnum_summary": q_zipnum_summary,
+        "zipnum_pages": q_zipnum_pages,
         "normalize_text": q_normalize_text,
         "scope_filter": q_scope_filter,
         "weighted_mix": q_weighted_mix,
@@ -2886,6 +2913,38 @@ def oracle_sql() -> dict[str, str]:
                         '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
                         '\\s+', ' ', 'g')) AS text_norm
             FROM uni
+        """,
+        "zipnum_pages": """
+            WITH lines AS (
+              SELECT 'com,example,host' || (doc_id % 53)::VARCHAR
+                     || ')/p/' || doc_id::VARCHAR
+                     || ' 2024'
+                     || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0')
+                     || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+                     || lpad((doc_id % 24)::VARCHAR, 2, '0')
+                     || lpad((doc_id % 60)::VARCHAR, 2, '0')
+                     || lpad((doc_id % 60)::VARCHAR, 2, '0')
+                     || ' {"url": "http://host' || (doc_id % 53)::VARCHAR
+                     || '.example.com/p/' || doc_id::VARCHAR || '"}'
+                     AS line
+              FROM documents
+            ), rn AS (
+              SELECT line,
+                     row_number() OVER (ORDER BY line) - 1 AS rn
+              FROM lines
+            ), blocks AS (
+              SELECT (rn // 25)::BIGINT AS block_id,
+                     string_split(min(line), ' ')[1] || ' ' ||
+                     string_split(min(line), ' ')[2] AS first_key,
+                     count(*)::BIGINT AS n_lines
+              FROM rn GROUP BY 1
+            )
+            SELECT (block_id // 4)::BIGINT AS page,
+                   count(*)::BIGINT AS n_blocks,
+                   sum(n_lines)::BIGINT AS n_lines,
+                   min_by(first_key, block_id) AS first_key,
+                   max_by(first_key, block_id) AS last_key
+            FROM blocks GROUP BY 1
         """,
         "zipnum_summary": """
             WITH lines AS (

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "lm_perplexity",
     "shard_assignment",
     "zipnum_summary",
+    "zipnum_pages",
     "normalize_text",
     "scope_filter",
     "weighted_mix",

@@ -142,3 +142,86 @@ def test_block_summary_matches_written_cluster_single_part(spark, tmp_path):
         (r["first_key"], r["n_lines"]) for r in computed]
     for c in tracker:
         c.unpersist()
+
+
+def test_pagination_pages_union_equals_prefix(spark, tmp_path):
+    from warcio_spark.sources.zipnum import zipnum_num_pages, zipnum_page
+
+    out = str(tmp_path / "cluster")
+    lines = _synthetic_lines(spark, 400)
+    write_zipnum(lines, out, lines_per_block=19, num_parts=4)
+    for prefix in (None, "com,example,host7)/", "com,example,nosuch"):
+        n_blocks = (read_summary(spark, out).count() if prefix is None
+                    else None)
+        pages = zipnum_num_pages(spark, out, 3, prefix=prefix)
+        if prefix is None:
+            assert pages == -(-n_blocks // 3)
+        got = []
+        for p in range(pages):
+            got.extend(r["line"]
+                       for r in zipnum_page(spark, out, p, 3,
+                                            prefix=prefix).collect())
+        if prefix is None:
+            want = [r["line"] for r in lines.collect()]
+        else:
+            want = [r["line"] for r in
+                    lines.filter(F.col("line").startswith(prefix)).collect()]
+        assert sorted(got) == sorted(want), prefix
+        # pages are disjoint: union size == sum of page sizes
+        assert len(got) == len(set(got)) or len(got) == len(want)
+        # out-of-range page is empty, not an error
+        assert zipnum_page(spark, out, pages, 3, prefix=prefix).count() == 0
+
+
+def test_pagination_page_fetches_only_its_blocks(spark, tmp_path):
+    from warcio_spark.sources.zipnum import zipnum_page
+
+    out = str(tmp_path / "cluster")
+    write_zipnum(_synthetic_lines(spark, 300), out,
+                 lines_per_block=13, num_parts=3)
+    summ = read_summary(spark, out).collect()
+    page0 = zipnum_page(spark, out, 0, 2).count()
+    # first two blocks in cluster order
+    want = sum(r["n_lines"] for r in
+               sorted(summ, key=lambda r: (r["part"], r["offset"]))[:2])
+    assert page0 == want
+
+
+def test_pagination_validation(spark, tmp_path):
+    from warcio_spark.sources.zipnum import zipnum_num_pages, zipnum_page
+
+    out = str(tmp_path / "cluster")
+    write_zipnum(_synthetic_lines(spark, 50), out, lines_per_block=7,
+                 num_parts=2)
+    with pytest.raises(ValueError):
+        zipnum_num_pages(spark, out, 0)
+    with pytest.raises(ValueError):
+        zipnum_page(spark, out, 0, -1)
+    with pytest.raises(ValueError):
+        zipnum_page(spark, out, -1, 2)
+
+
+def test_paged_block_summary_matches_disk_faces(spark, tmp_path):
+    """The pure-DataFrame pagination twin agrees with the materialized
+    cluster: same page count, same per-page block/line accounting
+    (single-shard cluster, where block ids align 1:1)."""
+    from warcio_spark.sources.zipnum import (
+        paged_block_summary, zipnum_num_pages)
+
+    out = str(tmp_path / "cluster")
+    lines = _synthetic_lines(spark, 200)
+    write_zipnum(lines, out, lines_per_block=11, num_parts=1)
+    keep = []
+    pages = paged_block_summary(lines, 11, 4, persist_tracker=keep)
+    rows = {r["page"]: r for r in pages.collect()}
+    for df in keep:
+        df.unpersist()
+    assert len(rows) == zipnum_num_pages(spark, out, 4)
+    summ = sorted(read_summary(spark, out).collect(),
+                  key=lambda r: (r["part"], r["offset"]))
+    for p, r in rows.items():
+        blocks = summ[p * 4:(p + 1) * 4]
+        assert r["n_blocks"] == len(blocks)
+        assert r["n_lines"] == sum(b["n_lines"] for b in blocks)
+        assert r["first_key"] == blocks[0]["key"]
+        assert r["last_key"] == blocks[-1]["key"]

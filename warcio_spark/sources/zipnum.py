@@ -156,37 +156,88 @@ def read_zipnum(spark: SparkSession, cluster_dir: str) -> DataFrame:
         specs.rdd.mapPartitions(_fetch_blocks(cluster_dir)), "line string")
 
 
-def zipnum_prefix(spark: SparkSession, cluster_dir: str,
-                  prefix: str) -> DataFrame:
-    """All index lines starting with ``prefix`` (a urlkey or urlkey
-    prefix), fetching only blocks whose key range can contain it.
-
-    A block's range is [its first key, next block's first key]; a block
-    survives when ``next_key >= prefix`` and ``first_key <= prefix+high``
-    — the binary-search window every zipnum server computes. The filter
-    runs on the summary (1/N-sized), the fetch touches only survivors:
-    block-level pruning, the point of the layout.
-    """
+def _pruned_summary(spark: SparkSession, cluster_dir: str,
+                    prefix: str | None) -> DataFrame:
+    """Summary rows whose block can contain ``prefix``-matching lines,
+    with a ``blk`` ordinal in cluster order. A block's range is [its
+    first key, next block's first key]; it survives when ``next_key >=
+    prefix`` and ``first_key <= prefix+high`` — the binary-search window
+    every zipnum server computes. The unpartitioned window runs over the
+    SUMMARY (1/N-sized, one task by design — same budget as the server's
+    in-RAM binary search)."""
     from pyspark.sql import Window
 
     specs = read_summary(spark, cluster_dir)
     # cluster order = (part, offset); next block's first key bounds mine
     w = Window.orderBy("part", "offset")
-    hi = prefix + "￿"
-    survivors = (
-        specs.withColumn("next_key", F.lead("key").over(w))
-        .filter(
+    specs = specs.withColumn("next_key", F.lead("key").over(w))
+    if prefix is not None:
+        hi = prefix + "￿"
+        specs = specs.filter(
             (F.col("key") <= hi)
             & (F.col("next_key").isNull() | (F.col("next_key") >= prefix))
         )
-        .drop("next_key")
-    )
-    # the unpartitioned window runs over the SUMMARY (1/N-sized, one
-    # task by design — same budget as the server's in-RAM binary search)
+    return specs.drop("next_key").withColumn(
+        "blk", F.row_number().over(Window.orderBy("part", "offset")) - 1)
+
+
+def zipnum_prefix(spark: SparkSession, cluster_dir: str,
+                  prefix: str) -> DataFrame:
+    """All index lines starting with ``prefix`` (a urlkey or urlkey
+    prefix), fetching only blocks whose key range can contain it: the
+    filter runs on the summary (1/N-sized), the fetch touches only
+    survivors — block-level pruning, the point of the layout.
+    """
+    survivors = _pruned_summary(spark, cluster_dir, prefix).drop("blk")
     out = spark.createDataFrame(
         survivors.rdd.mapPartitions(_fetch_blocks(cluster_dir)),
         "line string")
     return out.filter(F.col("line").startswith(prefix))
+
+
+def zipnum_num_pages(spark: SparkSession, cluster_dir: str,
+                     page_size_blocks: int,
+                     prefix: str | None = None) -> int:
+    """The CDX server pagination API's ``showNumPages=true``: how many
+    pages of ``page_size_blocks`` secondary-index blocks the (optionally
+    prefix-pruned) query spans — ``ceil(matched_blocks / pageSize)``,
+    the publicly documented IA/pywb semantics (pagination granularity is
+    the ZipNum block, never the line). Driver-side count of the
+    1/N-sized summary."""
+    if page_size_blocks <= 0:
+        raise ValueError(
+            f"page_size_blocks must be positive, got {page_size_blocks}")
+    n = _pruned_summary(spark, cluster_dir, prefix).count()
+    return -(-n // page_size_blocks)
+
+
+def zipnum_page(spark: SparkSession, cluster_dir: str, page: int,
+                page_size_blocks: int,
+                prefix: str | None = None) -> DataFrame:
+    """One page of the paginated CDX query (``page=N&pageSize=M``):
+    fetch ONLY the page's blocks — summary rows [page*M, (page+1)*M) in
+    cluster order among the prefix's survivors — then line-filter to the
+    prefix. Out-of-range pages are empty, pages are 0-based, and the
+    union of all pages equals ``zipnum_prefix`` exactly (pinned in
+    tests/test_zipnum.py). Each page run re-reads only the 1/N summary
+    plus its own M gzip blocks, so clients page through a 10^10-line
+    index with bounded work per request — the reason the IA server
+    exposes pagination at block granularity."""
+    if page_size_blocks <= 0:
+        raise ValueError(
+            f"page_size_blocks must be positive, got {page_size_blocks}")
+    if page < 0:
+        raise ValueError(f"page must be >= 0, got {page}")
+    lo, hi = page * page_size_blocks, (page + 1) * page_size_blocks
+    survivors = (
+        _pruned_summary(spark, cluster_dir, prefix)
+        .filter((F.col("blk") >= lo) & (F.col("blk") < hi)).drop("blk"))
+    out = spark.createDataFrame(
+        survivors.rdd.mapPartitions(_fetch_blocks(cluster_dir)),
+        "line string")
+    if prefix is not None:
+        out = out.filter(F.col("line").startswith(prefix))
+    return out
 
 
 def zipnum_block_summary(
@@ -228,4 +279,43 @@ def zipnum_block_summary(
         .agg(F.min("line").alias("first_line"),
              F.count(F.lit(1)).cast("long").alias("n_lines"))
         .select("block_id", key.alias("first_key"), "n_lines")
+    )
+
+
+def paged_block_summary(
+    lines: DataFrame,
+    lines_per_block: int,
+    page_size_blocks: int,
+    *,
+    line_col: str = "line",
+    persist_tracker: list | None = None,
+) -> DataFrame:
+    """The pagination face of ``zipnum_block_summary`` as a pure
+    DataFrame computation — each block assigned to its page
+    (``floor(block_id / page_size_blocks)``, the IA server's mapping),
+    aggregated to one row per page: (page, n_blocks, n_lines,
+    first_key, last_key). This is exactly what ``zipnum_num_pages`` /
+    ``zipnum_page`` compute from the materialized ``cluster.idx``
+    (minus gzip offsets); the disk-backed face is pytest-pinned to it.
+    One extra partial agg over the block summary — no new shuffle
+    pattern at any scale."""
+    if page_size_blocks <= 0:
+        raise ValueError(
+            f"page_size_blocks must be positive, got {page_size_blocks}")
+    blocks = zipnum_block_summary(
+        lines, lines_per_block, line_col=line_col,
+        persist_tracker=persist_tracker)
+    return (
+        blocks.withColumn(
+            "page",
+            F.floor(F.col("block_id") / page_size_blocks).cast("long"))
+        .groupBy("page")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.min(F.struct("block_id", "first_key"))["first_key"]
+            .alias("first_key"),
+            F.max(F.struct("block_id", "first_key"))["first_key"]
+            .alias("last_key"),
+        )
     )
