@@ -437,3 +437,114 @@ def test_zipnum_cli_roundtrip_and_lookup(spark, capsys, tmp_path):
     got_lookup = [l for l in lines.splitlines() if l.strip()]
     assert got_lookup == sorted(l for l in want if l.startswith(prefix))
     assert got_lookup
+
+
+def test_lookup_cli_multi_cluster_merge(spark, capsys, tmp_path):
+    """Several clusters = query-time merge (incremental indexing): the
+    union of two half-corpus clusters answers prefix lookups exactly
+    like one full cluster."""
+    from pyspark.sql import functions as F
+
+    from warcio_spark.operators.indexer import index_cdxj
+    from warcio_spark.sources import read_warc
+
+    warc = os.path.join(CORPUS, "example.warc.gz")
+    lines = index_cdxj(read_warc(spark, warc, include_payload=False,
+                                 include_content=False)).select("line")
+    rows = sorted(r["line"] for r in lines.collect())
+    half = len(rows) // 2
+    from warcio_spark.sources.zipnum import write_zipnum
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    mk = lambda rs: spark.createDataFrame([(l,) for l in rs], ["line"])
+    write_zipnum(mk(rows[:half]), a, lines_per_block=2, num_parts=1)
+    write_zipnum(mk(rows[half:]), b, lines_per_block=2, num_parts=1)
+
+    prefix = rows[0].split(" ", 1)[0].rsplit(")", 1)[0]
+    code, out = run_cli(capsys, ["lookup", a, b, prefix])
+    assert code == 0
+    got = [l for l in out.splitlines() if l.strip()]
+    assert got == sorted(l for l in rows if l.startswith(prefix))
+    assert got
+
+
+def test_lookup_cli_pagination(spark, capsys, tmp_path):
+    """--show-num-pages / --page N --page-size M over one cluster:
+    union of the pages equals the plain lookup; page count matches."""
+    import json as _json
+
+    from warcio_spark.operators.indexer import index_cdxj
+    from warcio_spark.sources import read_warc
+    from warcio_spark.sources.zipnum import write_zipnum
+
+    warc = os.path.join(CORPUS, "example.warc.gz")
+    lines = index_cdxj(read_warc(spark, warc, include_payload=False,
+                                 include_content=False)).select("line")
+    out_dir = str(tmp_path / "cluster")
+    write_zipnum(lines, out_dir, lines_per_block=2, num_parts=2)
+
+    prefix = ""
+    code, out = run_cli(capsys, ["lookup", out_dir, prefix,
+                                 "--show-num-pages", "--page-size", "2"])
+    assert code == 0
+    pages = _json.loads(out)["pages"]
+    assert pages >= 1
+
+    all_lines = []
+    for p in range(pages):
+        code, out = run_cli(capsys, ["lookup", out_dir, prefix,
+                                     "--page", str(p), "--page-size", "2"])
+        assert code == 0
+        all_lines.extend(l for l in out.splitlines() if l.strip())
+    code, plain = run_cli(capsys, ["lookup", out_dir, prefix])
+    assert sorted(all_lines) == sorted(
+        l for l in plain.splitlines() if l.strip())
+
+    # pagination over two clusters is refused, not silently wrong
+    code, _ = run_cli(capsys, ["lookup", out_dir, out_dir, prefix,
+                               "--page", "0"])
+    assert code == 2
+
+
+def test_cdxq_cli_matches_library(spark, capsys, tmp_path):
+    """cdxq verb == sources/cdxj.cdx_query over the same index file:
+    same rows, server order, fl projection with '-' for NULL."""
+    from pyspark.sql import functions as F
+
+    from warcio_spark.operators.indexer import index_cdxj
+    from warcio_spark.sources import read_warc
+    from warcio_spark.sources.cdxj import cdx_query, parse_cdxj_lines
+
+    warc = os.path.join(CORPUS, "example.warc.gz")
+    lines = index_cdxj(read_warc(spark, warc, include_payload=False,
+                                 include_content=False)).select("line")
+    idx_path = str(tmp_path / "idx.cdxj")
+    with open(idx_path, "w") as f:
+        for r in lines.collect():
+            f.write(r["line"] + "\n")
+
+    argv = ["cdxq", idx_path, "--url", "http://example.com/",
+            "--match-type", "domain", "--filter", "mime:text/.*",
+            "--collapse", "digest"]
+    code, out = run_cli(capsys, argv)
+    assert code == 0
+    got = [l for l in out.splitlines() if l.strip()]
+
+    raw = spark.read.text(idx_path).withColumnRenamed("value", "line")
+    typed = parse_cdxj_lines(raw, keep=("line",)).filter(
+        F.col("urlkey").isNotNull())
+    want = [
+        r["line"] for r in cdx_query(
+            typed, url="http://example.com/", match_type="domain",
+            filters=["mime:text/.*"], collapse="digest",
+        ).orderBy("urlkey", "timestamp", "url").collect()
+    ]
+    assert got == want
+    assert got  # the corpus has text/* captures under example.com
+
+    # fl projection prints space-joined values, NULL as '-'
+    code, out = run_cli(capsys, argv + ["--fl", "timestamp,status,mime"])
+    assert code == 0
+    fl_lines = [l for l in out.splitlines() if l.strip()]
+    assert len(fl_lines) == len(want)
+    assert all(len(l.split(" ")) == 3 for l in fl_lines)

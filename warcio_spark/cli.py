@@ -185,15 +185,76 @@ def cmd_zipnum(args) -> int:
 
 
 def cmd_lookup(args) -> int:
-    """Prefix lookup against a ZipNum cluster
-    (sources/zipnum.zipnum_prefix): prints matching index lines in
-    merge order, touching only the gzip blocks whose key range can
-    contain the prefix."""
-    from warcio_spark.sources.zipnum import zipnum_prefix
+    """Prefix lookup against one or MORE ZipNum clusters
+    (sources/zipnum.zipnum_prefix / zipnum_prefix_multi — several
+    clusters is the incremental-index shape: historical cluster plus
+    delta clusters, merged at query time): prints matching index lines
+    in merge order, touching only the gzip blocks whose key range can
+    contain the prefix. Single-cluster queries also take the CDX
+    pagination API: --show-num-pages, or --page N --page-size M
+    (zipnum_num_pages / zipnum_page)."""
+    from warcio_spark.sources.zipnum import (
+        zipnum_num_pages,
+        zipnum_page,
+        zipnum_prefix_multi,
+    )
 
     spark = _spark()
-    lines = zipnum_prefix(spark, args.cluster, args.prefix).orderBy("line")
-    for r in lines.toLocalIterator():
+    paged = args.show_num_pages or args.page is not None
+    if paged and len(args.cluster) != 1:
+        sys.stderr.write("pagination requires exactly one cluster\n")
+        return 2
+    if args.show_num_pages:
+        n = zipnum_num_pages(spark, args.cluster[0], args.page_size,
+                             prefix=args.prefix)
+        sys.stdout.write(json.dumps(
+            {"pages": n, "pageSize": args.page_size}) + "\n")
+        return 0
+    if args.page is not None:
+        lines = zipnum_page(spark, args.cluster[0], args.page,
+                            args.page_size, prefix=args.prefix)
+    else:
+        lines = zipnum_prefix_multi(spark, args.cluster, args.prefix)
+    for r in lines.orderBy("line").toLocalIterator():
+        sys.stdout.write(r.line + "\n")
+    return 0
+
+
+def cmd_cdxq(args) -> int:
+    """CDX-server query over flat CDXJ/CDX11 index file(s)
+    (sources/cdxj.cdx_query — the IA/pywb CDX Server API as a batch
+    verb): --url + --match-type, --from/--to prefix bounds, repeatable
+    --filter [!]field:regex, --collapse field[:N], --limit/--reverse,
+    --fl projection. Prints the original index lines in server order
+    (urlkey asc, timestamp — reversed within urlkey by --reverse);
+    with --fl, space-joined field values (the server's fl= output,
+    NULL as '-')."""
+    from pyspark.sql import functions as F
+
+    from warcio_spark.sources.cdxj import (
+        cdx_query,
+        parse_cdx11_lines,
+        parse_cdxj_lines,
+    )
+
+    spark = _spark()
+    raw = spark.read.text(args.inputs).withColumnRenamed("value", "line")
+    parser = parse_cdx11_lines if args.cdx11 else parse_cdxj_lines
+    idx = parser(raw, keep=("line",)).filter(F.col("urlkey").isNotNull())
+    out = cdx_query(
+        idx, url=args.url, match_type=args.match_type,
+        from_ts=args.from_ts, to_ts=args.to_ts,
+        filters=args.filter or (), collapse=args.collapse,
+        limit=args.limit, reverse=args.reverse)
+    direction = (lambda c: c.desc()) if args.reverse else (lambda c: c.asc())
+    out = out.orderBy(F.col("urlkey").asc(), direction(F.col("timestamp")),
+                      direction(F.col("url")))
+    if args.fl:
+        fields = [f.strip() for f in args.fl.split(",")]
+        cols = [F.coalesce(F.col(f).cast("string"), F.lit("-"))
+                for f in fields]
+        out = out.select(F.concat_ws(" ", *cols).alias("line"))
+    for r in out.select("line").toLocalIterator():
         sys.stdout.write(r.line + "\n")
     return 0
 
@@ -390,9 +451,38 @@ def main(argv=None) -> int:
     pz.set_defaults(fn=cmd_zipnum)
 
     pl = sub.add_parser("lookup")
-    pl.add_argument("cluster", help="ZipNum cluster dir (zipnum verb output)")
+    pl.add_argument("cluster", nargs="+",
+                    help="ZipNum cluster dir(s); several = query-time "
+                         "merge (incremental indexing)")
     pl.add_argument("prefix", help="urlkey prefix to look up")
+    pl.add_argument("--page", type=int, default=None,
+                    help="0-based page of --page-size blocks (single "
+                         "cluster only)")
+    pl.add_argument("--page-size", type=int, default=1,
+                    help="page size in ZipNum blocks (IA pageSize)")
+    pl.add_argument("--show-num-pages", action="store_true",
+                    help="print the page count (IA showNumPages)")
     pl.set_defaults(fn=cmd_lookup)
+
+    pq = sub.add_parser("cdxq")
+    pq.add_argument("inputs", nargs="+", help="CDXJ/CDX11 index file(s)")
+    pq.add_argument("--url", default=None)
+    pq.add_argument("--match-type", default="exact",
+                    choices=["exact", "prefix", "host", "domain"])
+    pq.add_argument("--from", dest="from_ts", default=None,
+                    help="1-14 digit timestamp lower bound (pads down)")
+    pq.add_argument("--to", dest="to_ts", default=None,
+                    help="1-14 digit timestamp upper bound (pads UP)")
+    pq.add_argument("--filter", action="append",
+                    help="[!]field:regex, repeatable (anchored match)")
+    pq.add_argument("--collapse", default=None, help="field or field:N")
+    pq.add_argument("--limit", type=int, default=None)
+    pq.add_argument("--reverse", action="store_true")
+    pq.add_argument("--fl", default=None,
+                    help="comma-separated output fields")
+    pq.add_argument("--cdx11", action="store_true",
+                    help="inputs are classic 11-field CDX")
+    pq.set_defaults(fn=cmd_cdxq)
 
     pf = sub.add_parser("fetch")
     pf.add_argument("--index", required=True,

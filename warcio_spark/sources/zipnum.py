@@ -319,3 +319,24 @@ def paged_block_summary(
             .alias("last_key"),
         )
     )
+
+
+def zipnum_prefix_multi(spark: SparkSession, cluster_dirs,
+                        prefix: str) -> DataFrame:
+    """Query-time merge across several clusters — the pywb multi-source
+    shape that makes ZipNum indexing INCREMENTAL: new captures land in
+    their own (small) cluster and lookups union the per-cluster pruned
+    reads, so the big historical cluster is never rewritten (Common
+    Crawl ships one cluster per crawl the same way). Each cluster
+    contributes only its surviving blocks; total work is the sum of the
+    per-cluster binary-search windows. Merge order is per-cluster —
+    callers needing a total order add ``orderBy('line')`` at their
+    scope, exactly as with ``read_zipnum``."""
+    dirs = list(cluster_dirs)
+    if not dirs:
+        raise ValueError("zipnum_prefix_multi needs at least one cluster")
+    out = None
+    for d in dirs:
+        part = zipnum_prefix(spark, d, prefix)
+        out = part if out is None else out.unionByName(part)
+    return out
