@@ -1378,6 +1378,41 @@ def q_freshness(spark, sf):
         "url", "last_fetch_ts", "lifetime_s", "stale_at")
 
 
+def q_domain_quality(spark, sf):
+    """Domain-level curation (operators/domains): synthesize hosts with
+    multi-label public suffixes (www.siteK.co.uk / news.siteK.com.au)
+    and plain .com subdomain hosts, extract the registered domain
+    (codegen IN-list suffix logic, no PSL join), aggregate per-domain
+    quality over n_chars (domain_stats), and keep only domains passing
+    the site gates (filter_by_domain_stats: unjudged-small kept,
+    judged need mean >= 300). Returns the surviving domains' stats
+    rows. The DuckDB oracle replays the suffix tail logic with
+    regexps and the gate arithmetic."""
+    from warcio_spark.operators.domains import (
+        domain_stats, filter_by_domain_stats, registered_domain)
+
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    host = (
+        F.when(d % 5 == 0, F.concat(F.lit("www.site"), s(d % 17),
+                                    F.lit(".co.uk")))
+        .when(d % 5 == 1, F.concat(F.lit("news.site"), s(d % 17),
+                                   F.lit(".com.au")))
+        .otherwise(F.concat(F.lit("w"), s(d % 3), F.lit(".site"),
+                            s(d % 23), F.lit(".com"))))
+    docs2 = docs.select(
+        "doc_id", "n_chars",
+        registered_domain(host).alias("domain"))
+    stats = domain_stats(docs2, score_col="n_chars", low_threshold=200)
+    kept = (filter_by_domain_stats(docs2, stats, min_docs=5,
+                                   min_mean=300.0)
+            .select("domain").distinct())
+    return stats.join(kept, "domain", "left_semi").select(
+        "domain", "n_docs", "mean_score", "min_score", "max_score",
+        "frac_low")
+
+
 def q_timemap(spark, sf):
     """Memento TimeMap (operators/indexer.timemap_links): the
     closest_capture index universe (97 hosts x 17 paths, one capture per
@@ -1885,6 +1920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_locs": q_sitemap_locs,
         "sitemap_recrawl": q_sitemap_recrawl,
         "freshness": q_freshness,
+        "domain_quality": q_domain_quality,
         "robots_sitemaps": q_robots_sitemaps,
         "index_dedup": q_index_dedup,
         "revalidation": q_revalidation,
@@ -2185,6 +2221,41 @@ def oracle_sql() -> dict[str, str]:
                    (path_depth > 12 OR url_len > 512 OR n_params > 12
                     OR dup_segments > 2) AS is_trap
             FROM y
+        """,
+        "domain_quality": """
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                CASE doc_id % 5
+                  WHEN 0 THEN 'www.site' || (doc_id % 17)::VARCHAR
+                              || '.co.uk'
+                  WHEN 1 THEN 'news.site' || (doc_id % 17)::VARCHAR
+                              || '.com.au'
+                  ELSE 'w' || (doc_id % 3)::VARCHAR || '.site'
+                       || (doc_id % 23)::VARCHAR || '.com' END AS host
+              FROM documents),
+            d AS (
+              SELECT doc_id, n_chars,
+                CASE WHEN regexp_extract(host,
+                            '([^.]+\.[^.]+)$', 1)
+                          IN ('co.uk', 'com.au')
+                     THEN regexp_extract(host,
+                            '((?:[^.]+\.){2}[^.]+)$', 1)
+                     ELSE regexp_extract(host,
+                            '([^.]+\.[^.]+)$', 1) END AS domain
+              FROM h),
+            st AS (
+              SELECT domain,
+                     count(*)::BIGINT AS n_docs,
+                     avg(n_chars::DOUBLE) AS mean_score,
+                     min(n_chars::DOUBLE) AS min_score,
+                     max(n_chars::DOUBLE) AS max_score,
+                     avg(CASE WHEN n_chars < 200 THEN 1.0
+                              WHEN n_chars IS NOT NULL THEN 0.0
+                         END) AS frac_low
+              FROM d GROUP BY domain)
+            SELECT domain, n_docs, mean_score, min_score, max_score,
+                   frac_low
+            FROM st WHERE n_docs < 5 OR mean_score >= 300
         """,
         "freshness": """
             WITH c1 AS (

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "cdx_query",
     "sitemap_recrawl",
     "freshness",
+    "domain_quality",
     "closest_capture",
     "host_graph",
     "host_rank",

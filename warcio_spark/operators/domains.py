@@ -1,0 +1,107 @@
+"""Domain-level corpus curation: registered-domain extraction and
+per-domain quality aggregation/filtering — the RefinedWeb/C4-style
+"judge the site, not just the page" stage of a webtext pipeline (bad
+domains are dropped wholesale; borderline pages ride on their domain's
+reputation).
+
+Reference scope: the reference library stops at record IO; this is the
+curation tier above it, same layer as operators/pipeline.
+
+Scale shape: the stats table is #domains-sized (millions when the
+corpus is billions), built by ONE partial-aggregated groupBy on the
+domain; the filter join back is broadcastable in the common case and an
+ordinary equi join otherwise. ``registered_domain`` is pure codegen —
+no lookup table crosses the wire.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from warcio_spark.plans.scope import host_tail2
+
+# Common multi-label public suffixes. The full Public Suffix List is
+# ~10k entries and changes monthly — callers with PSL fidelity needs
+# pass their own tuple; this default covers the high-traffic ccTLD
+# second-level registries so `bbc.co.uk` and `smh.com.au` do not
+# collapse into `co.uk` / `com.au` buckets.
+DEFAULT_MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "edu.cn", "gov.cn",
+    "co.in", "net.in", "org.in", "co.kr", "or.kr",
+    "com.mx", "com.ar", "com.tw", "com.tr", "com.sg", "com.hk",
+    "co.za", "co.nz", "org.nz", "co.th", "co.id",
+)
+
+
+def registered_domain(
+        host, multi_suffixes: tuple = DEFAULT_MULTI_SUFFIXES) -> Column:
+    """The registrable domain of a host: the two-label tail, except when
+    that tail is itself a multi-label public suffix (``co.uk``) — then
+    the three-label tail. A pure codegen expression: the suffix set
+    compiles to one IN list, no join, no UDF. Hosts with fewer labels
+    than the rule wants return what they have (``host_tail2`` semantics:
+    a bare label is its own tail)."""
+    h = F.col(host) if isinstance(host, str) else host
+    tail2 = host_tail2(h)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    tail3 = F.array_join(
+        F.slice(labels, F.greatest(n - 2, F.lit(1)), F.lit(3)), ".")
+    return F.when(
+        tail2.isin(*multi_suffixes), tail3).otherwise(tail2)
+
+
+def domain_stats(df: DataFrame, domain_col: str = "domain",
+                 score_col: str = "score",
+                 low_threshold: float = 0.0) -> DataFrame:
+    """Per-domain quality aggregate: (domain, n_docs, mean_score,
+    min_score, max_score, frac_low) with ``frac_low`` the fraction of
+    docs scoring strictly below ``low_threshold``. One map-side-combined
+    groupBy; NULL scores count toward n_docs but not toward any score
+    statistic (SQL aggregate semantics), and a NULL score is never
+    "low"."""
+    s = F.col(score_col).cast("double")
+    return df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(s).alias("mean_score"),
+        F.min(s).alias("min_score"),
+        F.max(s).alias("max_score"),
+        F.avg(F.when(s < float(low_threshold), 1.0).otherwise(
+            F.when(s.isNotNull(), 0.0))).alias("frac_low"),
+    )
+
+
+def filter_by_domain_stats(
+        df: DataFrame, stats: DataFrame, *,
+        domain_col: str = "domain",
+        min_docs: int = 1,
+        min_mean: float | None = None,
+        max_frac_low: float | None = None,
+        broadcast_stats: bool = True) -> DataFrame:
+    """Keep only docs whose domain passes the site-level gates: at
+    least ``min_docs`` observations (below that the domain is unjudged
+    and KEPT — a one-page domain shouldn't die to variance), and, when
+    judged, ``mean_score >= min_mean`` / ``frac_low <= max_frac_low``.
+    Implemented as one left join against the (broadcast by default)
+    stats table + a codegen predicate; schema passes through."""
+    verdict = stats.select(
+        F.col("domain").alias("_sd"),
+        ((F.col("n_docs") < int(min_docs))
+         | ((F.lit(True) if min_mean is None
+             else F.col("mean_score") >= float(min_mean))
+            & (F.lit(True) if max_frac_low is None
+               else F.coalesce(F.col("frac_low")
+                               <= float(max_frac_low), F.lit(True))))
+         ).alias("_keep"),
+    )
+    if broadcast_stats:
+        verdict = F.broadcast(verdict)
+    out = df.join(verdict, df[domain_col] == verdict["_sd"], "left")
+    # a domain absent from stats is unjudged -> kept
+    return out.filter(F.coalesce(F.col("_keep"), F.lit(True))).drop(
+        "_sd", "_keep")
