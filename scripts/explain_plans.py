@@ -43,6 +43,11 @@ PICKS = [
     "normalize_text",  # ASCII split-union: codegen fast leg, one ArrowEvalPython slow leg
     "scope_filter",  # broadcast hash LeftSemi (equi tail + subdomain residual), codegen exclude
     "weighted_mix",  # literal threshold map + md5 compare: zero joins, zero shuffles
+    "cdx_query",  # constant predicates over the scan + ONE urlkey lag window
+    "sitemap_recrawl",  # regexp codegen + max-agg + one equi join, no nested loop
+    "freshness",  # header ladder codegen + latest-wins groupBy + filter
+    "zipnum_pages",  # block summary + one page groupBy on top
+    "domain_quality",  # suffix codegen + stats groupBy + broadcast verdict
 ]
 
 
