@@ -520,6 +520,31 @@ def modified_since_capture(entries: DataFrame,
     )
 
 
+def seeds_from_modified(entries: DataFrame, index: DataFrame,
+                        priority: float = 95.0) -> DataFrame:
+    """Sitemap-lastmod recrawl hints as frontier candidates (url,
+    priority, seq): ``modified_since_capture``'s due rows in the
+    sitemap seq namespace (same 30-bit source bucket x 64Ki positions
+    as ``seeds_from_sitemaps`` — the hint IS a sitemap discovery, just
+    filtered by the change claim), at a higher default priority than
+    plain sitemap seeds: the site explicitly claims these changed.
+    Compose into ``crawl(extra_seeds=...)`` or union with
+    ``plans.crawl.recrawl_due`` output — both feed
+    ``prepare_candidates``."""
+    due = modified_since_capture(entries, index).filter(
+        F.col("due") & (F.col("pos") < MAX_LINKS_PER_PAGE * 1024))
+    s = F.pmod(F.xxhash64("src_url"), F.lit(1 << 30))
+    return due.select(
+        F.col("loc").alias("url"),
+        F.lit(float(priority)).alias("priority"),
+        (
+            F.lit(SITEMAP_SEQ_BASE)
+            + s * (MAX_LINKS_PER_PAGE * 1024)
+            + F.col("pos")
+        ).alias("seq"),
+    )
+
+
 def oracle_sitemap_locs(xml: str) -> list:
     """Independent implementation: xml.etree over the sitemap namespace(s),
     falling back to a namespace-agnostic local-name scan."""
