@@ -577,6 +577,37 @@ def q_zipnum_pages(spark, sf):
                                persist_tracker=_QUERY_PERSISTS)
 
 
+def q_cdx_tld_manifest(spark, sf):
+    """Columnar CDX table partition manifest (sources/cdx_table): the
+    per-tld partition key ``write_cdx_table`` derives with ``tld_expr``
+    (first SURT label; junk keys without a comma/paren fall whole into
+    their own bounded partition), with the per-partition accounting a
+    catalog would read off the layout — capture count, distinct
+    urlkeys, and the (min, max) urlkey range that row-group stats
+    expose for pruning. One hash-shuffle groupBy; the manifest is
+    #tlds-sized at any corpus scale. The DuckDB oracle replays the
+    nested split_part."""
+    from warcio_spark.sources.cdx_table import tld_expr
+
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+        (d % 3 + 1).cast("int"))
+    urlkey = F.when(
+        d % 31 == 0, F.concat(F.lit("junk-"), s(d))
+    ).otherwise(
+        F.concat(tld, F.lit(",example,h"), s(d % 7), F.lit(")/p/"),
+                 s(d % 97)))
+    idx = _t(spark, sf, "documents").select(urlkey.alias("urlkey"))
+    return idx.groupBy(tld_expr("urlkey").alias("tld")).agg(
+        F.count("*").alias("n_captures"),
+        F.count_distinct("urlkey").alias("n_urlkeys"),
+        F.min("urlkey").alias("min_key"),
+        F.max("urlkey").alias("max_key"),
+    )
+
+
 def q_shard_assignment(spark, sf):
     """Token-balanced output sharding (pipeline.shard_assignment):
     shard_id = floor(global-exclusive-cumsum(n_tokens) / 2000) in doc_id
@@ -1941,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assignment": q_shard_assignment,
         "zipnum_summary": q_zipnum_summary,
         "zipnum_pages": q_zipnum_pages,
+        "cdx_tld_manifest": q_cdx_tld_manifest,
         "normalize_text": q_normalize_text,
         "scope_filter": q_scope_filter,
         "weighted_mix": q_weighted_mix,
@@ -3016,6 +3048,23 @@ def oracle_sql() -> dict[str, str]:
                    min_by(first_key, block_id) AS first_key,
                    max_by(first_key, block_id) AS last_key
             FROM blocks GROUP BY 1
+        """,
+        "cdx_tld_manifest": """
+            WITH idx AS (
+              SELECT CASE WHEN doc_id % 31 = 0
+                       THEN 'junk-' || doc_id::VARCHAR
+                     ELSE ['com', 'org', 'net'][(doc_id % 3 + 1)::INT]
+                          || ',example,h' || (doc_id % 7)::VARCHAR
+                          || ')/p/' || (doc_id % 97)::VARCHAR
+                     END AS urlkey
+              FROM documents
+            )
+            SELECT split_part(split_part(urlkey, ')', 1), ',', 1) AS tld,
+                   count(*)::BIGINT AS n_captures,
+                   count(DISTINCT urlkey)::BIGINT AS n_urlkeys,
+                   min(urlkey) AS min_key,
+                   max(urlkey) AS max_key
+            FROM idx GROUP BY 1
         """,
         "zipnum_summary": """
             WITH lines AS (
