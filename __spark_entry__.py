@@ -608,6 +608,96 @@ def q_cdx_tld_manifest(spark, sf):
     )
 
 
+def q_link_directives(spark, sf):
+    """Link-level indexing directives (operators/links.link_rel_structs /
+    extract_outlink_directives): anchors with their rel microformat —
+    nofollow (2005 REP extension), ugc/sponsored (2019) — extracted from
+    the whole attribute blob, href cleaned+resolved with the shared
+    contract, pos = document position among anchor-with-attribute tags
+    pre-href-filter. The DuckDB oracle replays blob regex, the
+    _attr_value quoting precedence, token matching, and RFC-3986
+    resolution."""
+    from warcio_spark.operators.links import extract_outlink_directives
+
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    rel = F.element_at(
+        F.array(F.lit(""), F.lit(' rel="nofollow"'),
+                F.lit(" rel='ugc sponsored'"), F.lit(" rel=NOFOLLOW"),
+                F.lit(' rel="me nofollower"')),
+        (d % 5 + 1).cast("int"))
+    html = F.concat(
+        F.lit('<a href="http://peer'), s(d % 13), F.lit(".example.org/a"),
+        s(d % 71), F.lit('.html"'), rel, F.lit(">x</a> "),
+        F.lit("<a href=/p"), s(d % 7), F.lit(".html"),
+        F.when(d % 2 == 0, F.lit(" rel=nofollow")).otherwise(F.lit("")),
+        F.lit(">y</a> "),
+        F.when(d % 6 == 0, F.lit('<a rel="nofollow">nohref</a> ')
+               ).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("<a href=#top rel=ugc>z</a>")
+               ).otherwise(F.lit("")),
+    )
+    base = F.concat(F.lit("http://h"), s(d % 11),
+                    F.lit(".example.com/dir/pg"), s(d), F.lit(".html"))
+    pages = _t(spark, sf, "documents").select(
+        "doc_id", base.alias("page_url"), html.alias("text"))
+    return extract_outlink_directives(pages, text_col="text").select(
+        "doc_id", "pos", "href",
+        F.col("outlink").alias("outlink"),
+        "rel", "nofollow", "ugc", "sponsored",
+    )
+
+
+def q_page_directives(spark, sf):
+    """Page-level indexing directives (operators/links.robots_directives
+    + canonical_link): <meta name=robots> noindex/nofollow/noarchive with
+    the 'none' alias and additive multi-meta semantics, scoped to the
+    head region, plus the resolved rel=canonical target. This universe
+    keeps canonical hrefs absolute-or-root-relative so the oracle's
+    resolution replay is the two-arm CASE; the full reference-resolution
+    replay lives in the link_directives oracle."""
+    from warcio_spark.operators.links import (canonical_link,
+                                              robots_directives)
+
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    html = F.concat(
+        F.lit("<head>"),
+        F.when(d % 3 == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow">')
+               ).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("<meta NAME=ROBOTS content=NONE>")
+               ).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("<meta name=robots content=noarchive>")
+               ).otherwise(F.lit("")),
+        F.lit('<meta name="viewport" content="noindex">'),
+        F.when(d % 4 == 0,
+               F.concat(F.lit('<link rel="canonical" href="/canon/'),
+                        s(d % 29), F.lit('">'))).otherwise(F.lit("")),
+        F.when(d % 9 == 0,
+               F.concat(F.lit("<link rel='canonical alternate' "
+                              "href='https://cdn.example.net/c"),
+                        s(d % 17), F.lit("'>"))).otherwise(F.lit("")),
+        F.lit('<link rel=stylesheet href=/css.css>'),
+        F.lit("</head><body>"),
+        F.when(d % 8 == 0, F.lit("<meta name=robots content=noindex>")
+               ).otherwise(F.lit("")),
+        F.lit("</body>"),
+    )
+    base = F.concat(F.lit("http://h"), s(d % 11), F.lit(".example.com/p/"),
+                    s(d))
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", base.alias("url"), html.alias("text"))
+    rd = robots_directives(F.col("text"))
+    return docs.select(
+        "doc_id",
+        rd["noindex"].alias("noindex"),
+        rd["nofollow"].alias("nofollow"),
+        rd["noarchive"].alias("noarchive"),
+        canonical_link(F.col("url"), F.col("text")).alias("canonical"),
+    )
+
+
 def q_shard_assignment(spark, sf):
     """Token-balanced output sharding (pipeline.shard_assignment):
     shard_id = floor(global-exclusive-cumsum(n_tokens) / 2000) in doc_id
@@ -1973,6 +2063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipnum_summary": q_zipnum_summary,
         "zipnum_pages": q_zipnum_pages,
         "cdx_tld_manifest": q_cdx_tld_manifest,
+        "link_directives": q_link_directives,
+        "page_directives": q_page_directives,
         "normalize_text": q_normalize_text,
         "scope_filter": q_scope_filter,
         "weighted_mix": q_weighted_mix,
@@ -3048,6 +3140,190 @@ def oracle_sql() -> dict[str, str]:
                    min_by(first_key, block_id) AS first_key,
                    max_by(first_key, block_id) AS last_key
             FROM blocks GROUP BY 1
+        """,
+        "link_directives": """
+            WITH u AS (
+              SELECT doc_id,
+                'http://h' || (doc_id % 11)::VARCHAR || '.example.com/dir/pg'
+                  || doc_id::VARCHAR || '.html' AS base,
+                '<a href="http://peer' || (doc_id % 13)::VARCHAR
+                  || '.example.org/a' || (doc_id % 71)::VARCHAR || '.html"'
+                  || ['', ' rel="nofollow"', ' rel=''ugc sponsored''',
+                      ' rel=NOFOLLOW',
+                      ' rel="me nofollower"'][(doc_id % 5 + 1)::INT]
+                  || '>x</a> '
+                  || '<a href=/p' || (doc_id % 7)::VARCHAR || '.html'
+                  || CASE WHEN doc_id % 2 = 0 THEN ' rel=nofollow'
+                          ELSE '' END || '>y</a> '
+                  || CASE WHEN doc_id % 6 = 0
+                          THEN '<a rel="nofollow">nohref</a> ' ELSE '' END
+                  || CASE WHEN doc_id % 4 = 0
+                          THEN '<a href=#top rel=ugc>z</a>' ELSE '' END
+                  AS text
+              FROM documents),
+            m AS (
+              SELECT doc_id, base,
+                list_slice(regexp_extract_all(text,
+                  '(?i)<a(\\s(?:[^<>"'']|"[^"]*"|''[^'']*'')*)/?>', 1),
+                  1, 64) AS blobs
+              FROM u),
+            e AS (
+              SELECT doc_id, base, CAST(i - 1 AS INTEGER) AS pos,
+                regexp_replace(split_part(COALESCE(
+                  NULLIF(regexp_extract(blobs[i],
+                    '(?i)\\s(?:href)\\s*=\\s*"([^"]*)"', 1), ''),
+                  NULLIF(regexp_extract(blobs[i],
+                    '(?i)\\s(?:href)\\s*=\\s*''([^'']*)''', 1), ''),
+                  NULLIF(regexp_extract(blobs[i],
+                    '(?i)\\s(?:href)\\s*=\\s*([^\\s"''<>]+)', 1), ''),
+                  ''), '#', 1), '^\\s+|\\s+$', '', 'g') AS href,
+                COALESCE(
+                  NULLIF(regexp_extract(blobs[i],
+                    '(?i)\\s(?:rel)\\s*=\\s*"([^"]*)"', 1), ''),
+                  NULLIF(regexp_extract(blobs[i],
+                    '(?i)\\s(?:rel)\\s*=\\s*''([^'']*)''', 1), ''),
+                  NULLIF(regexp_extract(blobs[i],
+                    '(?i)\\s(?:rel)\\s*=\\s*([^\\s"''<>]+)', 1), ''),
+                  '') AS rel
+              FROM m, UNNEST(generate_series(1, len(blobs))) AS s(i)),
+            r AS (
+              SELECT doc_id, pos, href, rel,
+                regexp_extract(base, '^(https?://[^/?#]+)', 1) AS origin,
+                regexp_extract(base, '^(https?):', 1) AS scheme,
+                regexp_replace(
+                  substr(base,
+                    length(regexp_extract(base, '^(https?://[^/?#]+)', 1)) + 1),
+                  '[#?].*$', '') AS path
+              FROM e WHERE length(href) > 0)
+            SELECT doc_id, pos, href, outlink, rel,
+              regexp_matches(rel, '(?i)(^|[\\s])nofollow([\\s]|$)')
+                AS nofollow,
+              regexp_matches(rel, '(?i)(^|[\\s])ugc([\\s]|$)') AS ugc,
+              regexp_matches(rel, '(?i)(^|[\\s])sponsored([\\s]|$)')
+                AS sponsored
+            FROM (
+              SELECT doc_id, pos, href, rel,
+                CASE
+                  WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\\-]*:')
+                    THEN CASE WHEN regexp_matches(href, '^https?://')
+                              THEN href END
+                  WHEN starts_with(href, '//') THEN scheme || ':' || href
+                  WHEN starts_with(href, '/') THEN origin || href
+                  WHEN starts_with(href, '?') THEN origin || path || href
+                  ELSE origin
+                    || CASE WHEN path = '' THEN '/'
+                            ELSE regexp_replace(path, '[^/]*$', '') END
+                    || href
+                END AS outlink
+              FROM r)
+            WHERE outlink IS NOT NULL
+        """,
+        "page_directives": """
+            WITH u AS (
+              SELECT doc_id,
+                'http://h' || (doc_id % 11)::VARCHAR || '.example.com/p/'
+                  || doc_id::VARCHAR AS url,
+                '<head>'
+                  || CASE WHEN doc_id % 3 = 0 THEN
+                       '<meta name="robots" content="noindex, nofollow">'
+                     ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0 THEN
+                       '<meta NAME=ROBOTS content=NONE>' ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0 THEN
+                       '<meta name=robots content=noarchive>' ELSE '' END
+                  || '<meta name="viewport" content="noindex">'
+                  || CASE WHEN doc_id % 4 = 0 THEN
+                       '<link rel="canonical" href="/canon/'
+                       || (doc_id % 29)::VARCHAR || '">' ELSE '' END
+                  || CASE WHEN doc_id % 9 = 0 THEN
+                       '<link rel=''canonical alternate'' '
+                       || 'href=''https://cdn.example.net/c'
+                       || (doc_id % 17)::VARCHAR || '''>' ELSE '' END
+                  || '<link rel=stylesheet href=/css.css>'
+                  || '</head><body>'
+                  || CASE WHEN doc_id % 8 = 0 THEN
+                       '<meta name=robots content=noindex>' ELSE '' END
+                  || '</body>' AS text
+              FROM documents),
+            h AS (
+              SELECT doc_id, url,
+                CASE WHEN regexp_matches(text, '(?is)</head\\s*>')
+                     THEN regexp_extract(text, '(?is)^(.*?)</head\\s*>', 1)
+                     ELSE text END AS head_src
+              FROM u),
+            mb AS (
+              SELECT doc_id, url, head_src,
+                list_slice(regexp_extract_all(head_src,
+                  '(?i)<meta(\\s(?:[^<>"'']|"[^"]*"|''[^'']*'')*)/?>', 1),
+                  1, 64) AS blobs,
+                list_slice(regexp_extract_all(head_src,
+                  '(?i)<link(\\s(?:[^<>"'']|"[^"]*"|''[^'']*'')*)/?>', 1),
+                  1, 64) AS lblobs
+              FROM h),
+            robots AS (
+              SELECT doc_id,
+                COALESCE(array_to_string(list_transform(list_filter(blobs,
+                  b -> lower(trim(COALESCE(
+                    NULLIF(regexp_extract(b,
+                      '(?i)\\s(?:name)\\s*=\\s*"([^"]*)"', 1), ''),
+                    NULLIF(regexp_extract(b,
+                      '(?i)\\s(?:name)\\s*=\\s*''([^'']*)''', 1), ''),
+                    NULLIF(regexp_extract(b,
+                      '(?i)\\s(?:name)\\s*=\\s*([^\\s"''<>]+)', 1), ''),
+                    ''))) = 'robots'),
+                  b -> COALESCE(
+                    NULLIF(regexp_extract(b,
+                      '(?i)\\s(?:content)\\s*=\\s*"([^"]*)"', 1), ''),
+                    NULLIF(regexp_extract(b,
+                      '(?i)\\s(?:content)\\s*=\\s*''([^'']*)''', 1), ''),
+                    NULLIF(regexp_extract(b,
+                      '(?i)\\s(?:content)\\s*=\\s*([^\\s"''<>]+)', 1), ''),
+                    '')), ','), '') AS combined
+              FROM mb),
+            canon AS (
+              SELECT doc_id,
+                list_transform(list_filter(lblobs, b ->
+                  regexp_matches(COALESCE(
+                    NULLIF(regexp_extract(b,
+                      '(?i)\\s(?:rel)\\s*=\\s*"([^"]*)"', 1), ''),
+                    NULLIF(regexp_extract(b,
+                      '(?i)\\s(?:rel)\\s*=\\s*''([^'']*)''', 1), ''),
+                    NULLIF(regexp_extract(b,
+                      '(?i)\\s(?:rel)\\s*=\\s*([^\\s"''<>]+)', 1), ''),
+                    ''), '(?i)(^|[\\s])canonical([\\s]|$)')
+                  AND length(regexp_replace(split_part(COALESCE(
+                    NULLIF(regexp_extract(b,
+                      '(?i)\\s(?:href)\\s*=\\s*"([^"]*)"', 1), ''),
+                    NULLIF(regexp_extract(b,
+                      '(?i)\\s(?:href)\\s*=\\s*''([^'']*)''', 1), ''),
+                    NULLIF(regexp_extract(b,
+                      '(?i)\\s(?:href)\\s*=\\s*([^\\s"''<>]+)', 1), ''),
+                    ''), '#', 1), '^\\s+|\\s+$', '', 'g')) > 0),
+                  b -> regexp_replace(split_part(COALESCE(
+                    NULLIF(regexp_extract(b,
+                      '(?i)\\s(?:href)\\s*=\\s*"([^"]*)"', 1), ''),
+                    NULLIF(regexp_extract(b,
+                      '(?i)\\s(?:href)\\s*=\\s*''([^'']*)''', 1), ''),
+                    NULLIF(regexp_extract(b,
+                      '(?i)\\s(?:href)\\s*=\\s*([^\\s"''<>]+)', 1), ''),
+                    ''), '#', 1), '^\\s+|\\s+$', '', 'g')) AS hrefs
+              FROM mb)
+            SELECT u.doc_id,
+              regexp_matches(r.combined, '(?i)(^|[\\s,])noindex([\\s,]|$)')
+                OR regexp_matches(r.combined, '(?i)(^|[\\s,])none([\\s,]|$)')
+                AS noindex,
+              regexp_matches(r.combined, '(?i)(^|[\\s,])nofollow([\\s,]|$)')
+                OR regexp_matches(r.combined, '(?i)(^|[\\s,])none([\\s,]|$)')
+                AS nofollow,
+              regexp_matches(r.combined, '(?i)(^|[\\s,])noarchive([\\s,]|$)')
+                AS noarchive,
+              CASE WHEN len(c.hrefs) >= 1 THEN
+                CASE WHEN regexp_matches(c.hrefs[1], '^https?://')
+                     THEN c.hrefs[1]
+                     ELSE regexp_extract(u.url, '^(https?://[^/?#]+)', 1)
+                          || c.hrefs[1] END
+              END AS canonical
+            FROM u JOIN robots r USING (doc_id) JOIN canon c USING (doc_id)
         """,
         "cdx_tld_manifest": """
             WITH idx AS (

@@ -1,0 +1,191 @@
+"""Link-level and page-level indexing directives (operators/links):
+rel=nofollow/ugc/sponsored on anchors, <meta name=robots> +
+X-Robots-Tag, rel=canonical — pinned against hand-built html, an
+independent html.parser oracle, and extract_outlinks parity."""
+
+from html.parser import HTMLParser
+
+from pyspark.sql import functions as F
+
+from warcio_spark.operators.links import (
+    canonical_link,
+    extract_outlink_directives,
+    extract_outlinks,
+    link_rel_structs,
+    robots_directives,
+)
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(pairs, ["page_url", "text"])
+
+
+def _directives(spark, url, html):
+    df = _rows(spark, [(url, html)]).select(
+        F.explode(link_rel_structs(F.col("page_url"), F.col("text"))).alias("e")
+    ).select("e.*")
+    return [r.asDict() for r in df.collect()]
+
+
+def test_link_rel_variants(spark):
+    html = (
+        '<a href="/a" rel="nofollow">1</a>'
+        "<a href='/b' rel='UGC sponsored'>2</a>"
+        '<a href=/c rel=NoFollow>3</a>'
+        '<a href="/d">4</a>'
+        '<a href="/e" rel="nofollowme">5</a>'
+        '<a rel="nofollow">no href</a>'
+        '<a href="/f" rel="external nofollow noopener">6</a>'
+    )
+    got = _directives(spark, "http://h.example.com/p/", html)
+    by_url = {r["url"]: r for r in got}
+    assert set(by_url) == {
+        "http://h.example.com%s" % p for p in ("/a", "/b", "/c", "/d", "/e", "/f")
+    }
+    nf = {u[-2:]: r["nofollow"] for u, r in by_url.items()}
+    assert nf == {"/a": True, "/b": False, "/c": True, "/d": False,
+                  "/e": False, "/f": True}
+    b = by_url["http://h.example.com/b"]
+    assert b["ugc"] and b["sponsored"] and not b["nofollow"]
+    # pos counts ALL anchor-with-attribute tags pre-href-filter: the
+    # href-less anchor occupies position 5
+    assert by_url["http://h.example.com/f"]["pos"] == 6
+
+
+class _RelOracle(HTMLParser):
+    def __init__(self):
+        super().__init__()
+        self.out = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag != "a":
+            return
+        d = dict(attrs)
+        href = (d.get("href") or "").split("#")[0].strip()
+        if href:
+            rel = (d.get("rel") or "").lower().split()
+            self.out.append((href, "nofollow" in rel))
+
+
+def _corpus(spark, n=120):
+    d = F.col("id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    rel = F.element_at(
+        F.array(F.lit(""), F.lit(' rel="nofollow"'), F.lit(" rel=ugc"),
+                F.lit(" rel='sponsored nofollow'"),
+                F.lit(' rel="me external"')),
+        (d % 5 + 1).cast("int"))
+    html = F.concat(
+        F.lit('<a href="http://peer'), s(d % 7),
+        F.lit('.example.org/x.html"'), rel, F.lit(">t</a> "),
+        F.lit("<a href='/r"), s(d % 3), F.lit("'"),
+        F.when(d % 2 == 0, F.lit(' rel="nofollow"')).otherwise(F.lit("")),
+        F.lit(">u</a> "),
+        F.when(d % 4 == 0, F.lit('<a href=#frag rel=nofollow>v</a>')
+               ).otherwise(F.lit("")),
+    )
+    return spark.range(n).select(
+        F.concat(F.lit("http://h"), s(d % 11), F.lit(".example.com/d/p"),
+                 s(d), F.lit(".html")).alias("page_url"),
+        html.alias("text"),
+    )
+
+
+def test_html_parser_oracle_and_outlinks_parity(spark):
+    pages = _corpus(spark)
+    got = extract_outlink_directives(pages, text_col="text")
+    rows = got.select("src_url", "href", "outlink", "nofollow").collect()
+    by_page = {}
+    for r in rows:
+        by_page.setdefault(r.src_url, []).append((r.href, r.nofollow))
+    for page in pages.collect():
+        o = _RelOracle()
+        o.feed(page.text)
+        assert sorted(by_page.get(page.page_url, [])) == sorted(o.out), \
+            page.page_url
+    # resolved-url parity with the production extractor on the same corpus
+    a = sorted(map(tuple, got.select("src_url", "outlink").collect()))
+    b = sorted(map(tuple, extract_outlinks(
+        pages, text_col="text").select("src_url", "outlink").collect()))
+    assert a == b and a
+
+
+def _robots(spark, html, headers=None):
+    df = _rows(spark, [("http://h.example.com/", html)])
+    hcol = None
+    if headers is not None:
+        hcol = F.array(*[
+            F.struct(F.lit(n).alias("name"), F.lit(v).alias("value"))
+            for n, v in headers
+        ])
+    return df.select(
+        robots_directives(F.col("text"), hcol).alias("d")
+    ).collect()[0].d.asDict()
+
+
+def test_robots_directives_meta(spark):
+    assert _robots(spark, '<head><meta name="robots" '
+                          'content="noindex, nofollow"></head>x') == \
+        {"noindex": True, "nofollow": True, "noarchive": False}
+    # 'none' alias, case-insensitive name and content
+    assert _robots(spark, "<head><meta NAME=ROBOTS content=NONE></head>") == \
+        {"noindex": True, "nofollow": True, "noarchive": False}
+    # additive across several metas
+    assert _robots(spark, '<head><meta name=robots content=noarchive>'
+                          '<meta name="robots" content="noindex"></head>') == \
+        {"noindex": True, "nofollow": False, "noarchive": True}
+    # a meta AFTER </head> does not count; other names never count
+    assert _robots(spark, '<head></head><meta name=robots content=noindex>') \
+        == {"noindex": False, "nofollow": False, "noarchive": False}
+    assert _robots(spark, '<head><meta name=viewport content=noindex>'
+                          '<meta name="description" content="none">'
+                          '</head>') == \
+        {"noindex": False, "nofollow": False, "noarchive": False}
+    # token discipline: 'noindexing' is not 'noindex'
+    assert _robots(spark, '<head><meta name=robots content=noindexing>'
+                          '</head>')["noindex"] is False
+
+
+def test_robots_directives_header(spark):
+    got = _robots(spark, "<head></head>",
+                  headers=[("Content-Type", "text/html"),
+                           ("X-Robots-Tag", "noindex , noarchive")])
+    assert got == {"noindex": True, "nofollow": False, "noarchive": True}
+    # union of meta + header
+    got = _robots(spark, "<head><meta name=robots content=nofollow></head>",
+                  headers=[("x-robots-tag", "noindex")])
+    assert got == {"noindex": True, "nofollow": True, "noarchive": False}
+    # no directives anywhere
+    got = _robots(spark, "<head></head>", headers=[("Server", "x")])
+    assert got == {"noindex": False, "nofollow": False, "noarchive": False}
+
+
+def _canon(spark, url, html):
+    df = _rows(spark, [(url, html)])
+    return df.select(
+        canonical_link(F.col("page_url"), F.col("text")).alias("c")
+    ).collect()[0].c
+
+
+def test_canonical_link(spark):
+    u = "http://h.example.com/dir/page.html?x=1"
+    assert _canon(spark, u, '<head><link rel="canonical" '
+                            'href="http://h.example.com/dir/page.html">'
+                            "</head>") == "http://h.example.com/dir/page.html"
+    # relative canonical resolves against the page url
+    assert _canon(spark, u, "<head><link rel=canonical href=clean.html>"
+                            "</head>") == "http://h.example.com/dir/clean.html"
+    # multi-token rel, any order; first canonical wins
+    assert _canon(spark, u, "<head>"
+                  '<link rel="alternate" href="/feed.xml">'
+                  "<link rel='canonical alternate' href='/a'>"
+                  '<link rel="canonical" href="/b"></head>') == \
+        "http://h.example.com/a"
+    # absent / href-less / substring-token -> NULL
+    assert _canon(spark, u, "<head></head>") is None
+    assert _canon(spark, u, '<head><link rel="canonical"></head>') is None
+    assert _canon(spark, u, '<head><link rel="canonicalish" href="/x">'
+                            "</head>") is None
+    # a canonical AFTER </head> does not count
+    assert _canon(spark, u, '<head></head><link rel=canonical href=/y>') \
+        is None

@@ -240,10 +240,7 @@ def head_struct(text: Column) -> Column:
     already-decoded text column (the shared Arrow hop); no explode, so
     derive_wat embeds it per record without fanning out rows.
     """
-    head_src = F.when(
-        text.rlike("(?is)</head\\s*>"),
-        F.regexp_extract(text, "(?is)^(.*?)</head\\s*>", 1),
-    ).otherwise(text)
+    head_src = _head_region(text)
     title = F.nullif(
         F.substring(
             F.regexp_replace(
@@ -273,6 +270,194 @@ def head_struct(text: Column) -> Column:
     )
     metas = F.filter(metas, lambda e: F.length(e["name"]) > 0)
     return F.struct(title.alias("title"), metas.alias("metas"))
+
+
+# anchor / <link> attribute blobs — the <a>/<link> analogs of
+# _META_TAG_RX, same attribute-aware linear-scan discipline ('<' excluded
+# from the unquoted class)
+_A_BLOB_RX = "(?i)<a(\\s(?:[^<>\"']|\"[^\"]*\"|'[^']*')*)/?>"
+_LINK_TAG_RX = "(?i)<link(\\s(?:[^<>\"']|\"[^\"]*\"|'[^']*')*)/?>"
+
+
+def _has_token(col: Column, token: str, seps: str = "\\s") -> Column:
+    """Case-insensitive token membership in a separated list: HTML ``rel``
+    values are space-separated, robots directives comma-separated (spaces
+    tolerated) — the caller picks the separator class. Mirrored verbatim
+    by the DuckDB oracles."""
+    return col.rlike("(?i)(^|[%s])%s([%s]|$)" % (seps, token, seps))
+
+
+def link_rel_structs(url: Column, text: Column) -> Column:
+    """Per-page outlinks WITH their link-level indexing directives as ONE
+    array column: array<struct<pos:int, href:string, url:string,
+    rel:string, nofollow:boolean, ugc:boolean, sponsored:boolean>>.
+
+    The rel microformat is how pages annotate individual links for
+    crawlers (rel="nofollow" since 2005; ugc/sponsored are Google's 2019
+    refinements, treated as nofollow-equivalent hints by every major
+    crawler) — a frontier that ignores them crawls comment-spam targets
+    at full priority. Extraction: the anchor's whole attribute blob
+    (``_A_BLOB_RX``), href and rel via the shared ``_attr_value``
+    precedence, ``pos`` = document position among ALL anchor-with-
+    attributes tags pre-href-filter (the head_struct metas convention —
+    NOT extract_outlinks' post-match numbering), capped at
+    MAX_LINKS_PER_PAGE pre-filter. href cleanup/resolution contract is
+    ``_cleaned_href`` (attr values are already unquoted) + ``_resolved``
+    — parity with extract_outlinks on single-href anchors is pinned by
+    tests/test_link_directives.py. Pure codegen after the shared decode;
+    no explode."""
+    blobs = F.slice(
+        F.regexp_extract_all(text, F.lit(_A_BLOB_RX), F.lit(1)),
+        1, MAX_LINKS_PER_PAGE,
+    )
+    ext = F.transform(
+        blobs,
+        lambda b, i: F.struct(
+            i.cast("int").alias("pos"),
+            _cleaned_href(_attr_value(b, "href"),
+                          strip_quotes=False).alias("href"),
+            _attr_value(b, "rel").alias("rel"),
+        ),
+    )
+    ext = F.filter(ext, lambda e: F.length(e["href"]) > 0)
+    resolved = F.transform(
+        ext,
+        lambda e: F.struct(
+            e["pos"].alias("pos"),
+            e["href"].alias("href"),
+            _resolved(url, e["href"]).alias("url"),
+            e["rel"].alias("rel"),
+            _has_token(e["rel"], "nofollow").alias("nofollow"),
+            _has_token(e["rel"], "ugc").alias("ugc"),
+            _has_token(e["rel"], "sponsored").alias("sponsored"),
+        ),
+    )
+    return F.filter(resolved, lambda e: e["url"].isNotNull())
+
+
+def extract_outlink_directives(fetched: DataFrame, url_col: str = "page_url",
+                               html_col: str = "html",
+                               text_col: str | None = None) -> DataFrame:
+    """``extract_outlinks`` with the rel directives: one row per anchor —
+    (src_url, pos, href, outlink, rel, nofollow, ugc, sponsored). Same
+    decode-sharing contract (pass ``text_col`` to reuse the fetch stage's
+    Arrow hop); one explode of ``link_rel_structs``, map-only at 100 TB."""
+    if text_col is None:
+        from warcio_spark import functions as WF
+
+        fetched = fetched.withColumn(
+            "__text", WF.extract_http_text(F.col(html_col), F.col(url_col))
+        )
+        text_col = "__text"
+    out = (
+        fetched.filter(F.col(url_col).isNotNull())
+        .select(F.col(url_col).alias("src_url"), "*")
+        .drop(url_col)
+        .select("*", F.explode(
+            link_rel_structs(F.col("src_url"), F.col(text_col))
+        ).alias("__e"))
+        .select(
+            "*",
+            F.col("__e.pos").alias("pos"),
+            F.col("__e.href").alias("href"),
+            F.col("__e.url").alias("outlink"),
+            F.col("__e.rel").alias("rel"),
+            F.col("__e.nofollow").alias("nofollow"),
+            F.col("__e.ugc").alias("ugc"),
+            F.col("__e.sponsored").alias("sponsored"),
+        )
+        .drop("__e")
+    )
+    if text_col == "__text":
+        out = out.drop("__text")
+    return out
+
+
+def _head_region(text: Column) -> Column:
+    """Everything before the first ``</head>`` when one exists, else the
+    whole document — the head_struct scan-region heuristic, shared."""
+    return F.when(
+        text.rlike("(?is)</head\\s*>"),
+        F.regexp_extract(text, "(?is)^(.*?)</head\\s*>", 1),
+    ).otherwise(text)
+
+
+def robots_directives(text: Column, headers: Column | None = None) -> Column:
+    """Page-level robots directives as struct<noindex:boolean,
+    nofollow:boolean, noarchive:boolean> — the ``<meta name="robots">``
+    protocol (REP's page-level half, now RFC 9309's companion spec)
+    plus, when the response ``headers`` array column is given, the
+    ``X-Robots-Tag`` header.
+
+    Semantics (mirrored by the DuckDB oracle + pytest):
+    * every ``<meta name=robots>`` in the head region counts (name match
+      case-insensitive after trim; MAX_METAS_PER_PAGE cap); their
+      ``content`` values and the first X-Robots-Tag value (header_get's
+      first-match contract; agent-scoped ``bot: noindex`` forms are NOT
+      special-cased — documented) are combined — directives are
+      additive across sources, the restrictive union, like Googlebot;
+    * tokens are comma-separated, spaces tolerated, case-insensitive;
+    * ``none`` = noindex + nofollow (the documented alias).
+
+    Pure codegen over the already-decoded text column; at 100 TB this is
+    three boolean columns on the fetch projection, no shuffle."""
+    blobs = F.slice(
+        F.regexp_extract_all(_head_region(text), F.lit(_META_TAG_RX),
+                             F.lit(1)),
+        1, MAX_METAS_PER_PAGE,
+    )
+    robots = F.filter(
+        blobs,
+        lambda b: F.lower(F.trim(_attr_value(b, "name"))) == "robots",
+    )
+    combined = F.array_join(
+        F.transform(robots, lambda b: _attr_value(b, "content")), ","
+    )
+    if headers is not None:
+        from warcio_spark import functions as WF
+
+        combined = F.concat_ws(
+            ",", combined,
+            F.coalesce(WF.header_get(headers, "x-robots-tag"), F.lit("")),
+        )
+
+    def d(token: str) -> Column:
+        return _has_token(combined, token, seps="\\s,")
+
+    none = d("none")
+    return F.struct(
+        (d("noindex") | none).alias("noindex"),
+        (d("nofollow") | none).alias("nofollow"),
+        d("noarchive").alias("noarchive"),
+    )
+
+
+def canonical_link(url: Column, text: Column) -> Column:
+    """The page's ``<link rel="canonical">`` target, resolved against the
+    page url — NULL when absent. The canonical cluster key is how a
+    corpus collapses utm-tracked / mirrored / paginated variants of one
+    document without content hashing: group by coalesce(canonical, url).
+
+    First ``<link>`` tag in the head region whose rel contains the
+    ``canonical`` token (space-separated, case-insensitive) and whose
+    href is non-empty, MAX_METAS_PER_PAGE cap, ``_cleaned_href`` +
+    ``_resolved`` contract — a relative canonical resolves like any
+    href. Pure codegen, no explode."""
+    blobs = F.slice(
+        F.regexp_extract_all(_head_region(text), F.lit(_LINK_TAG_RX),
+                             F.lit(1)),
+        1, MAX_METAS_PER_PAGE,
+    )
+    cands = F.filter(
+        blobs,
+        lambda b: _has_token(_attr_value(b, "rel"), "canonical")
+        & (F.length(_cleaned_href(_attr_value(b, "href"),
+                                  strip_quotes=False)) > 0),
+    )
+    # try_element_at: plain element_at throws under ANSI when no tag matched
+    first = F.try_element_at(cands, F.lit(1))
+    href = _cleaned_href(_attr_value(first, "href"), strip_quotes=False)
+    return F.when(first.isNotNull(), _resolved(url, href))
 
 
 def redirect_candidates(fetched: DataFrame, url_col: str = "page_url") -> DataFrame:
