@@ -3164,7 +3164,7 @@ def oracle_sql() -> dict[str, str]:
             m AS (
               SELECT doc_id, base,
                 list_slice(regexp_extract_all(text,
-                  '(?i)<a(\\s(?:[^<>"'']|"[^"]*"|''[^'']*'')*)/?>', 1),
+                  '(?i)<a((?:\\s(?:[^<>"'']|"[^"]*"|''[^'']*'')*)?)/?>', 1),
                   1, 64) AS blobs
               FROM u),
             e AS (

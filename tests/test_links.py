@@ -551,3 +551,153 @@ def test_host_graph_and_rank_against_python_oracle(spark):
         assert abs(got[h] - rank[h]) < 1e-12, h
     # sanity: mass actually moved (not uniform)
     assert max(got.values()) > min(got.values())
+
+
+def _nf_resp(body: str, status: str = "200 OK", location: str = None) -> bytes:
+    b = body.encode("utf-8")
+    head = "HTTP/1.1 %s\r\nContent-Type: text/html; charset=utf-8\r\n" % status
+    if location is not None:
+        head += "Location: %s\r\n" % location
+    head += "Content-Length: %d\r\n\r\n" % len(b)
+    return head.encode("ascii") + b
+
+
+def _nf_corpus(n=180):
+    """Deterministic corpus exercising the directive-aware crawl mode:
+    rel variants on anchors, page-level meta robots nofollow (incl. the
+    'none' alias), and a 3xx slice whose BODY says nofollow — proving
+    the redirect target still follows while its links do not."""
+    rows = []
+    for i in range(n):
+        url = "http://site%d.example.com/p%d.html" % (i % 6, i)
+        rel1 = ["", ' rel="nofollow"', " rel='ugc nofollow'",
+                " rel=me"][i % 4]
+        rel2 = " rel=NOFOLLOW" if i % 5 == 0 else ""
+        head = "<head>"
+        if i % 7 == 0:
+            head += '<meta name="robots" content="noindex, nofollow">'
+        elif i % 11 == 0:
+            head += "<meta NAME=robots content=none>"
+        head += "</head>"
+        body = (
+            head
+            + '<a href="/p%d.html"%s>a</a> ' % ((i * 7 + 1) % n, rel1)
+            + "<a href='http://site%d.example.com/p%d.html'%s>b</a>"
+            % ((i + 1) % 6, (i * 3 + 2) % n, rel2)
+        )
+        if i % 13 == 0:
+            target = "/p%d.html" % ((i * 5 + 3) % n)
+            html = _nf_resp(body, status="302 Found", location=target)
+        else:
+            html = _nf_resp(body)
+        rows.append((url, html))
+    return rows
+
+
+def test_crawl_respecting_nofollow_matches_oracle(spark, tmp_path):
+    """Directive-aware crawl parity: page_outlinks_fn(respect_nofollow=
+    True) must reproduce the oracle crawler's exact fetch order + seen
+    set when anchors carry rel=nofollow, pages carry meta robots
+    nofollow/'none', and nofollow 3xx pages still contribute their
+    redirect target."""
+    from datetime import datetime, timezone
+
+    rows = _nf_corpus()
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    pages = spark.createDataFrame(
+        [(u, ts, bytearray(h)) for u, h in rows],
+        "url string, warc_ts timestamp, html binary",
+    ).repartition(4).cache()
+    pages_by_canon = {canonicalize_url(u): (u, h) for u, h in rows}
+
+    seeds_list = [
+        {"url": u, "priority": float((i * 13) % 100) / 2, "seq": i}
+        for i, (u, h) in enumerate(rows)
+        if i % 3 == 0
+    ]
+
+    def oracle_fn(c):
+        p = pages_by_canon.get(c["url_canon"])
+        if p is None:
+            return []
+        u, h = p
+        text = h.split(b"\r\n\r\n", 1)[1].decode("utf-8")
+        return oracle_page_outlinks(
+            {"url": u, "text": text}, c["seq"], respect_nofollow=True
+        ) + oracle_redirect_candidates({"url": u, "html": h}, c["seq"])
+
+    want_log, want_seen = oracle.crawl(seeds_list, {}, oracle_fn, rounds=3,
+                                       cfg=OCFG)
+
+    seeds = spark.createDataFrame(
+        [(c["url"], c["priority"], c["seq"]) for c in seeds_list],
+        "url string, priority double, seq long",
+    ).repartition(5)
+    state_dir = str(tmp_path / "crawl_nofollow")
+    crawlmod.crawl(spark, seeds, None, state_dir, rounds=3, cfg=CFG,
+                   outlinks_fn=page_outlinks_fn(pages,
+                                                respect_nofollow=True))
+
+    got = [
+        (r.round, r.fetch_order, r.url_canon)
+        for r in crawlmod.fetch_log(spark, state_dir)
+        .orderBy("round", "fetch_order")
+        .collect()
+    ]
+    assert got == sorted(want_log, key=lambda t: (t[0], t[1]))
+
+    state = crawlmod.RoundState(state_dir)
+    got_seen = {
+        r.url_canon
+        for r in state.read(spark, state.last_round(), "seen").collect()
+    }
+    assert got_seen == want_seen
+    assert len(want_seen) > len(seeds_list)
+
+    # the directives actually bit: the crawl frontier DIFFERS from the
+    # ignore-directives crawl on this corpus (not a subset check —
+    # dropped links free per-host budget slots for other urls)
+    state_dir2 = str(tmp_path / "crawl_follow_all")
+    crawlmod.crawl(spark, seeds, None, state_dir2, rounds=3, cfg=CFG,
+                   outlinks_fn=page_outlinks_fn(pages))
+    state2 = crawlmod.RoundState(state_dir2)
+    all_seen = {
+        r.url_canon
+        for r in state2.read(spark, state2.last_round(), "seen").collect()
+    }
+    assert got_seen != all_seen
+    pages.unpersist()
+
+
+def test_page_outlinks_fn_nofollow_unit(spark):
+    """Unit shape checks for the directive-aware mode: anchor-level drop,
+    page-level drop, redirect survives a nofollow page."""
+    from datetime import datetime, timezone
+
+    body_page = ('<head><meta name=robots content="nofollow"></head>'
+                 '<a href="/x.html">x</a>')
+    plain = '<a href="/a.html" rel=nofollow>a</a><a href="/b.html">b</a>'
+    rows = [
+        ("http://h0.example.com/redir.html",
+         _nf_resp(body_page, status="302 Found", location="/moved.html")),
+        ("http://h1.example.com/plain.html", _nf_resp(plain)),
+    ]
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    pages = spark.createDataFrame(
+        [(u, ts, bytearray(h)) for u, h in rows],
+        "url string, warc_ts timestamp, html binary",
+    )
+    from warcio_spark.plans.frontier import with_frontier_keys
+
+    scheduled = with_frontier_keys(spark.createDataFrame(
+        [(u, 1.0, i) for i, (u, _) in enumerate(rows)],
+        "url string, priority double, seq long",
+    ))
+    got = sorted(
+        r.url for r in page_outlinks_fn(pages, respect_nofollow=True)(
+            scheduled).collect()
+    )
+    # nofollow page: its anchor is dropped, its redirect target kept;
+    # plain page: only the non-nofollow anchor survives
+    assert got == ["http://h0.example.com/moved.html",
+                   "http://h1.example.com/b.html"]

@@ -274,8 +274,11 @@ def head_struct(text: Column) -> Column:
 
 # anchor / <link> attribute blobs — the <a>/<link> analogs of
 # _META_TAG_RX, same attribute-aware linear-scan discipline ('<' excluded
-# from the unquoted class)
-_A_BLOB_RX = "(?i)<a(\\s(?:[^<>\"']|\"[^\"]*\"|'[^']*')*)/?>"
+# from the unquoted class). The anchor blob is OPTIONAL so a bare ``<a>``
+# still consumes a document position — pos assignment then matches an
+# independent tag-level parser (html.parser) anchor-for-anchor, which the
+# nofollow crawl-parity oracle relies on.
+_A_BLOB_RX = "(?i)<a((?:\\s(?:[^<>\"']|\"[^\"]*\"|'[^']*')*)?)/?>"
 _LINK_TAG_RX = "(?i)<link(\\s(?:[^<>\"']|\"[^\"]*\"|'[^']*')*)/?>"
 
 
@@ -298,8 +301,8 @@ def link_rel_structs(url: Column, text: Column) -> Column:
     crawler) — a frontier that ignores them crawls comment-spam targets
     at full priority. Extraction: the anchor's whole attribute blob
     (``_A_BLOB_RX``), href and rel via the shared ``_attr_value``
-    precedence, ``pos`` = document position among ALL anchor-with-
-    attributes tags pre-href-filter (the head_struct metas convention —
+    precedence, ``pos`` = document position among ALL anchor tags
+    pre-href-filter (the head_struct metas convention —
     NOT extract_outlinks' post-match numbering), capped at
     MAX_LINKS_PER_PAGE pre-filter. href cleanup/resolution contract is
     ``_cleaned_href`` (attr values are already unquoted) + ``_resolved``
@@ -748,10 +751,23 @@ def oracle_sitemap_locs(xml: str) -> list:
     return out
 
 
-def page_outlinks_fn(pages: DataFrame):
+def page_outlinks_fn(pages: DataFrame, respect_nofollow: bool = False):
     """outlinks_fn for plans.crawl.crawl(): fetch each scheduled url from
     the pages corpus and feed its REAL extracted links back to the
     frontier (replaces the synthetic default_outlinks expansion).
+
+    ``respect_nofollow=True`` switches the link branch to the directive-
+    aware extraction: anchors are scanned as whole attribute blobs
+    (``_A_BLOB_RX``), a link whose rel carries the ``nofollow`` token is
+    dropped, and a page whose robots directives
+    (``robots_directives`` — <meta name=robots>, 'none' alias) say
+    nofollow contributes NO links at all (redirect targets still follow —
+    a 3xx is a protocol move, not an endorsement). In this mode ``pos``
+    is the anchor's document position among ALL anchor tags (the
+    link_rel_structs convention), which keeps seq/priority deterministic
+    and independent of how many anchors were dropped; the single-process
+    twin is ``oracle_page_outlinks(..., respect_nofollow=True)``. Same
+    fused one-explode plan either way.
     3xx responses contribute their resolved Location target as one more
     candidate (redirect following):
       seq      = REDIRECT_SEQ_BASE + (src_seq mod 2^40)
@@ -777,15 +793,46 @@ def page_outlinks_fn(pages: DataFrame):
         fetched = fetch_from_pages(scheduled, pages).filter(
             F.col("page_url").isNotNull()
         )
-        hrefs = F.slice(
-            F.regexp_extract_all(F.col("text"), F.lit(_HREF_RX), F.lit(1)),
-            1, MAX_LINKS_PER_PAGE,
-        )
-        entries = F.concat(
-            F.transform(
+        if respect_nofollow:
+            blobs = F.slice(
+                F.regexp_extract_all(F.col("text"), F.lit(_A_BLOB_RX),
+                                     F.lit(1)),
+                1, MAX_LINKS_PER_PAGE,
+            )
+            kept = F.filter(
+                F.transform(
+                    blobs,
+                    lambda b, i: F.struct(
+                        i.alias("pos"),
+                        _attr_value(b, "href").alias("raw"),
+                        _has_token(_attr_value(b, "rel"),
+                                   "nofollow").alias("nf"),
+                    ),
+                ),
+                lambda e: ~e["nf"],
+            )
+            link_entries = F.when(
+                robots_directives(F.col("text"))["nofollow"],
+                F.array().cast("array<struct<pos:int,raw:string>>"),
+            ).otherwise(
+                F.transform(
+                    kept,
+                    lambda e: F.struct(e["pos"].alias("pos"),
+                                       e["raw"].alias("raw")),
+                )
+            )
+        else:
+            hrefs = F.slice(
+                F.regexp_extract_all(F.col("text"), F.lit(_HREF_RX),
+                                     F.lit(1)),
+                1, MAX_LINKS_PER_PAGE,
+            )
+            link_entries = F.transform(
                 hrefs,
                 lambda h, i: F.struct(i.alias("pos"), h.alias("raw")),
-            ),
+            )
+        entries = F.concat(
+            link_entries,
             F.when(
                 F.col("http_status").between(300, 399)
                 & F.col("redirect_location").isNotNull(),
@@ -808,9 +855,11 @@ def page_outlinks_fn(pages: DataFrame):
             F.col("e.raw").alias("raw"),
         )
         is_link = F.col("pos") >= 0
-        cleaned = F.when(is_link, _cleaned_href("raw")).otherwise(
-            _cleaned_href("raw", strip_quotes=False)
-        )
+        # _attr_value output (respect_nofollow) is already unquoted — a
+        # quote-strip there would eat a legitimate trailing quote char
+        cleaned = F.when(
+            is_link, _cleaned_href("raw", strip_quotes=not respect_nofollow)
+        ).otherwise(_cleaned_href("raw", strip_quotes=False))
         out = (
             exploded.withColumn("href", cleaned)
             .filter(F.length("href") > 0)
@@ -834,16 +883,33 @@ def page_outlinks_fn(pages: DataFrame):
     return fn
 
 
-def oracle_page_outlinks(page: dict, src_seq: int) -> list:
+def oracle_page_outlinks(page: dict, src_seq: int,
+                         respect_nofollow: bool = False) -> list:
     """The oracle-crawler twin of ``page_outlinks_fn`` for one fetched page
     dict (url, text): extract + resolve hrefs with an INDEPENDENT
     implementation (html.parser + explicit resolution), then assign the
-    same deterministic priority/seq. Used by crawl-parity tests."""
+    same deterministic priority/seq. Used by crawl-parity tests.
+
+    ``respect_nofollow=True`` mirrors the engine's directive-aware mode:
+    pos counts ALL anchor tags, rel-nofollow anchors are dropped, and a
+    page-level robots nofollow (``oracle_robots_nofollow``) yields no
+    links."""
     out = []
     s = src_seq % (1 << 40)
-    for pos, href in enumerate(
-        oracle_extract_hrefs(page["text"])[:MAX_LINKS_PER_PAGE]
-    ):
+    if respect_nofollow:
+        if oracle_robots_nofollow(page["text"]):
+            return []
+        anchors = oracle_extract_anchors(page["text"])[:MAX_LINKS_PER_PAGE]
+        entries = [
+            (pos, href)
+            for pos, (href, rel) in enumerate(anchors)
+            if href is not None and "nofollow" not in rel.lower().split()
+        ]
+    else:
+        entries = list(enumerate(
+            oracle_extract_hrefs(page["text"])[:MAX_LINKS_PER_PAGE]
+        ))
+    for pos, href in entries:
         resolved = oracle_resolve(page["url"], href)
         if resolved is None:
             continue
@@ -855,6 +921,72 @@ def oracle_page_outlinks(page: dict, src_seq: int) -> list:
             }
         )
     return out
+
+
+def oracle_extract_anchors(text: str) -> list:
+    """Every anchor tag in document order as (href_or_None, rel_string) —
+    the independent (html.parser) twin of the ``_A_BLOB_RX`` scan: one
+    entry per ``<a>`` tag whether or not it carries an href."""
+    from html.parser import HTMLParser
+
+    found = []
+
+    class _A(HTMLParser):
+        def _tag(self, tag, attrs):
+            if tag == "a":
+                d = {}
+                for name, value in attrs:
+                    d.setdefault(name, value)
+                found.append((d.get("href"), d.get("rel") or ""))
+
+        handle_starttag = _tag
+
+        def handle_startendtag(self, tag, attrs):
+            self._tag(tag, attrs)
+
+    p = _A()
+    p.feed(text or "")
+    return found
+
+
+def oracle_robots_nofollow(text: str) -> bool:
+    """Independent twin of ``robots_directives(...)['nofollow']``: the
+    first MAX_METAS_PER_PAGE <meta> tags before the first </head> (whole
+    document when none), name=robots (case-insensitive, trimmed),
+    comma/space-separated tokens, 'none' alias."""
+    from html.parser import HTMLParser
+
+    state = {"metas": 0, "done": False, "nofollow": False}
+
+    class _M(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            if state["done"] or tag != "meta":
+                return
+            if state["metas"] >= MAX_METAS_PER_PAGE:
+                return
+            state["metas"] += 1
+            d = {}
+            for name, value in attrs:
+                d.setdefault(name, value)
+            if (d.get("name") or "").strip().lower() != "robots":
+                return
+            import re as _re
+
+            tokens = [t for t in
+                      _re.split(r"[\s,]+", (d.get("content") or "").lower())
+                      if t]
+            if "nofollow" in tokens or "none" in tokens:
+                state["nofollow"] = True
+
+        handle_startendtag = handle_starttag
+
+        def handle_endtag(self, tag):
+            if tag == "head":
+                state["done"] = True
+
+    p = _M()
+    p.feed(text or "")
+    return state["nofollow"]
 
 
 def oracle_http_meta(html) -> tuple:
