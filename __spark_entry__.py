@@ -698,6 +698,38 @@ def q_page_directives(spark, sf):
     )
 
 
+def q_strip_tracking(spark, sf):
+    """Tracking-parameter removal (functions.strip_tracking_params):
+    utm_*-prefix and known click-id params dropped from the query
+    segment with order/bytes of survivors preserved, fragment untouched,
+    '?' dropped when the query empties — the url-level dedup
+    normalization that collapses campaign-tagged duplicates before
+    canonicalization. Oracle replays the split/filter/rejoin in DuckDB."""
+    from warcio_spark.functions import strip_tracking_params
+
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    tail = (
+        F.when(d % 6 == 0, F.concat(F.lit("?utm_source=s"), s(d % 5),
+                                    F.lit("&id="), s(d % 17)))
+        .when(d % 6 == 1, F.concat(F.lit("?gclid=g"), s(d % 7)))
+        .when(d % 6 == 2, F.concat(F.lit("?id="), s(d % 17),
+                                   F.lit("&fbclid=f&z=1")))
+        .when(d % 6 == 3, F.lit("?a=1&&mc_eid=9#frag?utm_keep=1"))
+        .when(d % 6 == 4, F.lit("#f?utm_source=keep"))
+        .otherwise(F.lit(""))
+    )
+    urls = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("http://h"), s(d % 11), F.lit(".example.com/p"),
+                 s(d), tail).alias("url"),
+    )
+    return urls.select(
+        "doc_id", "url",
+        strip_tracking_params("url").alias("url_clean"),
+    )
+
+
 def q_shard_assignment(spark, sf):
     """Token-balanced output sharding (pipeline.shard_assignment):
     shard_id = floor(global-exclusive-cumsum(n_tokens) / 2000) in doc_id
@@ -2065,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_tld_manifest": q_cdx_tld_manifest,
         "link_directives": q_link_directives,
         "page_directives": q_page_directives,
+        "strip_tracking": q_strip_tracking,
         "normalize_text": q_normalize_text,
         "scope_filter": q_scope_filter,
         "weighted_mix": q_weighted_mix,
@@ -3324,6 +3357,45 @@ def oracle_sql() -> dict[str, str]:
                           || c.hrefs[1] END
               END AS canonical
             FROM u JOIN robots r USING (doc_id) JOIN canon c USING (doc_id)
+        """,
+        "strip_tracking": """
+            WITH u AS (
+              SELECT doc_id,
+                'http://h' || (doc_id % 11)::VARCHAR || '.example.com/p'
+                  || doc_id::VARCHAR
+                  || CASE (doc_id % 6)
+                     WHEN 0 THEN '?utm_source=s' || (doc_id % 5)::VARCHAR
+                            || '&id=' || (doc_id % 17)::VARCHAR
+                     WHEN 1 THEN '?gclid=g' || (doc_id % 7)::VARCHAR
+                     WHEN 2 THEN '?id=' || (doc_id % 17)::VARCHAR
+                            || '&fbclid=f&z=1'
+                     WHEN 3 THEN '?a=1&&mc_eid=9#frag?utm_keep=1'
+                     WHEN 4 THEN '#f?utm_source=keep'
+                     ELSE '' END AS url
+              FROM documents),
+            q AS (
+              SELECT doc_id, url,
+                regexp_extract(url, '^([^?#]*)', 1) AS pre,
+                regexp_extract(url, '^[^?#]*\\?([^#]*)', 1) AS query,
+                regexp_extract(url, '(#.*)$', 1) AS frag,
+                regexp_matches(url, '^[^#]*\\?') AS hasq
+              FROM u),
+            k AS (
+              SELECT doc_id, url, pre, frag, hasq,
+                COALESCE(array_to_string(
+                  list_filter(string_split(query, '&'),
+                    p -> NOT (lower(split_part(p, '=', 1)) IN
+                                ('gclid', 'fbclid', 'mc_eid', 'yclid')
+                              OR starts_with(lower(split_part(p, '=', 1)),
+                                             'utm_'))), '&'), '') AS kept
+              FROM q)
+            SELECT doc_id, url,
+              CASE WHEN NOT hasq THEN url
+                   ELSE pre
+                        || CASE WHEN kept = '' THEN ''
+                                ELSE '?' || kept END
+                        || frag END AS url_clean
+            FROM k
         """,
         "cdx_tld_manifest": """
             WITH idx AS (

@@ -137,3 +137,69 @@ def test_url_trap_signals_hand_cases(spark):
             depth, n_params, dups, trap
         ), u
         assert r.url_len == len(u)
+
+
+def _py_strip_tracking(url, names=None, prefixes=("utm_",)):
+    """Independent replay of strip_tracking_params (pure python)."""
+    from warcio_spark.functions import DEFAULT_TRACKING_PARAMS
+
+    names = set(DEFAULT_TRACKING_PARAMS if names is None else names)
+    head, sep, rest = url.partition("?")
+    if not sep or "#" in head:
+        return url
+    query, hsep, frag = rest.partition("#")
+    kept = []
+    for p in query.split("&"):
+        key = p.split("=", 1)[0].lower()
+        if key in names or any(key.startswith(pf) for pf in prefixes):
+            continue
+        kept.append(p)
+    q2 = "&".join(kept)
+    return head + ("?" + q2 if q2 else "") + hsep + frag
+
+
+def test_strip_tracking_params(spark):
+    from pyspark.sql import functions as F
+
+    from warcio_spark.functions import strip_tracking_params
+
+    cases = [
+        "http://h.example.com/p?utm_source=tw&id=3&utm_medium=email",
+        "http://h.example.com/p?gclid=abc123",
+        "http://h.example.com/p?id=3",
+        "http://h.example.com/p",
+        "http://h.example.com/p?utm_campaign=x",
+        "http://h.example.com/p?a=1&&fbclid=z&b=2",
+        "http://h.example.com/p?UTM_SOURCE=case&x=1",
+        "http://h.example.com/p?utm_source=a#frag?utm_source=keep",
+        "http://h.example.com/p#frag?utm_source=keep",
+        "http://h.example.com/p?mc_eid=9&ref=ok&yclid",
+        "http://h.example.com/p?x=a=b&utm_x=1",
+        "http://h.example.com/p?",
+    ]
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = {r.url: r.clean for r in df.select(
+        "url", strip_tracking_params("url").alias("clean")).collect()}
+    for u in cases:
+        assert got[u] == _py_strip_tracking(u), u
+    # spot-pin the interesting ones
+    assert got[cases[0]] == "http://h.example.com/p?id=3"
+    assert got[cases[1]] == "http://h.example.com/p"
+    assert got[cases[5]] == "http://h.example.com/p?a=1&&b=2"
+    assert got[cases[7]] == "http://h.example.com/p#frag?utm_source=keep"
+    assert got[cases[8]] == cases[8]  # '?' lives in the fragment
+    assert got[cases[9]] == "http://h.example.com/p?ref=ok"
+    assert got[cases[10]] == "http://h.example.com/p?x=a=b"
+
+
+def test_strip_tracking_params_custom_lists(spark):
+    from warcio_spark.functions import strip_tracking_params
+
+    df = spark.sql("SELECT 'http://h/p?sid=1&utm_a=2&tok_x=3&ok=4' AS url")
+    got = df.select(strip_tracking_params(
+        "url", params=["sid"], prefixes=["tok_"]).alias("c")).collect()[0].c
+    assert got == "http://h/p?utm_a=2&ok=4"
+    # empty lists strip nothing
+    got = df.select(strip_tracking_params(
+        "url", params=[], prefixes=[]).alias("c")).collect()[0].c
+    assert got == "http://h/p?sid=1&utm_a=2&tok_x=3&ok=4"

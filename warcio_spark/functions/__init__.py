@@ -330,6 +330,68 @@ def url_host(url: pd.Series) -> pd.Series:
     return _map_series(url, _urls.url_host)
 
 
+# click/campaign identifiers every major analytics stack appends to urls —
+# the classic source of spurious url-level duplicates in a crawl (the same
+# document under utm_source=twitter / =rss / =newsletter). Exact names only;
+# the utm_ FAMILY is matched by prefix (see strip_tracking_params).
+DEFAULT_TRACKING_PARAMS = (
+    "gclid", "gbraid", "wbraid", "dclid", "fbclid", "msclkid", "twclid",
+    "igshid", "yclid", "mc_cid", "mc_eid", "_hsenc", "_hsmi", "mkt_tok",
+    "oly_anon_id", "oly_enc_id", "vero_id", "wickedid", "s_cid",
+)
+DEFAULT_TRACKING_PREFIXES = ("utm_",)
+
+
+def strip_tracking_params(url, params=None, prefixes=None) -> Column:
+    """Remove tracking query parameters from a url — pure codegen
+    (regexp split of the query segment, HOF filter on the key, rejoin).
+
+    Semantics (mirrored by the DuckDB oracle + pytest):
+    * the query segment is everything between the FIRST ``?`` and the
+      first ``#`` (or end); the fragment and any later ``?`` inside it
+      pass through untouched;
+    * a parameter is dropped when its key (text before the first ``=``,
+      lowercased) equals one of ``params`` or starts with one of
+      ``prefixes`` — values and bare keys both count;
+    * surviving parameters keep their order and exact bytes (no
+      re-encoding, empty ``&&`` segments survive verbatim);
+    * when nothing survives the ``?`` is dropped too.
+
+    Compose BEFORE canonicalization / frontier keys: dedup then treats
+    ``...?utm_source=a`` and ``...?utm_source=b`` as one url. This is a
+    deliberately separate opt-in step — the canonical kernel itself stays
+    byte-parity-locked to the reference crawl ordering, which does NOT
+    strip params."""
+    u = _c(url)
+    names = [p.lower() for p in
+             (DEFAULT_TRACKING_PARAMS if params is None else params)]
+    prefs = [p.lower() for p in
+             (DEFAULT_TRACKING_PREFIXES if prefixes is None else prefixes)]
+    pre = F.regexp_extract(u, r"^([^?#]*)", 1)
+    query = F.regexp_extract(u, r"^[^?#]*\?([^#]*)", 1)
+    frag = F.regexp_extract(u, r"(#.*)$", 1)
+
+    def keep(p: Column) -> Column:
+        key = F.lower(F.split_part(p, F.lit("="), F.lit(1)))
+        dropped = F.lit(False)
+        if names:
+            dropped = key.isin(*names)
+        for pf in prefs:
+            dropped = dropped | key.startswith(pf)
+        return ~dropped
+
+    kept = F.array_join(F.filter(F.split(query, "&", -1), keep), "&")
+    has_query = u.rlike(r"^[^#]*\?")
+    return F.when(~has_query, u).otherwise(
+        F.concat(
+            pre,
+            F.when(kept == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), kept)),
+            frag,
+        )
+    )
+
+
 def url_host_expr(url) -> Column:
     """JVM-side host extraction for canonicalized urls: lower(try_parse_url)
     with IPv6 brackets stripped — codegen, no Python hop. Only safe AFTER
