@@ -225,3 +225,81 @@ def test_paged_block_summary_matches_disk_faces(spark, tmp_path):
         assert r["n_lines"] == sum(b["n_lines"] for b in blocks)
         assert r["first_key"] == blocks[0]["key"]
         assert r["last_key"] == blocks[-1]["key"]
+
+
+def test_compact_clusters_roundtrip_and_lookup(spark, tmp_path):
+    """compact_zipnum merges historical + delta clusters into one new
+    cluster: line multiset preserved (dedup=False), duplicate lines from
+    overlapping deltas dropped with dedup=True, prefix lookups on the
+    compacted cluster match the query-time multi-cluster merge, and the
+    compacted summary is in global key order."""
+    from warcio_spark.sources.zipnum import (
+        compact_zipnum,
+        zipnum_prefix_multi,
+    )
+
+    hist = str(tmp_path / "hist")
+    d1 = str(tmp_path / "delta1")
+    d2 = str(tmp_path / "delta2")
+    # historical: ids 0..299; deltas overlap on purpose (250..349, 300..399)
+    all_lines = _synthetic_lines(spark, 400).collect()
+    lines = [r["line"] for r in all_lines]
+    def _df(lo, hi):
+        return spark.createDataFrame(
+            [(ln,) for ln in lines[lo:hi]], ["line"])
+    write_zipnum(_df(0, 300), hist, lines_per_block=23, num_parts=4)
+    write_zipnum(_df(250, 350), d1, lines_per_block=7, num_parts=2)
+    write_zipnum(_df(300, 400), d2, lines_per_block=7, num_parts=2)
+
+    out = str(tmp_path / "compacted")
+    compact_zipnum(spark, [hist, d1, d2], out, lines_per_block=23,
+                   num_parts=3)
+    got = sorted(r["line"] for r in read_zipnum(spark, out).collect())
+    want = sorted(lines[0:300] + lines[250:350] + lines[300:400])
+    assert got == want  # multiset: overlaps preserved by default
+
+    out2 = str(tmp_path / "compacted_dedup")
+    compact_zipnum(spark, [hist, d1, d2], out2, lines_per_block=23,
+                   num_parts=3, dedup=True)
+    got2 = sorted(r["line"] for r in read_zipnum(spark, out2).collect())
+    assert got2 == sorted(set(lines))
+
+    # lookup equivalence: compacted+dedup == query-time merge, deduped
+    for prefix in ("com,example,host7)/", "com,example,host13)/p/13",
+                   "com,example,nosuch"):
+        merged = sorted(set(
+            r["line"] for r in
+            zipnum_prefix_multi(spark, [hist, d1, d2], prefix).collect()))
+        compacted = sorted(
+            r["line"] for r in zipnum_prefix(spark, out2, prefix).collect())
+        assert compacted == merged, prefix
+
+    # compacted summary in global key order; block accounting holds
+    summ = read_summary(spark, out2).collect()
+    keys = [r["key"] for r in summ]
+    assert keys == sorted(keys)
+    assert sum(r["n_lines"] for r in summ) == len(got2)
+
+
+def test_compact_cli_parity(spark, tmp_path):
+    """CLI compact verb == library compact_zipnum (dedup path)."""
+    from warcio_spark.cli import main as cli_main
+    from warcio_spark.sources.zipnum import compact_zipnum
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    all_lines = [r["line"] for r in _synthetic_lines(spark, 120).collect()]
+    write_zipnum(spark.createDataFrame([(x,) for x in all_lines[:80]],
+                                       ["line"]), a,
+                 lines_per_block=11, num_parts=2)
+    write_zipnum(spark.createDataFrame([(x,) for x in all_lines[60:]],
+                                       ["line"]), b,
+                 lines_per_block=11, num_parts=2)
+    out_cli = str(tmp_path / "out_cli")
+    assert cli_main(["compact", a, b, "--out", out_cli,
+                     "--lines-per-block", "13", "--dedup"]) == 0
+    out_lib = str(tmp_path / "out_lib")
+    compact_zipnum(spark, [a, b], out_lib, lines_per_block=13, dedup=True)
+    got = sorted(r["line"] for r in read_zipnum(spark, out_cli).collect())
+    want = sorted(r["line"] for r in read_zipnum(spark, out_lib).collect())
+    assert got == want == sorted(set(all_lines))

@@ -8,6 +8,7 @@
     python -m warcio_spark.cli fetch --index idx.cdxj --base DIR [filters]
     python -m warcio_spark.cli zipnum <inputs...> --out DIR [--lines-per-block N]
     python -m warcio_spark.cli lookup DIR <urlkey-prefix>
+    python -m warcio_spark.cli compact DIR [DIR...] --out DIR [--dedup]
     python -m warcio_spark.cli crawl --seeds N --rounds K --state DIR
 
 index emits the same NDJSON lines as ``warcio index`` (field mini-DSL,
@@ -181,6 +182,19 @@ def cmd_zipnum(args) -> int:
     idx = index_cdx11(recs) if args.cdx11 else index_cdxj(recs)
     write_zipnum(idx.select("line"), args.out,
                  lines_per_block=args.lines_per_block)
+    return 0
+
+
+def cmd_compact(args) -> int:
+    """Merge several ZipNum clusters into one new cluster
+    (sources/zipnum.compact_zipnum) — the periodic recompaction of the
+    incremental-index lifecycle. --dedup drops byte-identical lines from
+    overlapping delta windows."""
+    from warcio_spark.sources.zipnum import compact_zipnum
+
+    spark = _spark()
+    compact_zipnum(spark, args.cluster, args.out,
+                   lines_per_block=args.lines_per_block, dedup=args.dedup)
     return 0
 
 
@@ -449,6 +463,14 @@ def main(argv=None) -> int:
     pz.add_argument("--cdx11", action="store_true",
                     help="pack classic 11-field CDX lines instead of CDXJ")
     pz.set_defaults(fn=cmd_zipnum)
+
+    pm = sub.add_parser("compact")
+    pm.add_argument("cluster", nargs="+", help="input ZipNum cluster dirs")
+    pm.add_argument("--out", required=True, help="compacted cluster dir")
+    pm.add_argument("--lines-per-block", type=int, default=3000)
+    pm.add_argument("--dedup", action="store_true",
+                    help="drop byte-identical lines across inputs")
+    pm.set_defaults(fn=cmd_compact)
 
     pl = sub.add_parser("lookup")
     pl.add_argument("cluster", nargs="+",

@@ -340,3 +340,40 @@ def zipnum_prefix_multi(spark: SparkSession, cluster_dirs,
         part = zipnum_prefix(spark, d, prefix)
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def compact_zipnum(spark: SparkSession, cluster_dirs, out_dir: str,
+                   lines_per_block: int = 3000, *,
+                   num_parts: int | None = None,
+                   dedup: bool = False) -> None:
+    """Rewrite several clusters as ONE new cluster — the periodic
+    recompaction that bounds query-time fan-out in the incremental-index
+    lifecycle (deltas accumulate via ``zipnum_prefix_multi``; Common
+    Crawl's monthly cdx shards are exactly such per-crawl clusters, and
+    pywb operators merge them the same way).
+
+    Spark shape: every input block becomes one read task (the inputs'
+    own sort is NOT reused — a global merge of K sorted sources is one
+    ``repartitionByRange`` on the line anyway, which ``write_zipnum``
+    already performs), so compaction is read-tasks + one range exchange
+    + packed writes, no driver-side data path. The inputs are untouched;
+    swap them for ``out_dir`` only after the write returns (the
+    cluster.idx write is last, so a finished idx marks a complete
+    cluster).
+
+    ``dedup=True`` drops byte-identical lines across the inputs (the
+    same capture indexed by overlapping delta windows) with one extra
+    hash exchange; default keeps every line — duplicate CAPTURES of a
+    url are distinct lines (different timestamp/offset) and always
+    survive."""
+    dirs = list(cluster_dirs)
+    if not dirs:
+        raise ValueError("compact_zipnum needs at least one cluster")
+    lines = None
+    for d in dirs:
+        part = read_zipnum(spark, d)
+        lines = part if lines is None else lines.unionByName(part)
+    if dedup:
+        lines = lines.distinct()
+    write_zipnum(lines, out_dir, lines_per_block,
+                 num_parts=num_parts)
