@@ -730,6 +730,41 @@ def q_strip_tracking(spark, sf):
     )
 
 
+def q_charset_sniff(spark, sf):
+    """Declared-encoding sniff (functions.sniff_charset_expr): the HTML5
+    prescan precedence — Content-Type charset param over <meta charset>
+    / http-equiv forms, tag-boundary discipline, lowercased label, NULL
+    when nothing is declared. This universe is ascii (byte-transparent
+    by construction); the BOM tier and the binary wrapper are pinned in
+    tests/test_charset.py. Oracle replays both regexes + precedence."""
+    from warcio_spark.functions import sniff_charset_expr
+
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    prefix = (
+        F.when(d % 5 == 0, F.lit("<meta charset=koi8-r><p>x"))
+        .when(d % 5 == 1,
+              F.concat(F.lit('<meta http-equiv="Content-Type" '
+                             'content="text/html; charset=iso-8859-'),
+                       s(d % 9 + 1), F.lit('">')))
+        .when(d % 5 == 2, F.lit("plain text page"))
+        .when(d % 5 == 3, F.lit("<p>charset=evil</p><meta charset=BIG5>"))
+        .otherwise(F.lit("<metacharset=nope>"))
+    )
+    ct = (
+        F.when(d % 3 == 0, F.lit("text/html"))
+        .when(d % 3 == 1, F.concat(F.lit("text/html; charset=Windows-125"),
+                                   s(d % 2 + 1)))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", prefix.alias("prefix"), ct.alias("content_type"))
+    return docs.select(
+        "doc_id", "prefix", "content_type",
+        sniff_charset_expr("prefix", F.col("content_type")).alias("charset"),
+    )
+
+
 def q_shard_assignment(spark, sf):
     """Token-balanced output sharding (pipeline.shard_assignment):
     shard_id = floor(global-exclusive-cumsum(n_tokens) / 2000) in doc_id
@@ -2098,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_directives": q_link_directives,
         "page_directives": q_page_directives,
         "strip_tracking": q_strip_tracking,
+        "charset_sniff": q_charset_sniff,
         "normalize_text": q_normalize_text,
         "scope_filter": q_scope_filter,
         "weighted_mix": q_weighted_mix,
@@ -3396,6 +3432,32 @@ def oracle_sql() -> dict[str, str]:
                                 ELSE '?' || kept END
                         || frag END AS url_clean
             FROM k
+        """,
+        "charset_sniff": """
+            WITH u AS (
+              SELECT doc_id,
+                CASE (doc_id % 5)
+                WHEN 0 THEN '<meta charset=koi8-r><p>x'
+                WHEN 1 THEN '<meta http-equiv="Content-Type" '
+                     || 'content="text/html; charset=iso-8859-'
+                     || (doc_id % 9 + 1)::VARCHAR || '">'
+                WHEN 2 THEN 'plain text page'
+                WHEN 3 THEN '<p>charset=evil</p><meta charset=BIG5>'
+                ELSE '<metacharset=nope>' END AS prefix,
+                CASE (doc_id % 3)
+                WHEN 0 THEN 'text/html'
+                WHEN 1 THEN 'text/html; charset=Windows-125'
+                     || (doc_id % 2 + 1)::VARCHAR
+                ELSE NULL END AS content_type
+              FROM documents)
+            SELECT doc_id, prefix, content_type,
+              lower(COALESCE(
+                NULLIF(regexp_extract(COALESCE(content_type, ''),
+                  '(?i)charset\\s*=\\s*"?([^";\\s]+)', 1), ''),
+                NULLIF(regexp_extract(prefix,
+                  '(?i)<meta\\s[^>]{0,255}?charset\\s*=\\s*["'']?\\s*([a-zA-Z0-9._:-]+)',
+                  1), ''))) AS charset
+            FROM u
         """,
         "cdx_tld_manifest": """
             WITH idx AS (

@@ -330,6 +330,100 @@ def url_host(url: pd.Series) -> pd.Series:
     return _map_series(url, _urls.url_host)
 
 
+# charset label inside a meta tag's attribute soup (covers both
+# <meta charset=X> and <meta http-equiv=content-type content="...charset=X">
+# — the label is what matters, not which attribute carried it) and inside a
+# Content-Type header value. HTML5 prescan discipline: first 1024 bytes.
+_META_CHARSET_RX = \
+    "(?i)<meta\\s[^>]{0,255}?charset\\s*=\\s*[\"']?\\s*([a-zA-Z0-9._:-]+)"
+_CT_CHARSET_RX = "(?i)charset\\s*=\\s*\"?([^\";\\s]+)"
+SNIFF_PRESCAN_BYTES = 1024
+
+
+def sniff_charset_expr(prefix, content_type=None) -> Column:
+    """Declared character encoding from an (already byte-transparent)
+    document prefix string + optional Content-Type header value — the
+    HTML5 encoding-sniffing precedence as pure codegen:
+
+    1. BOM (utf-8 / utf-16le / utf-16be) — authoritative;
+    2. ``charset=`` parameter of the Content-Type value;
+    3. ``<meta charset=..>`` / ``<meta http-equiv .. charset=..>`` within
+       the prefix (callers pass the first SNIFF_PRESCAN_BYTES);
+    4. NULL — caller falls back to the utf-8/latin-1 ladder
+       (``kernels.textcodec.decode_fallback``).
+
+    The label is lowercased but NOT validated — ``decode_with_charset``
+    treats unknown labels as undeclared. ``prefix`` must be a
+    byte-transparent string (each byte one codepoint, e.g. the
+    ISO-8859-1 decode ``sniff_charset`` performs); BOM bytes then test
+    as plain startswith."""
+    p = _c(prefix)
+    bom = (
+        F.when(p.startswith("\ufeff"), F.lit("utf-8"))  # already-decoded BOM
+        .when(p.startswith("\xef\xbb\xbf"), F.lit("utf-8"))
+        .when(p.startswith("\xff\xfe"), F.lit("utf-16le"))
+        .when(p.startswith("\xfe\xff"), F.lit("utf-16be"))
+    )
+    meta = F.nullif(F.regexp_extract(p, _META_CHARSET_RX, 1), F.lit(""))
+    out = bom
+    if content_type is not None:
+        hdr = F.nullif(
+            F.regexp_extract(F.coalesce(_c(content_type), F.lit("")),
+                             _CT_CHARSET_RX, 1),
+            F.lit(""))
+        out = F.coalesce(out, hdr)
+    return F.lower(F.coalesce(out, meta))
+
+
+def sniff_charset(payload, headers=None) -> Column:
+    """``sniff_charset_expr`` over a BINARY payload column: the first
+    SNIFF_PRESCAN_BYTES are made byte-transparent with an ISO-8859-1
+    decode (1 byte = 1 codepoint, lossless for pattern matching) and the
+    Content-Type value comes from the ordered ``headers`` array when
+    given. Pure codegen — the sniff itself never crosses the Arrow
+    boundary; only the actual non-fallback decode does
+    (``decode_with_charset``)."""
+    prefix = F.decode(F.substring(_c(payload), 1, SNIFF_PRESCAN_BYTES),
+                      "ISO-8859-1")
+    ct = header_get(headers, "content-type") if headers is not None else None
+    return sniff_charset_expr(prefix, ct)
+
+
+@F.pandas_udf(T.StringType())
+def decode_with_charset(payload: pd.Series, charset: pd.Series) -> pd.Series:
+    """bytes -> str honoring a sniffed charset label, vectorized:
+    a known label decodes with errors='replace' (a declared encoding is
+    authoritative even over mangled bytes — the browser rule); an
+    unknown/NULL label falls back to the warcio utf-8/latin-1 ladder
+    (``decode_fallback``), so undeclared content behaves exactly like
+    the reference text path. BOM bytes of a matching declared encoding
+    are stripped (the decoded text starts at the content)."""
+    import codecs
+
+    from warcio_spark.kernels.textcodec import decode_fallback
+
+    def one(raw, label):
+        if raw is None:
+            return None
+        raw = bytes(raw)
+        if label is None:
+            return decode_fallback(raw)
+        try:
+            info = codecs.lookup(label)
+        except LookupError:
+            return decode_fallback(raw)
+        if info.name == "utf-8" and raw[:3] == b"\xef\xbb\xbf":
+            raw = raw[3:]
+        elif info.name == "utf-16-le" and raw[:2] == b"\xff\xfe":
+            raw = raw[2:]
+        elif info.name == "utf-16-be" and raw[:2] == b"\xfe\xff":
+            raw = raw[2:]
+        return raw.decode(info.name, errors="replace")
+
+    return pd.Series(
+        [one(r, c) for r, c in zip(payload, charset)], dtype="object")
+
+
 # click/campaign identifiers every major analytics stack appends to urls —
 # the classic source of spurious url-level duplicates in a crawl (the same
 # document under utm_source=twitter / =rss / =newsletter). Exact names only;
