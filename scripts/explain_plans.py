@@ -48,6 +48,11 @@ PICKS = [
     "freshness",  # header ladder codegen + latest-wins groupBy + filter
     "zipnum_pages",  # block summary + one page groupBy on top
     "domain_quality",  # suffix codegen + stats groupBy + broadcast verdict
+    "cdx_tld_manifest",  # split_part codegen + ONE tld groupBy
+    "link_directives",  # blob scan + one Generate, map-only
+    "page_directives",  # head-region metas/links: pure codegen, zero shuffles
+    "strip_tracking",  # regexp split + HOF filter + rejoin: zero shuffles
+    "charset_sniff",  # two regexes + precedence coalesce: zero shuffles
 ]
 
 
