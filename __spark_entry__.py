@@ -765,6 +765,30 @@ def q_charset_sniff(spark, sf):
     )
 
 
+def q_corpus_report(spark, sf):
+    """Corpus datasheet in one scan + one aggregate: the
+    "datasheets for datasets" summary a release ships next to the
+    shards — doc/token totals, mean doc length, exact-duplicate rate
+    (distinct md5(text) vs rows), ascii share, mean character length.
+    All partial-aggregable expressions; at 100 TB this is a single
+    map-combined pass, no per-doc output anywhere."""
+    from warcio_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+        (F.sum(token_count("text")) / F.count(F.lit(1))
+         ).alias("avg_tokens"),
+        F.count_distinct(F.md5("text")).alias("distinct_texts"),
+        (1.0 - F.count_distinct(F.md5("text")) / F.count(F.lit(1))
+         ).alias("exact_dup_rate"),
+        F.avg(F.length("text")).alias("avg_chars"),
+        F.avg(F.col("text").rlike("^[\\x00-\\x7F]*$").cast("double")
+              ).alias("ascii_share"),
+    )
+
+
 def q_shard_assignment(spark, sf):
     """Token-balanced output sharding (pipeline.shard_assignment):
     shard_id = floor(global-exclusive-cumsum(n_tokens) / 2000) in doc_id
@@ -2134,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_directives": q_page_directives,
         "strip_tracking": q_strip_tracking,
         "charset_sniff": q_charset_sniff,
+        "corpus_report": q_corpus_report,
         "normalize_text": q_normalize_text,
         "scope_filter": q_scope_filter,
         "weighted_mix": q_weighted_mix,
@@ -3458,6 +3483,22 @@ def oracle_sql() -> dict[str, str]:
                   '(?i)<meta\\s[^>]{0,255}?charset\\s*=\\s*["'']?\\s*([a-zA-Z0-9._:-]+)',
                   1), ''))) AS charset
             FROM u
+        """,
+        "corpus_report": """
+            SELECT count(*)::BIGINT AS n_docs,
+                   sum(len(list_filter(string_split_regex(trim(text),
+                       '\\s+'), x -> x <> '')))::BIGINT AS n_tokens,
+                   sum(len(list_filter(string_split_regex(trim(text),
+                       '\\s+'), x -> x <> '')))::DOUBLE / count(*)
+                     AS avg_tokens,
+                   count(DISTINCT md5(text))::BIGINT AS distinct_texts,
+                   1.0 - count(DISTINCT md5(text))::DOUBLE / count(*)
+                     AS exact_dup_rate,
+                   avg(length(text)) AS avg_chars,
+                   avg(CASE WHEN regexp_matches(text,
+                       '^[\\x00-\\x7F]*$') THEN 1.0 ELSE 0.0 END)
+                     AS ascii_share
+            FROM documents
         """,
         "cdx_tld_manifest": """
             WITH idx AS (
