@@ -789,6 +789,54 @@ def q_corpus_report(spark, sf):
     )
 
 
+_RETRY_AFTER_DATES = (
+    "Mon, 13 Nov 2023 22:13:20 GMT",   # fetch-86400 -> clamp 0
+    "Tue, 14 Nov 2023 22:13:19 GMT",   # fetch-1     -> clamp 0
+    "Tue, 14 Nov 2023 22:13:20 GMT",   # == fetch    -> 0
+    "Tue, 14 Nov 2023 23:13:20 GMT",   # +3600
+    "Wed, 15 Nov 2023 00:13:20 GMT",   # +7200
+    "Tue, 21 Nov 2023 22:13:20 GMT",   # +604800
+)
+_RETRY_AFTER_FETCH = 1_700_000_000
+
+
+def q_retry_after(spark, sf):
+    """RFC 9110 Retry-After parsing (plans/retry.retry_after_seconds):
+    delta-seconds and IMF-fixdate forms relative to a fixed fetch epoch,
+    past dates clamped to 0, garbage/absent NULL. The date literals are
+    pinned constants whose epochs the oracle states from first
+    principles (the IMF parse itself is pinned against email.utils in
+    tests/test_retry.py)."""
+    from warcio_spark.plans.retry import retry_after_seconds
+
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    dates = F.element_at(
+        F.array(*[F.lit(x) for x in _RETRY_AFTER_DATES]),
+        (d % 6 + 1).cast("int"))
+    value = (
+        F.when(d % 4 == 0, s(d % 300))
+        .when(d % 4 == 1, dates)
+        .when(d % 4 == 2, F.lit("soonish"))
+    )
+    headers = F.when(
+        d % 4 != 3,
+        F.array(
+            F.struct(F.lit("Server").alias("name"), F.lit("x").alias("value")),
+            F.struct(F.lit("Retry-After").alias("name"),
+                     value.alias("value")),
+        ),
+    ).otherwise(F.array(
+        F.struct(F.lit("Server").alias("name"), F.lit("x").alias("value"))))
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", headers.alias("headers"))
+    return docs.select(
+        "doc_id",
+        retry_after_seconds(
+            "headers", F.lit(_RETRY_AFTER_FETCH)).alias("retry_after_s"),
+    )
+
+
 def q_shard_assignment(spark, sf):
     """Token-balanced output sharding (pipeline.shard_assignment):
     shard_id = floor(global-exclusive-cumsum(n_tokens) / 2000) in doc_id
@@ -2159,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_tracking": q_strip_tracking,
         "charset_sniff": q_charset_sniff,
         "corpus_report": q_corpus_report,
+        "retry_after": q_retry_after,
         "normalize_text": q_normalize_text,
         "scope_filter": q_scope_filter,
         "weighted_mix": q_weighted_mix,
@@ -3499,6 +3548,22 @@ def oracle_sql() -> dict[str, str]:
                        '^[\\x00-\\x7F]*$') THEN 1.0 ELSE 0.0 END)
                      AS ascii_share
             FROM documents
+        """,
+        "retry_after": """
+            WITH u AS (
+              SELECT doc_id,
+                CASE (doc_id % 4)
+                WHEN 0 THEN CAST(doc_id % 300 AS BIGINT)     -- delta form
+                WHEN 1 THEN CASE (doc_id % 6)                -- date form
+                  WHEN 0 THEN 0        -- 1699913600, past: clamp
+                  WHEN 1 THEN 0        -- 1699999999, past: clamp
+                  WHEN 2 THEN 0        -- == fetch epoch
+                  WHEN 3 THEN 3600
+                  WHEN 4 THEN 7200
+                  ELSE 604800 END
+                ELSE NULL END AS retry_after_s               -- garbage/absent
+              FROM documents)
+            SELECT doc_id, retry_after_s FROM u
         """,
         "cdx_tld_manifest": """
             WITH idx AS (

@@ -145,3 +145,59 @@ def test_due_rows_reenter_frontier(log_df, spark):
     keyed = with_frontier_keys(due)
     assert keyed.count() == 5
     assert "url_hash" in keyed.columns and "host" in keyed.columns
+
+
+def test_retry_after_seconds(spark):
+    """RFC 9110 Retry-After: delta-seconds and HTTP-date forms, clamping,
+    absent/garbage -> NULL — vs email.utils as the date oracle."""
+    import email.utils
+
+    fetch_epoch = 1_700_000_000  # 2023-11-14 22:13:20 UTC
+    date_future = email.utils.formatdate(fetch_epoch + 7200, usegmt=True)
+    date_past = email.utils.formatdate(fetch_epoch - 500, usegmt=True)
+    rows = [
+        (0, [("Retry-After", "120")], 120),
+        (1, [("retry-after", "  0 ")], 0),
+        (2, [("Retry-After", date_future)], 7200),
+        (3, [("Retry-After", date_past)], 0),       # past date clamps to 0
+        (4, [("Retry-After", "soonish")], None),    # garbage
+        (5, [("Server", "x")], None),               # absent
+        (6, [("Retry-After", "-5")], None),         # negative not in grammar
+    ]
+    from warcio_spark.plans.retry import retry_after_seconds
+
+    data = [
+        (i, [{"name": n, "value": v} for n, v in hs])
+        for i, hs, _ in rows
+    ]
+    df = spark.createDataFrame(
+        data, "i int, headers array<struct<name:string,value:string>>")
+    got = {r.i: r.s for r in df.select(
+        "i", retry_after_seconds(
+            "headers", F.lit(fetch_epoch)).alias("s")).collect()}
+    for i, _, want in rows:
+        assert got[i] == want, i
+
+
+def test_retry_report_honors_server_delay(spark):
+    """A 429's Retry-After (in rounds) floors the exponential backoff:
+    the crawler may wait longer than asked, never less."""
+    log = [
+        # one failure, backoff would be +1, server asked 5 rounds
+        ("a", 10, 429, 5),
+        # three failures (backoff 4), latest server wish only 2 -> backoff
+        ("b", 10, 500, None), ("b", 11, 500, None), ("b", 12, 503, 2),
+        # delay rides ONLY the latest attempt: older wish ignored
+        ("c", 10, 429, 9), ("c", 11, 503, None),
+    ]
+    df = spark.createDataFrame(
+        log, "url_canon string, round long, status int, sd long")
+    rep = {r.url_canon: (r.n_failures, r.next_due_round)
+           for r in retry_report(df, 20, server_delay_col="sd").collect()}
+    assert rep["a"] == (1, 15)   # max(1, 5)
+    assert rep["b"] == (3, 16)   # max(4, 2)
+    assert rep["c"] == (2, 13)   # max(2, 0-for-None)
+    # without the column: pure backoff
+    rep0 = {r.url_canon: r.next_due_round
+            for r in retry_report(df.drop("sd"), 20).collect()}
+    assert rep0["a"] == 11 and rep0["b"] == 16 and rep0["c"] == 13

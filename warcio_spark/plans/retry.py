@@ -40,7 +40,35 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["status_class", "retry_report", "retry_due"]
+__all__ = ["status_class", "retry_report", "retry_due",
+           "retry_after_seconds"]
+
+
+def retry_after_seconds(headers, fetch_epoch) -> Column:
+    """RFC 9110 §10.2.3 ``Retry-After`` as a delay in SECONDS relative to
+    the fetch time — pure codegen over the ordered headers array:
+
+    * delta-seconds form (``Retry-After: 120``): the integer, as-is;
+    * HTTP-date form: ``http_date_epoch(value) - fetch_epoch`` clamped
+      at 0 (a past date means retry now);
+    * absent / unparseable -> NULL (the caller's backoff stands alone).
+
+    Feed the per-attempt result into ``retry_report`` via
+    ``server_delay_col`` (converted to rounds at the caller's slot
+    length) so a 429/503 throttle's explicit wish FLOORS the
+    exponential backoff — the polite-crawler rule: never retry earlier
+    than the server asked, back off longer when the schedule says so."""
+    from warcio_spark.functions import header_get
+    from warcio_spark.plans.revalidate import http_date_epoch
+
+    v = F.trim(header_get(headers, "retry-after"))
+    fe = F.col(fetch_epoch) if isinstance(fetch_epoch, str) else fetch_epoch
+    delta = F.when(v.rlike(r"^\d{1,15}$"), v.cast("long"))
+    # clamp only a PARSED date (greatest() skips NULLs, which would turn
+    # garbage into 0 instead of NULL)
+    raw = http_date_epoch(v) - fe.cast("long")
+    dated = F.when(raw.isNotNull(), F.greatest(raw, F.lit(0)))
+    return F.coalesce(delta, dated)
 
 _RETRYABLE = (408, 429)
 
@@ -70,17 +98,27 @@ def retry_report(
     url_col: str = "url_canon",
     round_col: str = "round",
     status_col: str = "status",
+    server_delay_col: str | None = None,
 ) -> DataFrame:
     """Per-url retry state as of ``as_of_round``: (url_col, last_round,
     last_class, n_failures, next_due_round, due). Every distinct url in
     the log appears exactly once; ``next_due_round`` is null unless the
-    latest attempt was retryable."""
+    latest attempt was retryable.
+
+    ``server_delay_col``: optional per-attempt column of a
+    server-requested delay in ROUNDS (``retry_after_seconds`` divided by
+    the caller's slot length, ceil'd). The LATEST attempt's value FLOORS
+    the exponential backoff — the crawler may wait longer than asked,
+    never less."""
     cls = status_class(F.col(status_col))
     w_all = Window.partitionBy(url_col)
+    sd = (F.col(server_delay_col) if server_delay_col is not None
+          else F.lit(None).cast("long"))
     rows = fetch_log.select(
         url_col,
         F.col(round_col).alias("_r"),
         cls.alias("_cls"),
+        sd.alias("_sd"),
     ).withColumn(
         "_ls",
         F.max(F.when(F.col("_cls") == "success", F.col("_r"))).over(w_all),
@@ -88,6 +126,7 @@ def retry_report(
     agg = rows.groupBy(url_col).agg(
         F.max("_r").alias("last_round"),
         F.max_by("_cls", "_r").alias("last_class"),
+        F.max_by("_sd", "_r").alias("_last_sd"),
         F.count(
             F.when(
                 (F.col("_cls") == "retryable")
@@ -103,6 +142,8 @@ def retry_report(
         ).cast("long"),
         F.lit(int(max_backoff)),
     )
+    backoff = F.greatest(backoff, F.coalesce(F.col("_last_sd").cast("long"),
+                                             F.lit(0)))
     next_due = F.when(
         F.col("last_class") == "retryable", F.col("last_round") + backoff
     )
