@@ -837,6 +837,30 @@ def q_retry_after(spark, sf):
     )
 
 
+def q_script_shares(spark, sf):
+    """Unicode-script composition (textstats.script_shares): per-script
+    character shares over script-marked chars + main_script with
+    first-listed tie-break — the orthographic first split of a
+    multilingual corpus that marker-based lang-id cannot give. Java
+    spells the property \\p{IsXxx}, the RE2 oracle \\p{Xxx}; both engines
+    agree character-for-character (pinned in tests/test_textstats.py
+    against unicodedata)."""
+    from warcio_spark.operators.textstats import with_script_shares
+
+    d = F.col("doc_id")
+    snip = (
+        F.when(d % 6 == 1, F.lit(" Привет мир"))
+        .when(d % 6 == 2, F.lit(" 你好世界"))
+        .when(d % 6 == 3, F.lit(" γειά σου"))
+        .when(d % 6 == 4, F.lit(" مرحبا بالعالم"))
+        .when(d % 6 == 5, F.lit(" नमस्ते"))
+        .otherwise(F.lit(""))
+    )
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.concat(F.col("text"), snip).alias("text"))
+    return with_script_shares(docs).select("doc_id", "s.*")
+
+
 def q_shard_assignment(spark, sf):
     """Token-balanced output sharding (pipeline.shard_assignment):
     shard_id = floor(global-exclusive-cumsum(n_tokens) / 2000) in doc_id
@@ -2208,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_sniff": q_charset_sniff,
         "corpus_report": q_corpus_report,
         "retry_after": q_retry_after,
+        "script_shares": q_script_shares,
         "normalize_text": q_normalize_text,
         "scope_filter": q_scope_filter,
         "weighted_mix": q_weighted_mix,
@@ -3564,6 +3589,63 @@ def oracle_sql() -> dict[str, str]:
                 ELSE NULL END AS retry_after_s               -- garbage/absent
               FROM documents)
             SELECT doc_id, retry_after_s FROM u
+        """,
+        "script_shares": """
+            WITH u AS (
+              SELECT doc_id,
+                text || CASE (doc_id % 6)
+                  WHEN 1 THEN ' \u041f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440'
+                  WHEN 2 THEN ' \u4f60\u597d\u4e16\u754c'
+                  WHEN 3 THEN ' \u03b3\u03b5\u03b9\u03ac \u03c3\u03bf\u03c5'
+                  WHEN 4 THEN ' \u0645\u0631\u062d\u0628\u0627 \u0628\u0627\u0644\u0639\u0627\u0644\u0645'
+                  WHEN 5 THEN ' \u0928\u092e\u0938\u094d\u0924\u0947'
+                  ELSE '' END AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text, '\\p{L}'))::INT AS n_letters,
+                len(regexp_extract_all(text, '\\p{Latin}'))::BIGINT AS c_latin,
+                len(regexp_extract_all(text, '\\p{Cyrillic}'))::BIGINT AS c_cyrillic,
+                len(regexp_extract_all(text, '\\p{Han}'))::BIGINT AS c_han,
+                len(regexp_extract_all(text, '\\p{Arabic}'))::BIGINT AS c_arabic,
+                len(regexp_extract_all(text, '\\p{Greek}'))::BIGINT AS c_greek,
+                len(regexp_extract_all(text, '\\p{Hebrew}'))::BIGINT AS c_hebrew,
+                len(regexp_extract_all(text, '\\p{Hangul}'))::BIGINT AS c_hangul,
+                len(regexp_extract_all(text, '\\p{Hiragana}'))::BIGINT AS c_hiragana,
+                len(regexp_extract_all(text, '\\p{Katakana}'))::BIGINT AS c_katakana,
+                len(regexp_extract_all(text, '\\p{Devanagari}'))::BIGINT AS c_devanagari,
+                len(regexp_extract_all(text, '\\p{Thai}'))::BIGINT AS c_thai
+              FROM u),
+            t AS (
+              SELECT *, (c_latin + c_cyrillic + c_han + c_arabic + c_greek + c_hebrew + c_hangul + c_hiragana + c_katakana + c_devanagari + c_thai)::BIGINT AS total,
+                greatest(c_latin, c_cyrillic, c_han, c_arabic, c_greek, c_hebrew, c_hangul, c_hiragana, c_katakana, c_devanagari, c_thai) AS m
+              FROM c)
+            SELECT doc_id, n_letters,
+              CASE WHEN total > 0 THEN c_latin::DOUBLE / total END AS share_latin,
+              CASE WHEN total > 0 THEN c_cyrillic::DOUBLE / total END AS share_cyrillic,
+              CASE WHEN total > 0 THEN c_han::DOUBLE / total END AS share_han,
+              CASE WHEN total > 0 THEN c_arabic::DOUBLE / total END AS share_arabic,
+              CASE WHEN total > 0 THEN c_greek::DOUBLE / total END AS share_greek,
+              CASE WHEN total > 0 THEN c_hebrew::DOUBLE / total END AS share_hebrew,
+              CASE WHEN total > 0 THEN c_hangul::DOUBLE / total END AS share_hangul,
+              CASE WHEN total > 0 THEN c_hiragana::DOUBLE / total END AS share_hiragana,
+              CASE WHEN total > 0 THEN c_katakana::DOUBLE / total END AS share_katakana,
+              CASE WHEN total > 0 THEN c_devanagari::DOUBLE / total END AS share_devanagari,
+              CASE WHEN total > 0 THEN c_thai::DOUBLE / total END AS share_thai,
+              CASE WHEN total = 0 THEN NULL
+                WHEN c_latin = m THEN 'Latin'
+                WHEN c_cyrillic = m THEN 'Cyrillic'
+                WHEN c_han = m THEN 'Han'
+                WHEN c_arabic = m THEN 'Arabic'
+                WHEN c_greek = m THEN 'Greek'
+                WHEN c_hebrew = m THEN 'Hebrew'
+                WHEN c_hangul = m THEN 'Hangul'
+                WHEN c_hiragana = m THEN 'Hiragana'
+                WHEN c_katakana = m THEN 'Katakana'
+                WHEN c_devanagari = m THEN 'Devanagari'
+                WHEN c_thai = m THEN 'Thai'
+              END AS main_script
+            FROM t
         """,
         "cdx_tld_manifest": """
             WITH idx AS (

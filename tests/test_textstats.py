@@ -150,3 +150,77 @@ def test_nfc_split_union_equals_all_slow(spark):
             "text_norm", cleanup_expr(nfc_normalize(F.col("text")))).collect()
     }
     assert split == all_slow
+
+
+def test_script_shares_vs_unicodedata_oracle(spark):
+    """Unicode-script composition vs an independent python oracle built
+    on unicodedata names (LATIN/CYRILLIC/... prefixes; CJK UNIFIED ==
+    Han), plus hand-pinned mixed/letterless cases."""
+    import unicodedata
+
+    from warcio_spark.operators.textstats import SCRIPTS, script_shares
+
+    NAME_PREFIX = {
+        "Latin": ("LATIN",), "Cyrillic": ("CYRILLIC",),
+        "Han": ("CJK UNIFIED", "CJK COMPATIBILITY"),
+        "Arabic": ("ARABIC",), "Greek": ("GREEK",), "Hebrew": ("HEBREW",),
+        "Hangul": ("HANGUL",), "Hiragana": ("HIRAGANA",),
+        "Katakana": ("KATAKANA",), "Devanagari": ("DEVANAGARI",),
+        "Thai": ("THAI",),
+    }
+
+    def oracle(text):
+        counts = {s: 0 for s in SCRIPTS}
+        for ch in text:
+            try:
+                nm = unicodedata.name(ch)
+            except ValueError:
+                continue
+            for s, prefixes in NAME_PREFIX.items():
+                if nm.startswith(prefixes):
+                    counts[s] += 1
+                    break
+        total = sum(counts.values())
+        if total == 0:
+            return None, {}
+        main = max(SCRIPTS, key=lambda s: (counts[s], -SCRIPTS.index(s)))
+        return main, {s: counts[s] / total for s in SCRIPTS}
+
+    texts = [
+        "hello plain english",
+        "Привет мир и ещё текст",
+        "你好世界 这是中文",
+        "mixed Привет hello world",       # latin-majority mixed
+        "Привет ПРИВЕТ hello",            # cyrillic-majority mixed
+        "γειά σου κόσμε",
+        "مرحبا بالعالم",
+        "שלום עולם",
+        "안녕하세요 세계",
+        "こんにちは せかい",
+        "カタカナ テスト",
+        "नमस्ते दुनिया",
+        "สวัสดีชาวโลก",
+        "12345 !!! ...",                   # letterless
+        "",                                # empty
+        "helloo Привет",                   # exact 6-6 tie -> first-listed Latin
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    got = {r.t: r.s.asDict() for r in df.select(
+        "t", script_shares("t").alias("s")).collect()}
+    for t in texts:
+        main, shares = oracle(t)
+        g = got[t]
+        assert g["main_script"] == main, t
+        if main is None:
+            assert all(g["share_" + s.lower()] is None for s in SCRIPTS), t
+        else:
+            for s in SCRIPTS:
+                assert abs(g["share_" + s.lower()] - shares[s]) < 1e-12, (t, s)
+    assert got["helloo Привет"]["main_script"] == "Latin"
+
+    # staged DataFrame form == inline column form (same struct, field-exact)
+    from warcio_spark.operators.textstats import with_script_shares
+
+    staged = {r.t: r.s.asDict() for r in with_script_shares(
+        df, text_col="t").select("t", "s").collect()}
+    assert staged == got
