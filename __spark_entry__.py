@@ -861,6 +861,38 @@ def q_script_shares(spark, sf):
     return with_script_shares(docs).select("doc_id", "s.*")
 
 
+def q_declared_lang(spark, sf):
+    """Declared page language (links.declared_lang): first <html> tag's
+    lang/xml:lang attribute over the Content-Language header's first
+    tag, normalized + grammar-gated — the language PRIOR that composes
+    with the measured signals (lang_markers, script_shares). Oracle
+    replays the blob regex, attr precedence, comma-split, and gate."""
+    from warcio_spark.operators.links import declared_lang
+
+    d = F.col("doc_id")
+    html = (
+        F.when(d % 5 == 0, F.lit('<html lang="en-US"><head></head>'))
+        .when(d % 5 == 1, F.lit("<html lang=fr>"))
+        .when(d % 5 == 2, F.lit("<HTML LANG='pt-BR'>"))
+        .when(d % 5 == 3, F.lit("<html>"))
+        .otherwise(F.lit('<html lang="!!">'))
+    )
+    hval = (
+        F.when(d % 3 == 0, F.lit(" da , en"))
+        .when(d % 3 == 1, F.lit("en"))
+    )
+    headers = F.when(
+        hval.isNotNull(),
+        F.array(F.struct(F.lit("Content-Language").alias("name"),
+                         hval.alias("value"))),
+    ).otherwise(F.array(
+        F.struct(F.lit("Server").alias("name"), F.lit("x").alias("value"))))
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", html.alias("text"), headers.alias("headers"))
+    out = declared_lang(F.col("text"), F.col("headers"))
+    return docs.select("doc_id", out.alias("d")).select("doc_id", "d.*")
+
+
 def q_shard_assignment(spark, sf):
     """Token-balanced output sharding (pipeline.shard_assignment):
     shard_id = floor(global-exclusive-cumsum(n_tokens) / 2000) in doc_id
@@ -2233,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "retry_after": q_retry_after,
         "script_shares": q_script_shares,
+        "declared_lang": q_declared_lang,
         "normalize_text": q_normalize_text,
         "scope_filter": q_scope_filter,
         "weighted_mix": q_weighted_mix,
@@ -3646,6 +3679,51 @@ def oracle_sql() -> dict[str, str]:
                 WHEN c_thai = m THEN 'Thai'
               END AS main_script
             FROM t
+        """,
+        "declared_lang": """
+            WITH u AS (
+              SELECT doc_id,
+                CASE (doc_id % 5)
+                WHEN 0 THEN '<html lang="en-US"><head></head>'
+                WHEN 1 THEN '<html lang=fr>'
+                WHEN 2 THEN '<HTML LANG=''pt-BR''>'
+                WHEN 3 THEN '<html>'
+                ELSE '<html lang="!!">' END AS text,
+                CASE (doc_id % 3)
+                WHEN 0 THEN ' da , en'
+                WHEN 1 THEN 'en'
+                ELSE NULL END AS clhdr
+              FROM documents),
+            b AS (
+              SELECT doc_id, clhdr,
+                regexp_extract(text,
+                  '(?i)<html((?:\\s(?:[^<>"'']|"[^"]*"|''[^'']*'')*)?)>',
+                  1) AS blob
+              FROM u),
+            e AS (
+              SELECT doc_id, clhdr,
+                lower(trim(COALESCE(
+                  NULLIF(regexp_extract(blob,
+                    '(?i)\\s(?:lang|xml:lang)\\s*=\\s*"([^"]*)"', 1), ''),
+                  NULLIF(regexp_extract(blob,
+                    '(?i)\\s(?:lang|xml:lang)\\s*=\\s*''([^'']*)''', 1), ''),
+                  NULLIF(regexp_extract(blob,
+                    '(?i)\\s(?:lang|xml:lang)\\s*=\\s*([^\\s"''<>]+)', 1), ''),
+                  ''))) AS hl_raw,
+                lower(trim(split_part(COALESCE(clhdr, ''), ',', 1))) AS cl_raw
+              FROM b),
+            n AS (
+              SELECT doc_id,
+                CASE WHEN regexp_matches(hl_raw,
+                  '^[a-z]{1,8}(-[a-z0-9]{1,8})*$') THEN hl_raw END
+                  AS html_lang,
+                CASE WHEN regexp_matches(cl_raw,
+                  '^[a-z]{1,8}(-[a-z0-9]{1,8})*$') THEN cl_raw END
+                  AS content_language
+              FROM e) 
+            SELECT doc_id, html_lang, content_language,
+                   COALESCE(html_lang, content_language) AS lang
+            FROM n
         """,
         "cdx_tld_manifest": """
             WITH idx AS (

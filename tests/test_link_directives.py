@@ -189,3 +189,37 @@ def test_canonical_link(spark):
     # a canonical AFTER </head> does not count
     assert _canon(spark, u, '<head></head><link rel=canonical href=/y>') \
         is None
+
+
+def test_declared_lang(spark):
+    from warcio_spark.operators.links import declared_lang
+
+    cases = [
+        ('<html lang="en-US"><head></head>', None, ("en-us", None, "en-us")),
+        ("<html lang=fr>", None, ("fr", None, "fr")),
+        ("<HTML LANG='pt-BR'>", None, ("pt-br", None, "pt-br")),
+        ('<html xml:lang="de">', None, ("de", None, "de")),
+        ("<html>", None, (None, None, None)),
+        ("no html tag at all", None, (None, None, None)),
+        # junk gated out
+        ('<html lang="!!">', None, (None, None, None)),
+        ('<html lang="">', None, (None, None, None)),
+        # header fallback + precedence + comma-list first tag
+        ("<html>", [("Content-Language", " da , en")],
+         (None, "da", "da")),
+        ('<html lang="sv">', [("Content-Language", "en")],
+         ("sv", "en", "sv")),
+        ("<html>", [("Server", "x")], (None, None, None)),
+    ]
+    for i, (html, headers, want) in enumerate(cases):
+        hcol = None
+        if headers is not None:
+            hcol = F.array(*[
+                F.struct(F.lit(n).alias("name"), F.lit(v).alias("value"))
+                for n, v in headers
+            ])
+        df = spark.createDataFrame([(html,)], ["text"])
+        got = df.select(
+            declared_lang(F.col("text"), hcol).alias("d")).collect()[0].d
+        assert (got.html_lang, got.content_language, got.lang) == want, \
+            (i, html)

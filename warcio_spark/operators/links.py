@@ -376,6 +376,51 @@ def extract_outlink_directives(fetched: DataFrame, url_col: str = "page_url",
     return out
 
 
+# the FIRST <html> tag's attribute blob, same discipline as _A_BLOB_RX
+_HTML_TAG_RX = "(?i)<html((?:\\s(?:[^<>\"']|\"[^\"]*\"|'[^']*')*)?)>"
+
+
+def declared_lang(text: Column, headers: Column | None = None) -> Column:
+    """The page's DECLARED language as a normalized BCP-47-ish tag —
+    struct<html_lang:string, content_language:string, lang:string>:
+
+    * ``html_lang``: the first ``<html>`` tag's ``lang`` attribute
+      (the xml:lang variant counts too — _attr_value alternation),
+    * ``content_language``: the first language tag of the
+      Content-Language header value (it is a comma-list; RFC 9110 lets
+      it name multiple audiences — first tag kept, documented),
+    * ``lang``: html_lang else content_language — the HTML spec's own
+      precedence (the in-document attribute is the more specific claim).
+
+    Tags are trimmed, lowercased, gated to the plausible grammar
+    ``[a-z]{1,8}(-[a-z0-9]{1,8})*`` (junk -> NULL). A declaration is a
+    PRIOR, not a measurement — compose with ``textstats.lang_scores`` /
+    ``script_shares`` (measured signals) the way CLD-style pipelines do.
+    Pure codegen over the decoded text + headers array."""
+    blob = F.regexp_extract(text, _HTML_TAG_RX, 1)
+    html_lang = _norm_lang_tag(_attr_value(blob, "lang|xml:lang"))
+    if headers is not None:
+        from warcio_spark import functions as WF
+
+        cl = _norm_lang_tag(F.split_part(
+            F.coalesce(WF.header_get(headers, "content-language"),
+                       F.lit("")),
+            F.lit(","), F.lit(1)))
+    else:
+        cl = F.lit(None).cast("string")
+    return F.struct(
+        html_lang.alias("html_lang"),
+        cl.alias("content_language"),
+        F.coalesce(html_lang, cl).alias("lang"),
+    )
+
+
+def _norm_lang_tag(raw: Column) -> Column:
+    """trim + lowercase + grammar gate; '' and junk -> NULL."""
+    t = F.lower(F.trim(raw))
+    return F.when(t.rlike("^[a-z]{1,8}(-[a-z0-9]{1,8})*$"), t)
+
+
 def _head_region(text: Column) -> Column:
     """Everything before the first ``</head>`` when one exists, else the
     whole document — the head_struct scan-region heuristic, shared."""
