@@ -53,6 +53,10 @@ PICKS = [
     "page_directives",  # head-region metas/links: pure codegen, zero shuffles
     "strip_tracking",  # regexp split + HOF filter + rejoin: zero shuffles
     "charset_sniff",  # two regexes + precedence coalesce: zero shuffles
+    "corpus_report",  # one map-combined aggregate pass
+    "retry_after",  # header HOF + date arithmetic: zero shuffles
+    "script_shares",  # STAGED regexp counts (codegen; inline form fell back)
+    "declared_lang",  # html blob + header first-tag: zero shuffles
 ]
 
 
