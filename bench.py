@@ -67,6 +67,16 @@ BENCH_QUERIES = [
     "weighted_mix",
     "boilerplate",
     "timemap",
+    # round-5 late additions (all single-scan codegen unless noted)
+    "cdx_tld_manifest",
+    "link_directives",
+    "page_directives",
+    "strip_tracking",
+    "charset_sniff",
+    "corpus_report",
+    "retry_after",
+    "script_shares",
+    "declared_lang",
 ]
 
 
