@@ -167,3 +167,115 @@ def test_real_pil_decode_when_installed():
     w, h, c, feat = mm._decode_image_pil(buf.getvalue())
     assert (w, h, c) == (8, 8, 3)
     assert len(feat) == 16 and all(abs(f - 1.0) < 1e-6 for f in feat)
+
+
+def _wav_bytes(rate=8000, channels=1, samples=None, fmt_code=1, bits=16):
+    """Build a RIFF/WAVE via the stdlib wave module (the independent
+    implementation) — or by hand for the malformed variants."""
+    import io
+    import struct
+    import wave
+
+    if fmt_code == 1 and bits == 16:
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack("<%dh" % len(samples), *samples))
+        w.close()
+        return buf.getvalue()
+    # hand-rolled non-PCM16 header for the rejection paths
+    body = struct.pack("<HHIIHH", fmt_code, channels, rate,
+                       rate * channels * bits // 8,
+                       channels * bits // 8, bits)
+    data = b"\x00" * 8
+    riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(body)) + body
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def test_audio_features_real_wav_decode(spark):
+    """Known PCM16 signals through the Spark plumbing: exact rate/frames/
+    duration, hand-computable rms/peak/zcr, stereo interleave, NULL-row
+    contract for non-audio and malformed blobs."""
+    import numpy as np
+
+    from warcio_spark.operators.multimodal import audio_features
+
+    # square wave +/-16384 at channel 0: rms=0.5, peak=0.5, zcr=1.0
+    sq = [16384, -16384] * 50
+    # constant DC 32767: rms=peak~1.0, zcr=0
+    dc = [32767] * 80
+    # stereo: ch0 alternates sign, ch1 silent -> zcr from ch0 only,
+    # rms over BOTH channels = sqrt(0.25/2)
+    stereo = []
+    for k in range(40):
+        stereo += [16384 if k % 2 == 0 else -16384, 0]
+    rows = [
+        (0, "audio", _wav_bytes(8000, 1, sq)),
+        (1, "audio", _wav_bytes(44100, 1, dc)),
+        (2, "audio", _wav_bytes(16000, 2, stereo)),
+        (3, "audio", b"not a wav at all"),
+        (4, "audio", _wav_bytes(8000, 1, None, fmt_code=3)),  # float PCM
+        (5, "image", _wav_bytes(8000, 1, sq)),  # wrong kind: filtered out
+    ]
+    df = spark.createDataFrame(
+        [(i, k, bytearray(b)) for i, k, b in rows],
+        "media_id long, kind string, data binary")
+    got = {r.media_id: r for r in audio_features(df).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+
+    r = got[0]
+    assert (r.sample_rate, r.channels, r.n_frames) == (8000, 1, 100)
+    assert abs(r.duration_s - 100 / 8000) < 1e-12
+    assert abs(r.rms - 0.5) < 1e-9 and abs(r.peak - 0.5) < 1e-9
+    assert r.zcr == 1.0
+
+    r = got[1]
+    assert (r.sample_rate, r.n_frames) == (44100, 80)
+    assert abs(r.rms - 32767 / 32768) < 1e-9 and r.zcr == 0.0
+
+    r = got[2]
+    assert (r.channels, r.n_frames) == (2, 40)
+    assert abs(r.rms - np.sqrt(0.25 / 2)) < 1e-9
+    assert abs(r.zcr - 1.0) < 1e-9
+
+    for bad in (3, 4):
+        r = got[bad]
+        assert r.sample_rate is None and r.rms is None, bad
+
+
+def test_audio_features_stdlib_wave_oracle(spark):
+    """Parse params of generated WAVs match the stdlib wave module, and
+    rms matches a direct numpy computation over the same samples."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from warcio_spark.operators.multimodal import audio_features
+
+    blobs = []
+    for i in range(12):
+        n = 40 + i * 7
+        samples = [((k * 2654435761 + i * 97) % 65536) - 32768
+                   for k in range(n)]
+        # clamp -32768..32767 already by construction
+        ch = 1 + i % 2
+        if ch == 2 and len(samples) % 2:
+            samples.append(0)
+        blobs.append((i, _wav_bytes(8000 + i * 500, ch, samples), samples, ch))
+    df = spark.createDataFrame(
+        [(i, "audio", bytearray(b)) for i, b, _, _ in blobs],
+        "media_id long, kind string, data binary")
+    got = {r.media_id: r for r in audio_features(df).collect()}
+    for i, b, samples, ch in blobs:
+        w = wave.open(io.BytesIO(b))
+        r = got[i]
+        assert r.sample_rate == w.getframerate()
+        assert r.channels == w.getnchannels() == ch
+        assert r.n_frames == w.getnframes()
+        x = np.array(samples, dtype=np.float64) / 32768.0
+        assert abs(r.rms - np.sqrt((x * x).mean())) < 1e-12, i
+        assert abs(r.peak - np.abs(x).max()) < 1e-12, i
