@@ -279,3 +279,74 @@ def test_audio_features_stdlib_wave_oracle(spark):
         x = np.array(samples, dtype=np.float64) / 32768.0
         assert abs(r.rms - np.sqrt((x * x).mean())) < 1e-12, i
         assert abs(r.peak - np.abs(x).max()) < 1e-12, i
+
+
+def _p6(w, h, pixels):
+    """pixels: list of (r,g,b) row-major."""
+    import struct
+    body = b"".join(struct.pack("BBB", *p) for p in pixels)
+    return (b"P6\n%d %d\n255\n" % (w, h)) + body
+
+
+def test_image_thumbnails_block_means_and_roundtrip(spark):
+    import numpy as np
+
+    from warcio_spark.operators.multimodal import (
+        _parse_netpbm,
+        image_thumbnails,
+    )
+
+    # 4x2 gray-as-RGB image, known luma: row0 = 0,64,128,255; row1 = same
+    vals = [0, 64, 128, 255]
+    pixels = [(v, v, v) for v in vals] * 2
+    rows = [
+        (0, "image", _p6(4, 2, pixels)),
+        (1, "image", b"\x89PNG not netpbm"),
+        (2, "audio", _p6(4, 2, pixels)),  # filtered out by kind
+    ]
+    df = spark.createDataFrame(
+        [(i, k, bytearray(b)) for i, k, b in rows],
+        "media_id long, kind string, data binary")
+    got = {r.media_id: r for r in
+           image_thumbnails(df, width=2, height=1).collect()}
+    assert set(got) == {0, 1}
+    r = got[0]
+    assert (r.src_width, r.src_height, r.width, r.height) == (4, 2, 2, 1)
+    # block means: cells are (rows 0-1) x (cols 0-1 / cols 2-3)
+    t = np.frombuffer(bytes(r.thumb)[-2:], dtype=np.uint8)
+    assert list(t) == [round((0 + 64) / 2), round((128 + 255) / 2)]
+    # the blob round-trips through our own decoder
+    parsed = _parse_netpbm(bytes(r.thumb))
+    assert parsed is not None
+    w, h, c, gray = parsed
+    assert (w, h, c) == (2, 1, 1)
+    assert [int(x) for x in gray.flatten()] == list(t)
+    # NULL-row contract
+    assert got[1].thumb is None and got[1].src_width is None
+
+
+def test_image_thumbnails_numpy_oracle(spark):
+    """Deterministic 12x9 image: thumbnail equals a direct numpy block-mean
+    computed from the SAME pixel array the test constructed."""
+    import numpy as np
+
+    from warcio_spark.operators.multimodal import image_thumbnails
+
+    w, h = 12, 9
+    lum = [((x * 37 + y * 101) % 256) for y in range(h) for x in range(w)]
+    pixels = [(v, v, v) for v in lum]
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(_p6(w, h, pixels)))],
+        "media_id long, kind string, data binary")
+    r = image_thumbnails(df, width=4, height=3).collect()[0]
+    arr = np.array(lum, dtype=np.float64).reshape(h, w)
+    # luma of (v,v,v) under BT.601 weights is v (weights sum to 1) within fp
+    ys = np.linspace(0, h, 4, dtype=np.int64)
+    xs = np.linspace(0, w, 5, dtype=np.int64)
+    want = []
+    for i in range(3):
+        for j in range(4):
+            want.append(int(round(arr[ys[i]:ys[i + 1],
+                                      xs[j]:xs[j + 1]].mean())))
+    got = list(np.frombuffer(bytes(r.thumb)[-12:], dtype=np.uint8))
+    assert got == want

@@ -107,10 +107,20 @@ def _luma_grid_feature(gray: np.ndarray) -> list:
 
 
 def _decode_image_ppm(data: bytes):
-    """Dependency-free real decode of binary netpbm (P5 gray / P6 RGB):
-    parse header (whitespace/comment tolerant), view the raster as numpy,
-    emit the shared (w, h, channels, feature) tuple. Non-netpbm or
-    malformed blobs return None — same NULL-row contract as PIL."""
+    """Dependency-free real decode of binary netpbm (P5 gray / P6 RGB) to
+    the shared (w, h, channels, feature) tuple — header parse + raster
+    view in :func:`_parse_netpbm`, feature = the 4x4 luma grid. Non-netpbm
+    or malformed blobs return None — same NULL-row contract as PIL."""
+    parsed = _parse_netpbm(data)
+    if parsed is None:
+        return None
+    w, h, c, gray = parsed
+    return w, h, c, _luma_grid_feature(gray)
+
+
+def _parse_netpbm(data: bytes):
+    """netpbm header+raster parse -> (w, h, channels, gray float array),
+    whitespace/comment tolerant; None on anything malformed."""
     if not data.startswith((b"P5", b"P6")):
         return None
     try:
@@ -146,7 +156,7 @@ def _decode_image_ppm(data: bytes):
             )
         else:
             gray = raster.reshape(h, w)
-        return w, h, c, _luma_grid_feature(gray)
+        return w, h, c, gray
     except (ValueError, IndexError):
         return None
 
@@ -333,4 +343,72 @@ def audio_features(media: DataFrame) -> DataFrame:
         media.filter(F.col("kind") == "audio")
         .select("media_id", "data")
         .mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+    )
+
+
+THUMBNAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("thumb", T.BinaryType(), True),
+    ]
+)
+
+
+def _block_mean_resize(gray: "np.ndarray", tw: int, th: int) -> "np.ndarray":
+    """(h, w) float grayscale -> (th, tw) uint8 by per-cell block means —
+    the exact generalization of the 4x4 luma grid to arbitrary targets
+    (identical cell geometry: linspace edges, empty-guard)."""
+    h, w = gray.shape
+    ys = np.linspace(0, h, th + 1, dtype=np.int64)
+    xs = np.linspace(0, w, tw + 1, dtype=np.int64)
+    out = np.empty((th, tw), dtype=np.float64)
+    for i in range(th):
+        for j in range(tw):
+            cell = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                        xs[j]:max(xs[j + 1], xs[j] + 1)]
+            out[i, j] = cell.mean()
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def image_thumbnails(media: DataFrame, width: int = 16,
+                     height: int = 16) -> DataFrame:
+    """The resize stage of the multimodal ladder: decode (netpbm codec),
+    block-mean downsample to (width, height), and re-emit each thumbnail
+    as a BINARY P5 netpbm blob — round-trippable through this module's own
+    decoder, so downstream feature extraction composes with no new format.
+    Same Arrow shape as image_features (JVM kind filter first, mapInPandas
+    batches, NULL-row contract for undecodable blobs)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("thumbnail dims must be positive, got "
+                         f"{width}x{height}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                parsed = _parse_netpbm(
+                    bytes(data) if data is not None else b"")
+                if parsed is None:
+                    rows.append({"media_id": mid, "src_width": None,
+                                 "src_height": None, "width": None,
+                                 "height": None, "thumb": None})
+                    continue
+                w, h, _c, gray = parsed
+                t = _block_mean_resize(gray, width, height)
+                blob = (b"P5\n%d %d\n255\n" % (width, height)) + t.tobytes()
+                rows.append({"media_id": mid, "src_width": w,
+                             "src_height": h, "width": width,
+                             "height": height, "thumb": blob})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in THUMBNAIL_SCHEMA.fields]
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "data")
+        .mapInPandas(run, THUMBNAIL_SCHEMA)
     )
