@@ -2186,6 +2186,77 @@ def q_host_rank(spark, sf):
     return ranks.select("host", F.round("rank", 8).alias("rank"))
 
 
+def q_capture_diff(spark, sf):
+    """Crawl-over-crawl diff (sources/cdxj.capture_diff): per urlkey,
+    classify added/gone/changed/unchanged between a January and a
+    February 2024 window by comparing each window's latest capture.
+    Universe: one capture per doc over the 97x17 urlkey grid — host
+    residue pins h%5==0 classes to January only (gone) and h%5==1 to
+    February only (added); elsewhere the doc's parity picks the month,
+    and digests are stable for even paths (sha1:S<p>, unchanged) vs
+    per-capture for odd (sha1:V<d%11>, mostly changed). The DuckDB
+    oracle replays the single FILTER'd aggregation (arg_max on the same
+    ts||url||digest pick key), so latest-selection, window padding and
+    NULL-safe digest equality must match exactly."""
+    from warcio_spark.sources.cdxj import capture_diff
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    h, p = d % 97, d % 17
+    m = (F.when(h % 5 == 0, 1).when(h % 5 == 1, 2)
+         .when(d % 2 == 0, 1).otherwise(2))
+    ts = F.concat(
+        F.lit("2024"), F.lpad(s(m), 2, "0"),
+        F.lpad(s(d % 28 + 1), 2, "0"), F.lpad(s(d % 24), 2, "0"),
+        F.lpad(s(d % 60), 2, "0"), F.lit("00"))
+    digest = (
+        F.when(p % 2 == 0, F.concat(F.lit("sha1:S"), s(p)))
+        .otherwise(F.concat(F.lit("sha1:V"), s(d % 11))))
+    index = docs.select(
+        F.concat(F.lit("com,example,host"), s(h), F.lit(")/q/"),
+                 s(p)).alias("urlkey"),
+        ts.alias("timestamp"),
+        F.concat(F.lit("http://host"), s(h), F.lit(".example.com/q/"),
+                 s(p)).alias("url"),
+        digest.alias("digest"),
+    )
+    return capture_diff(index, ("202401", "202401"),
+                        ("202402", "202402"))
+
+
+def q_link_rot(spark, sf):
+    """Link-rot report (operators/links.link_rot): distinct link
+    targets classified ok/broken/uncrawled against a fetch log, with
+    occurrence and distinct-referrer counts. Universe: each doc emits
+    two targets over a 53x19 grid; the fetch log covers doc_id%3!=2
+    (leaving some targets uncrawled) with a 7-cycle of statuses
+    including NULL (failed fetch => broken) and duplicate urls whose
+    statuses collapse via MAX. The DuckDB oracle replays the aggregate
+    + left join + CASE classification."""
+    from warcio_spark.operators.links import link_rot
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    t1 = F.concat(F.lit("http://t"), s(d % 53), F.lit(".ex/x"),
+                  s(d % 19))
+    t2 = F.concat(F.lit("http://t"), s((d + 7) % 53), F.lit(".ex/x"),
+                  s((d * 3) % 19))
+    links = docs.select(
+        F.concat(F.lit("http://s"), s(d % 31), F.lit(".ex/p"),
+                 s(d)).alias("src_url"),
+        F.explode(F.array(t1, t2)).alias("outlink"))
+    fetched = docs.filter(d % 3 != 2).select(
+        F.concat(F.lit("http://t"), s(d % 53), F.lit(".ex/x"),
+                 s(d % 19)).alias("url"),
+        F.when(d % 7 == 0, 404).when(d % 7 == 1, 500)
+        .when(d % 7 == 2, 301)
+        .when(d % 7 == 3, F.lit(None).cast("int"))
+        .otherwise(200).alias("status"))
+    return link_rot(links, fetched)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -2275,6 +2346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "chunk_documents": q_chunk_documents,
         "anchor_texts": q_anchor_texts,
+        "capture_diff": q_capture_diff,
+        "link_rot": q_link_rot,
     }
 
 
@@ -4124,6 +4197,90 @@ def oracle_sql() -> dict[str, str]:
               FROM r)
             WHERE outlink IS NOT NULL
             GROUP BY outlink, anchor
+        """,
+        "capture_diff": """
+            WITH caps AS (
+              SELECT 'com,example,host' || (doc_id % 97)::VARCHAR
+                       || ')/q/' || (doc_id % 17)::VARCHAR AS urlkey,
+                     '2024'
+                       || lpad((CASE WHEN (doc_id % 97) % 5 = 0 THEN 1
+                                     WHEN (doc_id % 97) % 5 = 1 THEN 2
+                                     WHEN doc_id % 2 = 0 THEN 1
+                                     ELSE 2 END)::VARCHAR, 2, '0')
+                       || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+                       || lpad((doc_id % 24)::VARCHAR, 2, '0')
+                       || lpad((doc_id % 60)::VARCHAR, 2, '0')
+                       || '00' AS ts,
+                     'http://host' || (doc_id % 97)::VARCHAR
+                       || '.example.com/q/' || (doc_id % 17)::VARCHAR
+                       AS url,
+                     CASE WHEN (doc_id % 17) % 2 = 0
+                          THEN 'sha1:S' || (doc_id % 17)::VARCHAR
+                          ELSE 'sha1:V' || (doc_id % 11)::VARCHAR
+                     END AS digest
+              FROM documents),
+            f AS (
+              SELECT *,
+                     ts BETWEEN '20240101000000'
+                            AND '20240131235959' AS ia,
+                     ts BETWEEN '20240201000000'
+                            AND '20240231235959' AS ib,
+                     ts || url || digest AS pick
+              FROM caps
+              WHERE ts BETWEEN '20240101000000' AND '20240131235959'
+                 OR ts BETWEEN '20240201000000' AND '20240231235959'),
+            agg AS (
+              SELECT urlkey,
+                     count(*) FILTER (WHERE ia) AS n_captures_a,
+                     count(*) FILTER (WHERE ib) AS n_captures_b,
+                     arg_max(digest, pick) FILTER (WHERE ia) AS digest_a,
+                     arg_max(digest, pick) FILTER (WHERE ib) AS digest_b,
+                     arg_max(ts, pick) FILTER (WHERE ia) AS ts_a,
+                     arg_max(ts, pick) FILTER (WHERE ib) AS ts_b,
+                     arg_max(url, pick) FILTER (WHERE ia) AS url_a,
+                     arg_max(url, pick) FILTER (WHERE ib) AS url_b
+              FROM f GROUP BY urlkey)
+            SELECT urlkey, COALESCE(url_b, url_a) AS url,
+                   CASE WHEN n_captures_a = 0 THEN 'added'
+                        WHEN n_captures_b = 0 THEN 'gone'
+                        WHEN digest_a IS NOT DISTINCT FROM digest_b
+                             THEN 'unchanged'
+                        ELSE 'changed' END AS change,
+                   digest_a, digest_b, ts_a, ts_b,
+                   n_captures_a, n_captures_b
+            FROM agg
+        """,
+        "link_rot": """
+            WITH l AS (
+              SELECT 'http://s' || (doc_id % 31)::VARCHAR || '.ex/p'
+                       || doc_id::VARCHAR AS src,
+                     unnest(['http://t' || (doc_id % 53)::VARCHAR
+                               || '.ex/x' || (doc_id % 19)::VARCHAR,
+                             'http://t' || ((doc_id + 7) % 53)::VARCHAR
+                               || '.ex/x'
+                               || ((doc_id * 3) % 19)::VARCHAR]) AS url
+              FROM documents),
+            targets AS (
+              SELECT url, count(*) AS n_refs,
+                     count(DISTINCT src) AS n_referrers
+              FROM l GROUP BY url),
+            log AS (
+              SELECT url, max(status) AS status FROM (
+                SELECT 'http://t' || (doc_id % 53)::VARCHAR || '.ex/x'
+                         || (doc_id % 19)::VARCHAR AS url,
+                       (CASE WHEN doc_id % 7 = 0 THEN 404
+                             WHEN doc_id % 7 = 1 THEN 500
+                             WHEN doc_id % 7 = 2 THEN 301
+                             WHEN doc_id % 7 = 3 THEN NULL
+                             ELSE 200 END)::INTEGER AS status
+                FROM documents WHERE doc_id % 3 <> 2)
+              GROUP BY url)
+            SELECT t.url,
+                   CASE WHEN log.url IS NULL THEN 'uncrawled'
+                        WHEN log.status BETWEEN 200 AND 399 THEN 'ok'
+                        ELSE 'broken' END AS status_class,
+                   log.status, t.n_refs, t.n_referrers
+            FROM targets t LEFT JOIN log ON t.url = log.url
         """,
         "pii_redact": """
             WITH uni AS (

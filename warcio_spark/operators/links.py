@@ -1187,3 +1187,53 @@ def anchor_text_table(fetched: DataFrame, url_col: str = "page_url",
         .groupBy("outlink", "anchor")
         .agg(F.count(F.lit(1)).alias("n_refs"))
     )
+
+
+def link_rot(links: DataFrame, fetched: DataFrame,
+             link_col: str = "outlink", src_col: str = "src_url",
+             url_col: str = "url",
+             status_col: str = "status") -> DataFrame:
+    """Link-rot report: every distinct link TARGET classified against
+    the fetch log — ``ok`` (2xx/3xx), ``broken`` (4xx/5xx or a
+    status-less fetch failure row), ``uncrawled`` (never fetched) —
+    with its referrer count. The crawl-hygiene twin of
+    ``capture_diff``: diff says what changed between crawls, this says
+    which edges of the link graph dangle.
+
+    ``links``: (src_col, link_col) rows — ``extract_outlinks`` output
+    or any edge table; targets are compared as given (canonicalize both
+    sides first for protocol/case-insensitive matching).
+    ``fetched``: (url_col, status_col) fetch log; NULL status on a
+    present row means the fetch itself failed (counted ``broken``).
+
+    Output: (url, status_class, status, n_refs, n_referrers) — n_refs
+    counts link occurrences, n_referrers distinct source pages.
+
+    Scale shape: targets aggregate FIRST (one shuffle on the link
+    target — distinct-referrer count rides the same exchange), then one
+    left sort-merge/shuffled-hash join against the fetch log on url;
+    both sides are corpus-sized so no broadcast, but the join carries
+    one row per DISTINCT target, not per link."""
+    targets = (
+        links.groupBy(F.col(link_col).alias("url"))
+        .agg(F.count(F.lit(1)).alias("n_refs"),
+             F.countDistinct(F.col(src_col)).alias("n_referrers"))
+    )
+    # multiple fetch rows per url collapse to MAX status — deterministic
+    # (and pessimistic: an error outranks a success); max ignores NULLs
+    # so a lone failed-fetch row still classifies broken via _fetched
+    log = (
+        fetched.groupBy(F.col(url_col).alias("url"))
+        .agg(F.max(F.col(status_col).cast("int")).alias("status"))
+        .withColumn("_fetched", F.lit(True))
+    )
+    status_class = (
+        F.when(F.col("_fetched").isNull(), F.lit("uncrawled"))
+        .when(F.col("status").between(200, 399), F.lit("ok"))
+        .otherwise(F.lit("broken"))
+    )
+    return (
+        targets.join(log, "url", "left")
+        .select("url", status_class.alias("status_class"),
+                "status", "n_refs", "n_referrers")
+    )

@@ -306,3 +306,91 @@ def closest_captures(index: DataFrame, requests: DataFrame,
     return (joined
             .withColumn("closest_rank", F.row_number().over(w))
             .filter(F.col("closest_rank") <= k))
+
+
+def capture_diff(index: DataFrame, window_a, window_b) -> DataFrame:
+    """Crawl-over-crawl diff: classify every urlkey captured in either
+    of two timestamp windows as ``added`` / ``gone`` / ``changed`` /
+    ``unchanged`` — the snapshot-comparison analysis run between
+    Common-Crawl-style monthly crawls (reference ecosystem: the same
+    question the IA CDX server answers one url at a time via
+    ``collapse=digest``; here it is corpus-wide in one pass).
+
+    ``window_a`` / ``window_b``: ``(from_ts, to_ts)`` pairs of 1-14
+    digit prefixes with the CDX-server padding semantics (``from`` pads
+    down to the start of its period, ``to`` pads UP — ``"2024"`` means
+    through 20241231235959), exactly like ``cdx_query``.
+
+    Per urlkey the comparison is between the LATEST capture of each
+    window (ties on timestamp broken by (url, digest) so the pick is
+    deterministic):
+
+    - ``added``:     captured in B, not in A;
+    - ``gone``:      captured in A, not in B (a crawl-scope statement,
+                     not a 404 — status-aware liveness is ``link_rot``);
+    - ``changed``:   captured in both, latest digests differ;
+    - ``unchanged``: captured in both, same digest (NULL == NULL).
+
+    Output: (urlkey, url, change, digest_a, digest_b, ts_a, ts_b,
+    n_captures_a, n_captures_b); ``url``/``ts_*`` come from the latest
+    capture (B preferred for ``url``).
+
+    Scale shape — the whole point vs the naive two-snapshots full-outer
+    join: ONE scan filtered to the two windows (pushdown-eligible
+    constant range predicates; on a ``cdx_table`` layout the row-group
+    stats prune everything outside them) feeding ONE hash aggregation
+    on urlkey with FILTER'd conditional aggregates — a single shuffle,
+    partial map-side aggregation, no join at 10^10 captures.
+    """
+    lo_a, hi_a = (pad_ts14(F.lit(window_a[0])),
+                  pad_ts14_up(F.lit(window_a[1])))
+    lo_b, hi_b = (pad_ts14(F.lit(window_b[0])),
+                  pad_ts14_up(F.lit(window_b[1])))
+    ts = F.col("timestamp")
+    in_a, in_b = ts.between(lo_a, hi_a), ts.between(lo_b, hi_b)
+    # lexicographic latest-pick key: timestamp is fixed-width ts14, so
+    # concat order == (timestamp, url, digest) order; concat_ws skips a
+    # NULL digest instead of nulling the whole key
+    pick = F.concat_ws("", ts, F.col("url"), F.col("digest"))
+
+    def latest(col: str, cond) -> Column:
+        return F.max_by(F.col(col), F.when(cond, pick))
+
+    agg = (
+        index.filter(in_a | in_b)
+        .groupBy("urlkey")
+        .agg(
+            F.count(F.when(in_a, 1)).alias("n_captures_a"),
+            F.count(F.when(in_b, 1)).alias("n_captures_b"),
+            latest("digest", in_a).alias("digest_a"),
+            latest("digest", in_b).alias("digest_b"),
+            latest("timestamp", in_a).alias("ts_a"),
+            latest("timestamp", in_b).alias("ts_b"),
+            latest("url", in_a).alias("_url_a"),
+            latest("url", in_b).alias("_url_b"),
+        )
+    )
+    change = (
+        F.when(F.col("n_captures_a") == 0, F.lit("added"))
+        .when(F.col("n_captures_b") == 0, F.lit("gone"))
+        .when(F.col("digest_a").eqNullSafe(F.col("digest_b")),
+              F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return agg.select(
+        "urlkey",
+        F.coalesce("_url_b", "_url_a").alias("url"),
+        change.alias("change"),
+        "digest_a", "digest_b", "ts_a", "ts_b",
+        "n_captures_a", "n_captures_b",
+    )
+
+
+def capture_diff_summary(diff: DataFrame) -> DataFrame:
+    """The datasheet row: per change class, url count and total capture
+    volume in each window. One further aggregation over capture_diff
+    (4 output rows — the second shuffle carries nothing)."""
+    return (diff.groupBy("change")
+            .agg(F.count("*").alias("n_urls"),
+                 F.sum("n_captures_a").alias("captures_a"),
+                 F.sum("n_captures_b").alias("captures_b")))
