@@ -2212,6 +2212,33 @@ def q_host_rank(spark, sf):
     return ranks.select("host", F.round("rank", 8).alias("rank"))
 
 
+def q_host_hits(spark, sf):
+    """Kleinberg HITS (plans/graph.host_hits) over the q_host_rank
+    29-host graph: three auth/hub sweeps weighted by n_links,
+    end-normalized to unit L2. The DuckDB oracle unrolls the same
+    sweeps and the final normalization, so the iteration math and the
+    single end-of-loop scaling must match to 8 decimals."""
+    from warcio_spark.plans.graph import host_graph, host_hits
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    src = F.concat(
+        F.lit("http://H"), s(d % 29), F.lit(".ex.com"),
+        F.when(d % 4 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"), s(d),
+    )
+    dst = F.concat(
+        F.lit("http://h"),
+        s((d * 7 + F.expr("doc_id div 29") + 3) % 29),
+        F.lit(".ex.com/q/"), s(d % 5),
+    )
+    edges = host_graph(
+        docs.select(src.alias("page_url"), dst.alias("outlink"))
+    )
+    return host_hits(edges, iterations=3, decimals=8)
+
+
 def q_capture_diff(spark, sf):
     """Crawl-over-crawl diff (sources/cdxj.capture_diff): per urlkey,
     classify added/gone/changed/unchanged between a January and a
@@ -2375,6 +2402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_diff": q_capture_diff,
         "link_rot": q_link_rot,
         "bm25_indexed": q_bm25_indexed,
+        "host_hits": q_host_hits,
     }
 
 
@@ -4545,5 +4573,44 @@ def oracle_sql() -> dict[str, str]:
         + rank_step.format(k=3, j=2)
         + """
         SELECT host, ROUND(rank, 8) AS "rank" FROM r3
+    """)
+    hits_step = """,
+        a{k} AS (
+          SELECT nodes.host,
+                 COALESCE(SUM(e.n_links * h{j}.hub), 0.0) AS authority
+          FROM nodes
+          LEFT JOIN e ON e.dst_host = nodes.host
+          LEFT JOIN h{j} ON h{j}.host = e.src_host
+          GROUP BY nodes.host),
+        h{k} AS (
+          SELECT nodes.host,
+                 COALESCE(SUM(e.n_links * a{k}.authority), 0.0) AS hub
+          FROM nodes
+          LEFT JOIN e ON e.src_host = nodes.host
+          LEFT JOIN a{k} ON a{k}.host = e.dst_host
+          GROUP BY nodes.host)"""
+    out["host_hits"] = ("""
+        WITH e0 AS (
+          SELECT 'h' || (doc_id % 29)::VARCHAR || '.ex.com' AS src_host,
+                 'h' || ((doc_id * 7 + doc_id // 29 + 3) % 29)::VARCHAR
+                   || '.ex.com' AS dst_host,
+                 COUNT(*) AS n_links
+          FROM documents GROUP BY 1, 2),
+        e AS (SELECT * FROM e0 WHERE src_host <> dst_host),
+        nodes AS (SELECT DISTINCT host FROM (
+          SELECT src_host AS host FROM e
+          UNION SELECT dst_host AS host FROM e)),
+        h0 AS (SELECT host, 1.0 AS hub FROM nodes)"""
+        + hits_step.format(k=1, j=0)
+        + hits_step.format(k=2, j=1)
+        + hits_step.format(k=3, j=2)
+        + """,
+        norms AS (
+          SELECT (SELECT sqrt(SUM(hub * hub)) FROM h3) AS nh,
+                 (SELECT sqrt(SUM(authority * authority)) FROM a3) AS na)
+        SELECT h3.host,
+               ROUND(h3.hub / norms.nh, 8) AS hub,
+               ROUND(a3.authority / norms.na, 8) AS authority
+        FROM h3 JOIN a3 USING (host) CROSS JOIN norms
     """)
     return out

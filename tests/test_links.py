@@ -553,6 +553,43 @@ def test_host_graph_and_rank_against_python_oracle(spark):
     assert max(got.values()) > min(got.values())
 
 
+def test_host_hits_against_python_oracle(spark):
+    """plans/graph.host_hits vs an independent single-process HITS:
+    3 weighted auth/hub sweeps, end-normalized to unit L2, equal to
+    1e-12 — including a pure hub (no in-links, authority 0), a pure
+    authority (no out-links, hub 0), and self-edge dropping."""
+    import math
+
+    from warcio_spark.plans.graph import host_hits
+
+    e = {("hub", "x"): 3, ("hub", "y"): 1, ("b", "x"): 2,
+         ("y", "x"): 1, ("x", "x"): 9}  # self-edge must be dropped
+    df = spark.createDataFrame(
+        [(s, d, w) for (s, d), w in e.items()],
+        "src_host string, dst_host string, n_links long")
+
+    e2 = {k: v for k, v in e.items() if k[0] != k[1]}
+    nodes = sorted({s for s, _ in e2} | {d for _, d in e2})
+    hub = {h: 1.0 for h in nodes}
+    for _ in range(3):
+        auth = {h: 0.0 for h in nodes}
+        for (s, d), w in e2.items():
+            auth[d] += w * hub[s]
+        hub = {h: 0.0 for h in nodes}
+        for (s, d), w in e2.items():
+            hub[s] += w * auth[d]
+    nh = math.sqrt(sum(v * v for v in hub.values())) or 1.0
+    na = math.sqrt(sum(v * v for v in auth.values())) or 1.0
+
+    got = {r.host: r for r in host_hits(df, iterations=3).collect()}
+    assert set(got) == set(nodes)
+    for h in nodes:
+        assert abs(got[h].hub - hub[h] / nh) < 1e-12, h
+        assert abs(got[h].authority - auth[h] / na) < 1e-12, h
+    assert got["hub"].authority == 0.0  # nothing links to it
+    assert got["x"].hub == 0.0  # its only out-edge was the self-edge
+
+
 def _nf_resp(body: str, status: str = "200 OK", location: str = None) -> bytes:
     b = body.encode("utf-8")
     head = "HTTP/1.1 %s\r\nContent-Type: text/html; charset=utf-8\r\n" % status

@@ -101,6 +101,76 @@ def host_rank(edges: DataFrame, iterations: int = 3,
     return ranks
 
 
+def host_hits(edges: DataFrame, iterations: int = 3,
+              self_edges: bool = False,
+              decimals: int | None = None) -> DataFrame:
+    """Kleinberg HITS power iteration over host_graph edges — the
+    hub/authority complement of ``host_rank``: a good HUB links to many
+    good authorities (directory/portal hosts — strong seed candidates),
+    a good AUTHORITY is linked from many good hubs (strong fetch
+    candidates). Returns (host, hub, authority).
+
+    Iteration (weighted by n_links, hubs start at 1):
+    ``auth'(v) = sum over in-edges  w(u,v) * hub(u)`` then
+    ``hub'(u)  = sum over out-edges w(u,v) * auth'(v)``;
+    normalization happens ONCE at the end (each vector scaled to unit
+    L2 norm; ``decimals`` optionally rounds for engine-portable
+    comparison) rather than per step — any
+    per-step norm is a pure scale factor that cancels there, and
+    skipping it keeps every iteration two host-keyed join+aggregate
+    stages with no 1-row scalar attach in the loop (the degenerate
+    broadcast the BM25 scorer also avoids). With the default few
+    iterations the unnormalized values stay far from overflow; pick
+    ``iterations`` accordingly before raising it.
+
+    Same scale shape as host_rank: every stage shuffles the aggregated
+    host table, never per-link rows; driver-side values are the two
+    final norms only."""
+    if not self_edges:
+        edges = edges.filter(F.col("src_host") != F.col("dst_host"))
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    hubs = nodes.select("host", F.lit(1.0).alias("hub"))
+    auths = nodes.select("host", F.lit(0.0).alias("authority"))
+    for _ in range(max(0, iterations)):
+        a_in = (
+            edges.join(hubs, edges.src_host == hubs.host)
+            .groupBy("dst_host")
+            .agg(F.sum(F.col("hub") * F.col("n_links")).alias("_a"))
+        )
+        auths = nodes.join(a_in, nodes.host == a_in.dst_host, "left").select(
+            "host", F.coalesce("_a", F.lit(0.0)).alias("authority")
+        )
+        h_out = (
+            edges.join(auths, edges.dst_host == auths.host)
+            .groupBy("src_host")
+            .agg(F.sum(F.col("authority") * F.col("n_links")).alias("_h"))
+        )
+        hubs = nodes.join(h_out, nodes.host == h_out.src_host, "left").select(
+            "host", F.coalesce("_h", F.lit(0.0)).alias("hub")
+        )
+    both = hubs.join(auths, "host")
+    norms = both.agg(
+        F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("nh"),
+        F.sqrt(F.sum(F.col("authority") * F.col("authority"))).alias("na"),
+    ).first()
+    nh = float(norms["nh"] or 0.0) or 1.0
+    na = float(norms["na"] or 0.0) or 1.0
+
+    def _out(col, norm):
+        v = col / F.lit(norm)
+        return v if decimals is None else F.round(v, decimals)
+
+    return both.select(
+        "host",
+        _out(F.col("hub"), nh).alias("hub"),
+        _out(F.col("authority"), na).alias("authority"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Connected components (alternating large-star / small-star)
 # ---------------------------------------------------------------------------
