@@ -77,6 +77,11 @@ BENCH_QUERIES = [
     "retry_after",
     "script_shares",
     "declared_lang",
+    # round-5c additions
+    "capture_diff",  # one urlkey hash agg, no join
+    "link_rot",  # aggregate-before-join target classification
+    "bm25_indexed",  # bucket-pruned posting lists (cached index build)
+    "host_hits",  # 3 auth/hub sweeps on the host table
 ]
 
 

@@ -57,6 +57,10 @@ PICKS = [
     "retry_after",  # header HOF + date arithmetic: zero shuffles
     "script_shares",  # STAGED regexp counts (codegen; inline form fell back)
     "declared_lang",  # html blob + header first-tag: zero shuffles
+    "capture_diff",  # windows filter + ONE urlkey hash agg, no join
+    "link_rot",  # both aggregates below the url join
+    "bm25_indexed",  # PartitionFilters on bucket + term pushdown
+    "host_hits",  # per-sweep joins keyed on the small host table
 ]
 
 
