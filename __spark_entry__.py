@@ -2239,6 +2239,55 @@ def q_host_hits(spark, sf):
     return host_hits(edges, iterations=3, decimals=8)
 
 
+def q_robots_audit(spark, sf):
+    """Robots compliance audit (plans/frontier.robots_audit): every
+    fetched url re-evaluated against the current rules table with the
+    production longest-match evaluator. Universe: 29 hosts (rules for
+    the first 23 only — unruled hosts must audit as allowed with the
+    default delay), plain-prefix allow/disallow sets cycling by host
+    residue so the oracle can replay longest-match with
+    starts_with+list_max, and a path 6-cycle including an empty path
+    (normalizes to '/') and nested prefixes where allow and disallow
+    rules of different lengths compete. Wildcard/'$' rule handling is
+    pytest-covered against urllib.robotparser in tests/test_robots.py;
+    this query pins the plain-prefix majority path end-to-end vs
+    DuckDB."""
+    from warcio_spark.plans.frontier import robots_audit
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    k = d % 23
+    arr = lambda *xs: F.array(*[F.lit(x) for x in xs])  # noqa: E731
+    empty = F.array().cast("array<string>")
+    rules = (
+        docs.select(k.alias("k")).distinct().select(
+            F.concat(F.lit("h"), s(F.col("k")), F.lit(".ex.com"))
+            .alias("host"),
+            F.when(F.col("k") % 3 == 0, arr("/a", "/a/b"))
+            .when(F.col("k") % 3 == 1, arr("/"))
+            .otherwise(empty).alias("allow"),
+            F.when(F.col("k") % 4 == 0, arr("/a"))
+            .when(F.col("k") % 4 == 1, arr("/priv", "/a/b/c"))
+            .when(F.col("k") % 4 == 2, arr("/"))
+            .otherwise(empty).alias("disallow"),
+            F.when(F.col("k") % 2 == 0, F.lit(2.5))
+            .otherwise(F.lit(None).cast("double")).alias("crawl_delay"),
+        )
+    )
+    path = (
+        F.when(d % 6 == 0, F.lit("/a"))
+        .when(d % 6 == 1, F.lit("/a/b"))
+        .when(d % 6 == 2, F.lit("/a/b/c"))
+        .when(d % 6 == 3, F.concat(F.lit("/priv/p"), s(d)))
+        .when(d % 6 == 4, F.concat(F.lit("/pub"), s(d)))
+        .otherwise(F.lit("")))
+    fetched = docs.select(
+        F.concat(F.lit("http://h"), s(d % 29), F.lit(".ex.com"),
+                 path).alias("url"))
+    return robots_audit(fetched, rules)
+
+
 def q_capture_diff(spark, sf):
     """Crawl-over-crawl diff (sources/cdxj.capture_diff): per urlkey,
     classify added/gone/changed/unchanged between a January and a
@@ -2403,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_rot": q_link_rot,
         "bm25_indexed": q_bm25_indexed,
         "host_hits": q_host_hits,
+        "robots_audit": q_robots_audit,
     }
 
 
@@ -4304,6 +4354,56 @@ def oracle_sql() -> dict[str, str]:
                    digest_a, digest_b, ts_a, ts_b,
                    n_captures_a, n_captures_b
             FROM agg
+        """,
+        "robots_audit": """
+            WITH f AS (
+              SELECT 'http://h' || (doc_id % 29)::VARCHAR || '.ex.com'
+                       || CASE WHEN doc_id % 6 = 0 THEN '/a'
+                               WHEN doc_id % 6 = 1 THEN '/a/b'
+                               WHEN doc_id % 6 = 2 THEN '/a/b/c'
+                               WHEN doc_id % 6 = 3
+                                    THEN '/priv/p' || doc_id::VARCHAR
+                               WHEN doc_id % 6 = 4
+                                    THEN '/pub' || doc_id::VARCHAR
+                               ELSE '' END AS url,
+                     'h' || (doc_id % 29)::VARCHAR || '.ex.com' AS host,
+                     CASE WHEN doc_id % 6 = 0 THEN '/a'
+                          WHEN doc_id % 6 = 1 THEN '/a/b'
+                          WHEN doc_id % 6 = 2 THEN '/a/b/c'
+                          WHEN doc_id % 6 = 3
+                               THEN '/priv/p' || doc_id::VARCHAR
+                          WHEN doc_id % 6 = 4
+                               THEN '/pub' || doc_id::VARCHAR
+                          ELSE '/' END AS path
+              FROM documents),
+            ks AS (SELECT DISTINCT (doc_id % 23) AS k FROM documents),
+            rules AS (
+              SELECT 'h' || k::VARCHAR || '.ex.com' AS host,
+                     CASE WHEN k % 3 = 0 THEN ['/a', '/a/b']
+                          WHEN k % 3 = 1 THEN ['/']
+                          ELSE [] END AS allow,
+                     CASE WHEN k % 4 = 0 THEN ['/a']
+                          WHEN k % 4 = 1 THEN ['/priv', '/a/b/c']
+                          WHEN k % 4 = 2 THEN ['/']
+                          ELSE [] END AS disallow,
+                     CASE WHEN k % 2 = 0 THEN 2.5
+                          ELSE NULL END::DOUBLE AS crawl_delay
+              FROM ks),
+            ev AS (
+              SELECT f.url, f.host,
+                     COALESCE(list_max(list_transform(
+                       list_filter(COALESCE(rules.allow, []),
+                                   x -> starts_with(f.path, x)),
+                       x -> length(x))), -1) AS al,
+                     COALESCE(list_max(list_transform(
+                       list_filter(COALESCE(rules.disallow, []),
+                                   x -> starts_with(f.path, x)),
+                       x -> length(x))), -1) AS dl,
+                     rules.crawl_delay
+              FROM f LEFT JOIN rules ON rules.host = f.host)
+            SELECT url, host, (dl = -1 OR al >= dl) AS allowed,
+                   COALESCE(crawl_delay, 5.0) AS crawl_delay
+            FROM ev
         """,
         "link_rot": """
             WITH l AS (

@@ -286,3 +286,44 @@ def test_spark_robots_sitemap_discovery(spark):
         ("h1.com", 3, "https://h.com/before-any-group.xml"),
         ("h3.com", 0, "https://h3.com/s.xml"),
     ]
+
+
+def test_robots_audit(spark):
+    """plans/frontier.robots_audit: fetched urls re-checked against a
+    rules table built from real robots.txt bodies — wildcard and '$'
+    rules go through the production JVM evaluator, unruled hosts audit
+    as allowed with the default delay, and verdicts match
+    kernels.robots.robots_allowed (itself stdlib-cross-checked above)."""
+    from warcio_spark.plans.frontier import (
+        robots_audit,
+        robots_table_from_pages,
+    )
+
+    body = (b"User-agent: *\n"
+            b"Allow: /pub\n"
+            b"Disallow: /pub/secret\n"
+            b"Disallow: /*.json$\n"
+            b"Disallow: /tmp\n"
+            b"Crawl-delay: 2\n")
+    rules = robots_table_from_pages(spark.createDataFrame(
+        [("h1.com", body)], "host string, body binary"))
+    urls = [
+        "http://h1.com/pub/ok.html",      # allowed (Allow /pub)
+        "http://h1.com/pub/secret/x",     # denied (longer Disallow)
+        "http://h1.com/api/data.json",    # denied (wildcard + anchor)
+        "http://h1.com/data.json.bak",    # allowed ('$' must anchor)
+        "http://h1.com/tmp",              # denied
+        "http://h1.com",                  # empty path -> '/' -> allowed
+        "http://unruled.com/anything",    # no rules -> allowed
+    ]
+    fetched = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r.url: r for r in robots_audit(fetched, rules).collect()}
+
+    rules_k = parse_robots_txt(body.decode(), "*")
+    for u in urls:
+        path = u.split(".com", 1)[1] or "/"
+        want = (True if "unruled" in u
+                else robots_allowed(path, rules_k))
+        assert got[u].allowed == want, u
+    assert got["http://h1.com/pub/ok.html"].crawl_delay == 2.0
+    assert got["http://unruled.com/anything"].crawl_delay == 5.0

@@ -451,6 +451,32 @@ def apply_robots_rules(cands: DataFrame, rules: DataFrame,
     )
 
 
+def robots_audit(fetched: DataFrame, rules: DataFrame,
+                 url_col: str = "url",
+                 cfg: PolitenessConfig | None = None) -> DataFrame:
+    """Compliance audit: re-evaluate every FETCHED url against the
+    CURRENT rules table — the retroactive twin of ``apply_robots_rules``
+    (which gates candidates before fetching). An ``allowed = false`` row
+    is a url sitting in the archive that today's robots.txt denies:
+    rules drift since fetch time, or a crawler bug — exactly what a
+    takedown / compliance review walks.
+
+    Output: (url, host, allowed, crawl_delay). Hosts absent from the
+    rules table audit as allowed (no robots.txt = no restrictions, the
+    RFC 9309 default), with the config's default crawl_delay.
+
+    Scale shape: identical to the candidate gate — rules broadcast,
+    longest-match evaluated with JVM array expressions per url, no
+    shuffle of the fetch log at all."""
+    cands = fetched.select(
+        F.col(url_col).alias("url_canon"),
+        WF.url_host_expr(F.col(url_col)).alias("host"),
+    )
+    out = apply_robots_rules(cands, rules, cfg or PolitenessConfig())
+    return out.select(F.col("url_canon").alias("url"), "host",
+                      "allowed", "crawl_delay")
+
+
 # ---------------------------------------------------------------------------
 # deterministic demo universe (for entry()/tests; no external data)
 # ---------------------------------------------------------------------------
