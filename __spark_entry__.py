@@ -2288,6 +2288,34 @@ def q_robots_audit(spark, sf):
     return robots_audit(fetched, rules)
 
 
+def q_adaptive_delays(spark, sf):
+    """Latency-adaptive politeness (plans/frontier.adaptive_crawl_delays):
+    per-host exact-median latency, throttle share (429/503) and the
+    derived clamped crawl delay. Universe: 37 hosts, a latency lattice
+    with NULL holes (percentile must skip them) and an 11-cycle of
+    statuses. The DuckDB oracle replays with quantile_cont(::DOUBLE, .5)
+    — verified bit-equal to Spark's exact percentile — and the same
+    clamp/penalty arithmetic."""
+    from warcio_spark.plans.frontier import adaptive_crawl_delays
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    log = docs.select(
+        F.concat(F.lit("h"), s(d % 37), F.lit(".ex")).alias("host"),
+        F.when(d % 13 == 12, F.lit(None).cast("double"))
+        .otherwise((d * 13 % 97) / F.lit(20.0) + 0.05).alias("latency_s"),
+        F.when(d % 11 == 0, 429).when(d % 11 == 1, 503)
+        .when(d % 11 == 2, 500).otherwise(200).alias("status"),
+    )
+    out = adaptive_crawl_delays(log)
+    return out.select(
+        "host", "n_fetches",
+        F.round("p50_latency", 6).alias("p50_latency"),
+        F.round("throttle_rate", 6).alias("throttle_rate"),
+        "crawl_delay")
+
+
 def q_capture_diff(spark, sf):
     """Crawl-over-crawl diff (sources/cdxj.capture_diff): per urlkey,
     classify added/gone/changed/unchanged between a January and a
@@ -2453,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed": q_bm25_indexed,
         "host_hits": q_host_hits,
         "robots_audit": q_robots_audit,
+        "adaptive_delays": q_adaptive_delays,
     }
 
 
@@ -4354,6 +4383,35 @@ def oracle_sql() -> dict[str, str]:
                    digest_a, digest_b, ts_a, ts_b,
                    n_captures_a, n_captures_b
             FROM agg
+        """,
+        "adaptive_delays": """
+            WITH log AS (
+              SELECT 'h' || (doc_id % 37)::VARCHAR || '.ex' AS host,
+                     CASE WHEN doc_id % 13 = 12 THEN NULL
+                          ELSE (doc_id * 13 % 97) / 20.0 + 0.05
+                     END::DOUBLE AS latency_s,
+                     CASE WHEN doc_id % 11 = 0 THEN 429
+                          WHEN doc_id % 11 = 1 THEN 503
+                          WHEN doc_id % 11 = 2 THEN 500
+                          ELSE 200 END AS status
+              FROM documents),
+            agg AS (
+              SELECT host, count(*) AS n_fetches,
+                     quantile_cont(latency_s::DOUBLE, 0.5) AS p50,
+                     avg(CASE WHEN status IN (429, 503) THEN 1.0
+                              ELSE 0.0 END) AS tr
+              FROM log GROUP BY host),
+            ev AS (
+              SELECT *, LEAST(GREATEST(3.0 * COALESCE(p50, 0.0), 1.0),
+                              30.0) AS base
+              FROM agg)
+            SELECT host, n_fetches,
+                   ROUND(p50, 6) AS p50_latency,
+                   ROUND(tr, 6) AS throttle_rate,
+                   ROUND(LEAST(CASE WHEN tr > 0.1 THEN base * 2.0
+                                    ELSE base END, 30.0), 3)
+                     AS crawl_delay
+            FROM ev
         """,
         "robots_audit": """
             WITH f AS (

@@ -451,6 +451,68 @@ def apply_robots_rules(cands: DataFrame, rules: DataFrame,
     )
 
 
+def adaptive_crawl_delays(fetch_log: DataFrame, host_col: str = "host",
+                          latency_col: str = "latency_s",
+                          status_col: str = "status", *,
+                          target_factor: float = 3.0,
+                          min_delay: float = 1.0,
+                          max_delay: float = 30.0,
+                          throttle_statuses: tuple = (429, 503),
+                          throttle_threshold: float = 0.1,
+                          throttle_penalty: float = 2.0,
+                          decimals: int = 3) -> DataFrame:
+    """Latency-adaptive politeness: derive each host's crawl delay from
+    its OBSERVED behavior instead of one global default — the adaptive
+    crawl-rate practice of production crawlers. Per host:
+
+    ``delay = clamp(target_factor * p50_latency, min_delay, max_delay)``
+    ``       * (throttle_penalty if throttle_rate > threshold else 1)``
+    re-clamped to ``max_delay``; ``throttle_rate`` is the share of
+    fetches answered with ``throttle_statuses`` (429 Too Many Requests /
+    503 per RFC 9110's Retry-After carriers; explicit Retry-After floors
+    are ``functions.retry_after_seconds``'s job and compose downstream).
+
+    A slow host signals limited capacity (delay scales with its median
+    latency); a throttling host gets an extra multiplicative back-off.
+    Hosts whose rows carry no latency measurements get the
+    ``min_delay`` base (p50 of nothing = no evidence of slowness) —
+    their throttle share, which needs no latency data, still applies.
+
+    Returns (host, n_fetches, p50_latency, throttle_rate, crawl_delay)
+    — feed ``crawl_delay`` into the rules table consumed by
+    ``apply_robots_rules``/``schedule_round`` (observed behavior fills
+    the gap where robots.txt declares no Crawl-delay).
+
+    Scale shape: ONE hash aggregation on host (exact ``percentile`` is
+    a partial-merge aggregate, not a sort), map-side-combinable; output
+    is host-cardinality, broadcastable back into the frontier."""
+    lat = F.col(latency_col).cast("double")
+    st = F.col(status_col).cast("int")
+    agg = fetch_log.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.percentile(lat, F.lit(0.5)).alias("p50_latency"),
+        F.avg(
+            F.when(st.isin(*[int(s) for s in throttle_statuses]), 1.0)
+            .otherwise(0.0)
+        ).alias("throttle_rate"),
+    )
+    base = F.least(
+        F.greatest(F.lit(target_factor) * F.coalesce("p50_latency",
+                                                     F.lit(0.0)),
+                   F.lit(min_delay)),
+        F.lit(max_delay),
+    )
+    penalized = F.when(
+        F.col("throttle_rate") > throttle_threshold,
+        base * throttle_penalty,
+    ).otherwise(base)
+    return agg.select(
+        "host", "n_fetches", "p50_latency", "throttle_rate",
+        F.round(F.least(penalized, F.lit(max_delay)), decimals)
+        .alias("crawl_delay"),
+    )
+
+
 def robots_audit(fetched: DataFrame, rules: DataFrame,
                  url_col: str = "url",
                  cfg: PolitenessConfig | None = None) -> DataFrame:
