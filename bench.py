@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "link_rot",  # aggregate-before-join target classification
     "bm25_indexed",  # bucket-pruned posting lists (cached index build)
     "host_hits",  # 3 auth/hub sweeps on the host table
+    "robots_audit",  # broadcast rules, longest-match codegen, no shuffle
+    "adaptive_delays",  # one map-combined host agg (exact percentile)
 ]
 
 

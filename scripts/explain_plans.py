@@ -61,6 +61,8 @@ PICKS = [
     "link_rot",  # both aggregates below the url join
     "bm25_indexed",  # PartitionFilters on bucket + term pushdown
     "host_hits",  # per-sweep joins keyed on the small host table
+    "robots_audit",  # BroadcastHashJoin on host, HOF match, no shuffle
+    "adaptive_delays",  # ONE partial-merge percentile agg on host
 ]
 
 

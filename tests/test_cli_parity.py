@@ -548,3 +548,81 @@ def test_cdxq_cli_matches_library(spark, capsys, tmp_path):
     fl_lines = [l for l in out.splitlines() if l.strip()]
     assert len(fl_lines) == len(want)
     assert all(len(l.split(" ")) == 3 for l in fl_lines)
+
+
+def test_diff_cli_summary_and_list(spark, capsys, tmp_path):
+    """diff verb == sources/cdxj.capture_diff over the same index file:
+    summary counts fold the per-url classification, --list lines match
+    the library row-for-row."""
+    from warcio_spark.sources.cdxj import capture_diff, parse_cdxj_lines
+
+    caps = [
+        ("com,a)/1", "20240105000000", "http://a/1", "D1"),
+        ("com,a)/1", "20240210000000", "http://a/1", "D2"),
+        ("com,a)/2", "20240110000000", "http://a/2", "S"),
+        ("com,a)/2", "20240215000000", "http://a/2", "S"),
+        ("com,a)/3", "20240112000000", "http://a/3", "G"),
+        ("com,a)/4", "20240216000000", "http://a/4", "N"),
+    ]
+    idx_path = str(tmp_path / "idx.cdxj")
+    with open(idx_path, "w") as f:
+        for k, ts, url, dg in caps:
+            f.write('%s %s {"url": "%s", "digest": "%s"}\n'
+                    % (k, ts, url, dg))
+
+    argv = ["diff", idx_path, "--a-from", "202401", "--a-to", "202401",
+            "--b-from", "202402", "--b-to", "202402"]
+    code, out = run_cli(capsys, argv)
+    assert code == 0
+    summary = dict((l.split("\t")[0], int(l.split("\t")[1]))
+                   for l in out.splitlines() if l.strip())
+    assert summary == {"added": 1, "gone": 1, "changed": 1,
+                       "unchanged": 1}
+
+    code, out = run_cli(capsys, argv + ["--list"])
+    assert code == 0
+    got = [l.split("\t") for l in out.splitlines() if l.strip()]
+
+    raw = spark.read.text(idx_path).withColumnRenamed("value", "line")
+    want = {r.urlkey: r for r in capture_diff(
+        parse_cdxj_lines(raw), ("202401", "202401"),
+        ("202402", "202402")).collect()}
+    assert len(got) == len(want)
+    for k, change, url, da, db in got:
+        w = want[k]
+        assert (change, url) == (w.change, w.url)
+        assert da == (w.digest_a or "-") and db == (w.digest_b or "-")
+
+
+def test_audit_cli_exit_and_verdicts(spark, capsys, tmp_path):
+    """audit verb: DENY lines for violations, exit 1 when any url is
+    denied and 0 when clean; unruled hosts pass."""
+    rdir = tmp_path / "robots"
+    rdir.mkdir()
+    (rdir / "h1.com").write_bytes(
+        b"User-agent: *\nDisallow: /secret\nAllow: /secret/ok\n")
+    urls = tmp_path / "urls.txt"
+    urls.write_text("http://h1.com/fine\n"
+                    "http://h1.com/secret/x\n"
+                    "http://h1.com/secret/ok/y\n"
+                    "http://nowhere.net/a\n")
+
+    argv = ["audit", str(urls), "--robots-dir", str(rdir)]
+    code, out = run_cli(capsys, argv)
+    assert code == 1  # a violation exists
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert lines == ["DENY\thttp://h1.com/secret/x"]
+
+    code, out = run_cli(capsys, argv + ["--all"])
+    assert code == 1
+    verdicts = dict(l.split("\t")[::-1] for l in out.splitlines()
+                    if l.strip())
+    assert verdicts["http://h1.com/fine"] == "ALLOW"
+    assert verdicts["http://h1.com/secret/ok/y"] == "ALLOW"
+    assert verdicts["http://nowhere.net/a"] == "ALLOW"
+
+    clean = tmp_path / "clean.txt"
+    clean.write_text("http://h1.com/fine\n")
+    code, out = run_cli(capsys, ["audit", str(clean),
+                                 "--robots-dir", str(rdir)])
+    assert code == 0 and out.strip() == ""

@@ -9,6 +9,8 @@
     python -m warcio_spark.cli zipnum <inputs...> --out DIR [--lines-per-block N]
     python -m warcio_spark.cli lookup DIR <urlkey-prefix>
     python -m warcio_spark.cli compact DIR [DIR...] --out DIR [--dedup]
+    python -m warcio_spark.cli diff <index...> --a-from F --a-to T --b-from F --b-to T
+    python -m warcio_spark.cli audit <urls.txt...> --robots-dir DIR
     python -m warcio_spark.cli crawl --seeds N --rounds K --state DIR
 
 index emits the same NDJSON lines as ``warcio index`` (field mini-DSL,
@@ -273,6 +275,87 @@ def cmd_cdxq(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Crawl-over-crawl diff over flat CDXJ/CDX11 index file(s)
+    (sources/cdxj.capture_diff): classify every urlkey captured in
+    window A (--a-from/--a-to) or window B (--b-from/--b-to) as
+    added/gone/changed/unchanged. Default output is the per-class
+    summary (``change  n_urls  captures_a  captures_b`` TSV); --list
+    prints one TSV line per urlkey instead."""
+    from pyspark.sql import functions as F
+
+    from warcio_spark.sources.cdxj import (
+        capture_diff,
+        capture_diff_summary,
+        parse_cdx11_lines,
+        parse_cdxj_lines,
+    )
+
+    spark = _spark()
+    raw = spark.read.text(args.inputs).withColumnRenamed("value", "line")
+    parser = parse_cdx11_lines if args.cdx11 else parse_cdxj_lines
+    idx = parser(raw).filter(F.col("urlkey").isNotNull())
+    diff = capture_diff(idx, (args.a_from, args.a_to),
+                        (args.b_from, args.b_to))
+    dash = lambda c: F.coalesce(F.col(c).cast("string"), F.lit("-"))  # noqa: E731
+    if args.list:
+        out = diff.orderBy("urlkey").select(F.concat_ws(
+            "\t", "urlkey", "change", dash("url"),
+            dash("digest_a"), dash("digest_b")).alias("line"))
+        for r in out.toLocalIterator():
+            sys.stdout.write(r.line + "\n")
+        return 0
+    for r in capture_diff_summary(diff).orderBy("change").collect():
+        sys.stdout.write("%s\t%d\t%d\t%d\n" % (
+            r.change, r.n_urls, r.captures_a, r.captures_b))
+    return 0
+
+
+def cmd_audit(args) -> int:
+    """Robots compliance audit (plans/frontier.robots_audit): re-check
+    urls — one per line in the input file(s) — against rules built from
+    fetched robots.txt bodies (--robots-dir: one file per host, the
+    file NAME is the host). Prints ``DENY\\turl`` lines for violations
+    (the review queue); --all prints every url with its verdict.
+    Exit status 1 if any url is denied, 0 otherwise (the same
+    fold-to-exit contract as the check verb)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from warcio_spark.plans.frontier import (
+        robots_audit,
+        robots_table_from_pages,
+    )
+
+    spark = _spark()
+    bodies = []
+    for name in sorted(os.listdir(args.robots_dir)):
+        p = os.path.join(args.robots_dir, name)
+        if os.path.isfile(p):
+            with open(p, "rb") as f:
+                bodies.append((name, f.read()))
+    if not bodies:
+        sys.stderr.write("no robots files in %s\n" % args.robots_dir)
+        return 2
+    rules = robots_table_from_pages(
+        spark.createDataFrame(bodies, "host string, body binary"),
+        user_agent=args.user_agent)
+    urls = (spark.read.text(args.inputs)
+            .withColumnRenamed("value", "url")
+            .filter(F.length(F.trim("url")) > 0)
+            .select(F.trim("url").alias("url")))
+    audited = robots_audit(urls, rules)
+    if not args.all:
+        audited = audited.filter(~F.col("allowed"))
+    denied = 0
+    for r in audited.orderBy("url").toLocalIterator():
+        verdict = "ALLOW" if r.allowed else "DENY"
+        denied += 0 if r.allowed else 1
+        sys.stdout.write("%s\t%s\n" % (verdict, r.url))
+    return 1 if denied else 0
+
+
 def cmd_fetch(args) -> int:
     """Index-driven targeted fetch (the pywb replay-lookup shape as one
     job): filter a CDXJ capture index, read ONLY the pointed-at byte
@@ -505,6 +588,32 @@ def main(argv=None) -> int:
     pq.add_argument("--cdx11", action="store_true",
                     help="inputs are classic 11-field CDX")
     pq.set_defaults(fn=cmd_cdxq)
+
+    pd = sub.add_parser("diff")
+    pd.add_argument("inputs", nargs="+", help="CDXJ/CDX11 index file(s)")
+    pd.add_argument("--a-from", required=True,
+                    help="window A lower bound (1-14 digits, pads down)")
+    pd.add_argument("--a-to", required=True,
+                    help="window A upper bound (pads UP)")
+    pd.add_argument("--b-from", required=True)
+    pd.add_argument("--b-to", required=True)
+    pd.add_argument("--list", action="store_true",
+                    help="per-urlkey TSV lines instead of the summary")
+    pd.add_argument("--cdx11", action="store_true",
+                    help="inputs are classic 11-field CDX")
+    pd.set_defaults(fn=cmd_diff)
+
+    pu = sub.add_parser("audit")
+    pu.add_argument("inputs", nargs="+",
+                    help="text file(s) with one url per line")
+    pu.add_argument("--robots-dir", required=True,
+                    help="directory of robots.txt bodies, one file per "
+                         "host (file name = host)")
+    pu.add_argument("--user-agent", default="*")
+    pu.add_argument("--all", action="store_true",
+                    help="print every url with its verdict, not just "
+                         "denials")
+    pu.set_defaults(fn=cmd_audit)
 
     pf = sub.add_parser("fetch")
     pf.add_argument("--index", required=True,
