@@ -315,6 +315,8 @@ def test_robots_audit(spark):
         "http://h1.com/tmp",              # denied
         "http://h1.com",                  # empty path -> '/' -> allowed
         "http://unruled.com/anything",    # no rules -> allowed
+        "HTTP://h1.com/tmp/x",            # messy scheme: canonicalized,
+                                          # still reaches the deny rule
     ]
     fetched = spark.createDataFrame([(u,) for u in urls], "url string")
     got = {r.url: r for r in robots_audit(fetched, rules).collect()}

@@ -121,21 +121,21 @@ def test_indexed_prunes_partitions(docs, spark, tmp_path):
         write_bm25_index,
     )
 
+    import re
+
     path = str(tmp_path / "bm25p")
     write_bm25_index(docs, path, n_buckets=8)
     plan = (bm25_topk_indexed(spark, path, Q, k=10)
             ._jdf.queryExecution().executedPlan().toString())
     want = sorted({_term_bucket(t, 8) for t in Q})
-    assert "PartitionFilters" in plan
-    assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
-    # and the scan's selected partitions are exactly the query buckets
-    import re
-
-    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert m and "bucket" in m.group(1), plan
-    # statistics check: full index has 8 buckets, the scan reads <= |Q|
-    sel = re.search(r"partition(?:s)? read|PushedFilters", plan)
-    assert sel is not None
+    # the partition filter must be an IN over EXACTLY the query buckets
+    m = re.search(r"PartitionFilters: \[.*?bucket#\d+ IN \(([0-9,]+)\)",
+                  plan)
+    assert m, plan
+    got = sorted(int(b) for b in m.group(1).split(","))
+    assert got == want, (got, want)
+    # and the term predicate pushes into the pruned files' row groups
+    assert re.search(r"PushedFilters: \[.*In\(term", plan), plan
 
 
 def test_index_bucket_expression_matches_python(docs, spark, tmp_path):

@@ -334,7 +334,9 @@ def cmd_audit(args) -> int:
         p = os.path.join(args.robots_dir, name)
         if os.path.isfile(p):
             with open(p, "rb") as f:
-                bodies.append((name, f.read()))
+                # audited hosts are lowercased by canonicalization; a
+                # case-preserving file name must not silently miss
+                bodies.append((name.lower(), f.read()))
     if not bodies:
         sys.stderr.write("no robots files in %s\n" % args.robots_dir)
         return 2

@@ -160,25 +160,32 @@ def write_bm25_index(docs: DataFrame, path: str, *, n_buckets: int = 64,
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    base = docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
-    (base.select(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size("_toks")).alias("avgdl"),
-        F.lit(int(n_buckets)).alias("n_buckets"))
-     .write.mode("overwrite").parquet(path + "/stats"))
-    tf = (
-        base.select(id_col, F.size("_toks").alias("dl"),
-                    F.explode("_toks").alias("term"))
-        .groupBy("term", id_col)
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-        .withColumn("bucket",
-                    F.pmod(F.crc32(F.col("term").cast("binary")),
-                           F.lit(n_buckets)).cast("int"))
-    )
-    (tf.repartition("bucket")
-       .sortWithinPartitions("bucket", "term")
-       .write.partitionBy("bucket").mode("overwrite")
-       .parquet(path + "/postings"))
+    # persist the tokenized frame across the two writes: stats and
+    # postings each trigger a job, and without the cache each would
+    # re-tokenize the full corpus (the dominant cost of the build)
+    base = docs.select(F.col(id_col),
+                       tokens(text_col).alias("_toks")).persist()
+    try:
+        (base.select(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.size("_toks")).alias("avgdl"),
+            F.lit(int(n_buckets)).alias("n_buckets"))
+         .write.mode("overwrite").parquet(path + "/stats"))
+        tf = (
+            base.select(id_col, F.size("_toks").alias("dl"),
+                        F.explode("_toks").alias("term"))
+            .groupBy("term", id_col)
+            .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+            .withColumn("bucket",
+                        F.pmod(F.crc32(F.col("term").cast("binary")),
+                               F.lit(n_buckets)).cast("int"))
+        )
+        (tf.repartition("bucket")
+           .sortWithinPartitions("bucket", "term")
+           .write.partitionBy("bucket").mode("overwrite")
+           .parquet(path + "/postings"))
+    finally:
+        base.unpersist()
 
 
 def bm25_topk_indexed(spark: SparkSession, path: str,

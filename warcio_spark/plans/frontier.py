@@ -515,7 +515,8 @@ def adaptive_crawl_delays(fetch_log: DataFrame, host_col: str = "host",
 
 def robots_audit(fetched: DataFrame, rules: DataFrame,
                  url_col: str = "url",
-                 cfg: PolitenessConfig | None = None) -> DataFrame:
+                 cfg: PolitenessConfig | None = None,
+                 canonicalize: bool = True) -> DataFrame:
     """Compliance audit: re-evaluate every FETCHED url against the
     CURRENT rules table — the retroactive twin of ``apply_robots_rules``
     (which gates candidates before fetching). An ``allowed = false`` row
@@ -523,19 +524,31 @@ def robots_audit(fetched: DataFrame, rules: DataFrame,
     rules drift since fetch time, or a crawler bug — exactly what a
     takedown / compliance review walks.
 
-    Output: (url, host, allowed, crawl_delay). Hosts absent from the
+    Urls are canonicalized first (the same split-union the frontier
+    uses) so a messy log line — uppercase scheme, stray spaces — still
+    reaches the right host's rules and the right path; for an audit the
+    failure direction of skipping this is a false ALLOW. Pass
+    ``canonicalize=False`` only when the input is the frontier's own
+    url_canon output.
+
+    Output: (url, host, allowed, crawl_delay) — ``url`` is returned AS
+    GIVEN (the caller's key into their archive). Hosts absent from the
     rules table audit as allowed (no robots.txt = no restrictions, the
     RFC 9309 default), with the config's default crawl_delay.
 
     Scale shape: identical to the candidate gate — rules broadcast,
     longest-match evaluated with JVM array expressions per url, no
-    shuffle of the fetch log at all."""
-    cands = fetched.select(
-        F.col(url_col).alias("url_canon"),
-        WF.url_host_expr(F.col(url_col)).alias("host"),
-    )
+    shuffle of the fetch log at all (the canonical majority stays in
+    codegen; only messy urls cross the Arrow hop)."""
+    given = fetched.select(F.col(url_col).alias("_url_given"))
+    if canonicalize:
+        cands = WF.with_canonical_url(given, "_url_given", "url_canon")
+    else:
+        cands = given.withColumn("url_canon", F.col("_url_given"))
+    cands = cands.withColumn(
+        "host", WF.url_host_expr(F.col("url_canon")))
     out = apply_robots_rules(cands, rules, cfg or PolitenessConfig())
-    return out.select(F.col("url_canon").alias("url"), "host",
+    return out.select(F.col("_url_given").alias("url"), "host",
                       "allowed", "crawl_delay")
 
 

@@ -152,7 +152,10 @@ def host_hits(edges: DataFrame, iterations: int = 3,
         hubs = nodes.join(h_out, nodes.host == h_out.src_host, "left").select(
             "host", F.coalesce("_h", F.lit(0.0)).alias("hub")
         )
-    both = hubs.join(auths, "host")
+    # materialize before the norm pull: without this the whole sweep
+    # DAG executes twice (once for the norms action, again when the
+    # caller consumes the result). The host table is tiny at any scale.
+    both = hubs.join(auths, "host").persist()
     norms = both.agg(
         F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("nh"),
         F.sqrt(F.sum(F.col("authority") * F.col("authority"))).alias("na"),
