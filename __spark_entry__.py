@@ -2316,6 +2316,50 @@ def q_adaptive_delays(spark, sf):
         "crawl_delay")
 
 
+def q_jsonld(spark, sf):
+    """JSON-LD structured-data extraction (operators/links.jsonld_blocks):
+    script-tag bodies with type=application/ld+json (double-quoted,
+    single-quoted and async-attribute forms), a broken-JSON slice
+    (raw kept, type NULL), a missing-@type slice, an array-@type slice
+    (non-scalar gated to NULL), and a text/javascript decoy that must
+    NOT extract. The DuckDB oracle runs the same regex verbatim and
+    replays the json_valid + scalar gate."""
+    from warcio_spark.operators.links import jsonld_blocks
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    t = F.element_at(
+        F.array(F.lit("Article"), F.lit("Product"), F.lit("NewsArticle")),
+        (d % 3 + 1).cast("int"))
+    page = F.concat(
+        F.lit("<html><head>"),
+        F.lit('<script type="application/ld+json">'
+              '{"@context":"https://schema.org","@type":"'),
+        t, F.lit('","headline":"H'), s(d), F.lit('"}</script>'),
+        F.when(d % 4 == 0, F.lit(
+            "<script async type='application/ld+json'>"
+            '{"@type":"BreadcrumbList"}</script>')).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(
+            '<script type="application/ld+json">{broken</script>'))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(
+            '<script type="application/ld+json">'
+            '{"name":"no type here"}</script>')).otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit(
+            '<script type="application/ld+json">'
+            '{"@type":["Org","Brand"]}</script>')).otherwise(F.lit("")),
+        F.lit('<script type="text/javascript">var x="@type";</script>'
+              "</head><body>B</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://j"), s(d % 19), F.lit(".ex/p"),
+                 s(d)).alias("page_url"),
+        page.alias("text"),
+    )
+    return jsonld_blocks(pages)
+
+
 def q_capture_diff(spark, sf):
     """Crawl-over-crawl diff (sources/cdxj.capture_diff): per urlkey,
     classify added/gone/changed/unchanged between a January and a
@@ -2482,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_hits": q_host_hits,
         "robots_audit": q_robots_audit,
         "adaptive_delays": q_adaptive_delays,
+        "jsonld_types": q_jsonld,
     }
 
 
@@ -4383,6 +4428,61 @@ def oracle_sql() -> dict[str, str]:
                    digest_a, digest_b, ts_a, ts_b,
                    n_captures_a, n_captures_b
             FROM agg
+        """,
+        "jsonld_types": """
+            WITH u AS (
+              SELECT doc_id,
+                     'http://j' || (doc_id % 19)::VARCHAR || '.ex/p'
+                       || doc_id::VARCHAR AS src_url,
+                     '<html><head>'
+                     || '<script type="application/ld+json">'
+                     || '{"@context":"https://schema.org","@type":"'
+                     || (['Article', 'Product',
+                          'NewsArticle'])[doc_id % 3 + 1]
+                     || '","headline":"H' || doc_id::VARCHAR
+                     || '"}</script>'
+                     || CASE WHEN doc_id % 4 = 0 THEN
+                          '<script async type=''application/ld+json''>'
+                          || '{"@type":"BreadcrumbList"}</script>'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN
+                          '<script type="application/ld+json">'
+                          || '{broken</script>'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN
+                          '<script type="application/ld+json">'
+                          || '{"name":"no type here"}</script>'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 6 = 0 THEN
+                          '<script type="application/ld+json">'
+                          || '{"@type":["Org","Brand"]}</script>'
+                        ELSE '' END
+                     || '<script type="text/javascript">var x="@type";'
+                     || '</script></head><body>B</body></html>' AS text
+              FROM documents),
+            m AS (
+              SELECT src_url,
+                     regexp_extract_all(text,
+                       '(?is)<script[^>]*type\\s*=\\s*["'']?'
+                       || 'application/ld\\+json["'']?[^>]*>(.*?)</script',
+                       1) AS arr
+              FROM u),
+            e AS (
+              SELECT src_url, CAST(i - 1 AS INTEGER) AS pos,
+                     substr(trim(arr[i]), 1, 65536) AS raw
+              FROM m,
+                   UNNEST(generate_series(1, LEAST(len(arr), 16)))
+                     AS sub(i)),
+            f AS (SELECT * FROM e WHERE length(raw) > 0)
+            SELECT src_url, pos, raw,
+                   NULLIF(CASE WHEN json_valid(raw) THEN
+                            CASE WHEN NOT regexp_matches(
+                                   json_extract_string(raw, '$."@type"'),
+                                   '^[\\[{]')
+                            THEN json_extract_string(raw, '$."@type"')
+                            END
+                          END, '') AS jsonld_type
+            FROM f
         """,
         "adaptive_delays": """
             WITH log AS (

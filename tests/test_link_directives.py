@@ -223,3 +223,48 @@ def test_declared_lang(spark):
             declared_lang(F.col("text"), hcol).alias("d")).collect()[0].d
         assert (got.html_lang, got.content_language, got.lang) == want, \
             (i, html)
+
+
+def test_jsonld_blocks(spark):
+    """operators/links.jsonld_blocks: multiline bodies, attribute order,
+    quote styles, invalid JSON classification, the scalar-@type gate,
+    and the per-page cap."""
+    from warcio_spark.operators.links import (
+        MAX_JSONLD_PER_PAGE,
+        jsonld_blocks,
+    )
+
+    page = (
+        '<html><head>'
+        '<script type="application/ld+json">\n'
+        '  {"@context": "https://schema.org",\n'
+        '   "@type": "Article", "headline": "x"}\n'
+        "</script>"
+        "<script async type='application/ld+json'>"
+        '{"@type":"Product"}</script>'
+        "<script type=application/ld+json>{\"@type\":[\"A\",\"B\"]}</script>"
+        '<script type="application/ld+json">{nope</script>'
+        '<script type="application/ld+json">   </script>'
+        '<script type="text/javascript">var t = "@type";</script>'
+        "</head></html>"
+    )
+    many = "".join(
+        '<script type="application/ld+json">{"@type":"T%d"}</script>' % i
+        for i in range(MAX_JSONLD_PER_PAGE + 5))
+    df = spark.createDataFrame(
+        [("http://a/", page), ("http://b/", many)],
+        "page_url string, text string")
+    out = jsonld_blocks(df).collect()
+
+    a = sorted((r.pos, r.jsonld_type, r.raw) for r in out
+               if r.src_url == "http://a/")
+    # the whitespace-only body (pos 4) is dropped; the JS decoy never
+    # extracts; the multiline body survives with its internal newlines
+    assert [p for p, _, _ in a] == [0, 1, 2, 3]
+    assert a[0][1] == "Article" and "\n" in a[0][2]
+    assert a[1][1] == "Product"
+    assert a[2][1] is None and a[2][2] == '{"@type":["A","B"]}'
+    assert a[3][1] is None and a[3][2] == "{nope"
+
+    b = [r for r in out if r.src_url == "http://b/"]
+    assert len(b) == MAX_JSONLD_PER_PAGE  # cap applied

@@ -1189,6 +1189,73 @@ def anchor_text_table(fetched: DataFrame, url_col: str = "page_url",
     )
 
 
+# structured-data caps, the JSON-LD analog of MAX_LINKS_PER_PAGE
+MAX_JSONLD_PER_PAGE = 16
+MAX_JSONLD_CHARS = 65536
+
+# a <script> whose type attribute (anywhere in the tag) is
+# application/ld+json, body captured lazily to the closing tag. Kept in
+# the Java-regex/RE2 common subset ((?is) + lazy quantifiers) like every
+# extraction pattern here, so the DuckDB oracle runs it verbatim.
+_JSONLD_RX = (r"(?is)<script[^>]*type\s*=\s*[\"']?application/ld\+json"
+              r"[\"']?[^>]*>(.*?)</script")
+
+
+def jsonld_blocks(fetched: DataFrame, url_col: str = "page_url",
+                  text_col: str = "text") -> DataFrame:
+    """(src_url, pos, raw, jsonld_type) per JSON-LD structured-data
+    block — the schema.org layer (Article/Product/FAQ/Breadcrumb
+    markup) a training pipeline mines for supervision and a search
+    pipeline for rich results. Extraction is the crawler heuristic
+    (regex over the decoded text, same discipline as ``_HREF_RX`` /
+    ``head_struct``), not a tree parse:
+
+    * blocks = the first MAX_JSONLD_PER_PAGE ``<script>`` bodies whose
+      tag carries ``type=application/ld+json`` (quoted or bare, any
+      attribute position), trimmed, capped at MAX_JSONLD_CHARS, empty
+      bodies dropped; ``pos`` is the block's document position;
+    * ``raw`` is the body AS WRITTEN (callers parse with the schema
+      they expect — JSON-LD is open-world);
+    * ``jsonld_type`` = the top-level ``@type`` when the block is a
+      JSON object with a scalar @type (the overwhelmingly common case);
+      NULL for invalid JSON, missing @type, or non-scalar forms —
+      malformed markup classifies, never errors.
+
+    Scale shape: one regex pass + posexplode + one get_json_object per
+    block — map-only, no shuffle; group by ``jsonld_type`` downstream
+    for the corpus census."""
+    blocks = F.slice(
+        F.regexp_extract_all(F.col(text_col), F.lit(_JSONLD_RX), F.lit(1)),
+        1, MAX_JSONLD_PER_PAGE,
+    )
+    return (
+        fetched.filter(F.col(url_col).isNotNull())
+        .select(
+            F.col(url_col).alias("src_url"),
+            F.posexplode(blocks).alias("pos", "_raw"),
+        )
+        .select(
+            "src_url", "pos",
+            F.substring(F.trim(F.col("_raw")), 1,
+                        MAX_JSONLD_CHARS).alias("raw"),
+        )
+        .filter(F.length("raw") > 0)
+        .withColumn(
+            "jsonld_type",
+            # scalar @type only: get_json_object returns the raw JSON
+            # text for arrays/objects — gate those to NULL per contract
+            F.nullif(
+                F.when(
+                    ~F.get_json_object("raw", "$['@type']")
+                    .rlike(r"^[\[{]"),
+                    F.get_json_object("raw", "$['@type']"),
+                ),
+                F.lit(""),
+            ),
+        )
+    )
+
+
 def link_rot(links: DataFrame, fetched: DataFrame,
              link_col: str = "outlink", src_col: str = "src_url",
              url_col: str = "url",
