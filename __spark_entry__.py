@@ -2360,6 +2360,47 @@ def q_jsonld(spark, sf):
     return jsonld_blocks(pages)
 
 
+def q_hreflang(spark, sf):
+    """hreflang alternates (operators/links.hreflang_alternates): link
+    tags across the three quoting forms, mixed-case hreflang values
+    (lowercased), a root-relative href (resolved against the page
+    origin), x-default, plus three decoys that must drop — a
+    stylesheet link with hreflang, an alternate WITHOUT hreflang (the
+    RSS-feed shape), and an alternate with an empty hreflang. The
+    DuckDB oracle replays the blob regex, _attr_value precedence,
+    token match, cleanup and 2-case resolution."""
+    from warcio_spark.operators.links import hreflang_alternates
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    page = F.concat(
+        F.lit('<head><link rel="alternate" hreflang="FR" '
+              'href="https://fr.ex/p/'), s(d), F.lit('">'),
+        F.when(d % 3 == 0, F.concat(
+            F.lit("<link rel='alternate' hreflang='de-AT' href='/de/p"),
+            s(d), F.lit("'>"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(
+            F.lit("<link rel=alternate hreflang=x-default "
+                  "href=https://www.ex/p/"), s(d),
+            F.lit(">"))).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(
+            '<link rel="stylesheet" hreflang="es" href="/css.css">'))
+        .otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit(
+            '<link rel="alternate" type="application/rss+xml" '
+            'href="/feed.xml">')).otherwise(F.lit("")),
+        F.lit('<link rel="alternate" hreflang="" href="/empty">'
+              "</head><body>b</body>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://m"), s(d % 13), F.lit(".ex/p"),
+                 s(d)).alias("page_url"),
+        page.alias("text"),
+    )
+    return hreflang_alternates(pages)
+
+
 def q_capture_diff(spark, sf):
     """Crawl-over-crawl diff (sources/cdxj.capture_diff): per urlkey,
     classify added/gone/changed/unchanged between a January and a
@@ -2527,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_audit": q_robots_audit,
         "adaptive_delays": q_adaptive_delays,
         "jsonld_types": q_jsonld,
+        "hreflang_links": q_hreflang,
     }
 
 
@@ -4717,6 +4759,78 @@ def oracle_sql() -> dict[str, str]:
     # (same formula, rounding, tie-break), so it shares its oracle —
     # one scoring semantics, checked through both execution shapes
     out["bm25_indexed"] = out["bm25_topk"]
+
+    # hreflang: the _attr_value precedence (double- > single- > bare-
+    # quoted, first non-empty wins) replayed verbatim, same as the
+    # wat_head / page_directives oracles
+    def _attr_sql(names):
+        return ("""COALESCE(
+          NULLIF(regexp_extract(b, '(?i)\\s(?:{n})\\s*=\\s*"([^"]*)"', 1), ''),
+          NULLIF(regexp_extract(b, '(?i)\\s(?:{n})\\s*=\\s*''([^'']*)''', 1), ''),
+          NULLIF(regexp_extract(b, '(?i)\\s(?:{n})\\s*=\\s*([^\\s"''<>]+)', 1), ''),
+          '')""").format(n=names)
+
+    _clean_href_sql = (
+        "regexp_replace(split_part(%s, '#', 1), '^\\s+|\\s+$', '', 'g')"
+        % _attr_sql("href"))
+    out["hreflang_links"] = ("""
+        WITH u AS (
+          SELECT doc_id,
+                 'http://m' || (doc_id % 13)::VARCHAR || '.ex/p'
+                   || doc_id::VARCHAR AS url,
+                 '<head><link rel="alternate" hreflang="FR" '
+                 || 'href="https://fr.ex/p/' || doc_id::VARCHAR || '">'
+                 || CASE WHEN doc_id % 3 = 0 THEN
+                      '<link rel=''alternate'' hreflang=''de-AT'' '
+                      || 'href=''/de/p' || doc_id::VARCHAR || '''>'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN
+                      '<link rel=alternate hreflang=x-default '
+                      || 'href=https://www.ex/p/' || doc_id::VARCHAR || '>'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0 THEN
+                      '<link rel="stylesheet" hreflang="es" '
+                      || 'href="/css.css">'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 4 = 0 THEN
+                      '<link rel="alternate" type="application/rss+xml" '
+                      || 'href="/feed.xml">'
+                    ELSE '' END
+                 || '<link rel="alternate" hreflang="" href="/empty">'
+                 || '</head><body>b</body>' AS text
+          FROM documents),
+        h AS (
+          SELECT doc_id, url,
+                 CASE WHEN regexp_matches(text, '(?is)</head\\s*>')
+                      THEN regexp_extract(text, '(?is)^(.*?)</head\\s*>', 1)
+                      ELSE text END AS head_src
+          FROM u),
+        mb AS (
+          SELECT doc_id, url,
+                 list_slice(regexp_extract_all(head_src,
+                   '(?i)<link(\\s(?:[^<>"'']|"[^"]*"|''[^'']*'')*)/?>', 1),
+                   1, 64) AS blobs
+          FROM h),
+        e AS (
+          SELECT url, CAST(i - 1 AS INTEGER) AS pos, blobs[i] AS b
+          FROM mb, UNNEST(generate_series(1, len(blobs))) AS sub(i)),
+        f AS (
+          SELECT url AS src_url, pos,
+                 lower(trim({lang})) AS hreflang,
+                 {href} AS href
+          FROM e
+          WHERE regexp_matches({rel},
+                  '(?i)(^|[\\s])alternate([\\s]|$)')
+            AND length(trim({lang})) > 0
+            AND length({href}) > 0)
+        SELECT src_url, pos, hreflang,
+               CASE WHEN regexp_matches(href, '^https?://') THEN href
+                    ELSE regexp_extract(src_url,
+                           '^(https?://[^/?#]+)', 1) || href
+               END AS alternate
+        FROM f
+    """).format(lang=_attr_sql("hreflang"), href=_clean_href_sql,
+                rel=_attr_sql("rel"))
     out["wat_head"] = """
         WITH u AS (
           SELECT doc_id,

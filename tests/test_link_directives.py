@@ -268,3 +268,32 @@ def test_jsonld_blocks(spark):
 
     b = [r for r in out if r.src_url == "http://b/"]
     assert len(b) == MAX_JSONLD_PER_PAGE  # cap applied
+
+
+def test_hreflang_alternates(spark):
+    """operators/links.hreflang_alternates: quoting forms, lowercasing,
+    relative resolution, pre-filter pos, body-region exclusion, and the
+    three drop cases (wrong rel, missing hreflang, empty hreflang)."""
+    from warcio_spark.operators.links import hreflang_alternates
+
+    page = (
+        "<head>"
+        '<link rel="alternate" hreflang="FR" href="https://fr.ex/a">'
+        "<link rel='ALTERNATE me' hreflang='de-AT' href='/de/a'>"
+        "<link rel=alternate hreflang=x-default href=https://www.ex/a>"
+        '<link rel="stylesheet" hreflang="es" href="/css.css">'
+        '<link rel="alternate" type="application/rss+xml" href="/f.xml">'
+        '<link rel="alternate" hreflang="" href="/empty">'
+        "</head><body>"
+        '<link rel="alternate" hreflang="it" href="/body-ignored">'
+        "</body>"
+    )
+    df = spark.createDataFrame([("http://m.ex/a?x=1", page)],
+                               "page_url string, text string")
+    got = sorted((r.pos, r.hreflang, r.alternate)
+                 for r in hreflang_alternates(df).collect())
+    assert got == [
+        (0, "fr", "https://fr.ex/a"),
+        (1, "de-at", "http://m.ex/de/a"),  # rel token among others; lc
+        (2, "x-default", "https://www.ex/a"),
+    ]

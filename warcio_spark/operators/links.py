@@ -1189,6 +1189,55 @@ def anchor_text_table(fetched: DataFrame, url_col: str = "page_url",
     )
 
 
+def hreflang_alternates(fetched: DataFrame, url_col: str = "page_url",
+                        text_col: str = "text") -> DataFrame:
+    """(src_url, pos, hreflang, alternate) per head-region
+    ``<link rel="alternate" hreflang=...>`` — the language-variant twin
+    set (RFC 8288 alternate + the search-engine hreflang convention) a
+    multilingual crawl walks to seed every language edition of a page,
+    and a parallel-text pipeline joins on to pair translations.
+
+    Same machinery as ``canonical_link``: link tags from the head
+    region (``_LINK_TAG_RX``, MAX_METAS_PER_PAGE cap), attributes via
+    ``_attr_value`` precedence, href through the shared
+    ``_cleaned_href`` + ``_resolved`` contract (a relative alternate
+    resolves like any href). ``pos`` is the tag's document position
+    among ALL head link tags, pre-filter (head_struct convention);
+    ``hreflang`` is trimmed + lowercased (``x-default`` kept as-is);
+    tags missing rel=alternate, hreflang, or a resolvable href drop.
+
+    Map-only: one regex pass + one explode over a <=64-element array,
+    no shuffle."""
+    blobs = F.slice(
+        F.regexp_extract_all(_head_region(F.col(text_col)),
+                             F.lit(_LINK_TAG_RX), F.lit(1)),
+        1, MAX_METAS_PER_PAGE,
+    )
+    rows = (
+        fetched.filter(F.col(url_col).isNotNull())
+        .select(
+            F.col(url_col).alias("src_url"),
+            F.posexplode(blobs).alias("pos", "_b"),
+        )
+    )
+    b = F.col("_b")
+    lang = F.trim(_attr_value(b, "hreflang"))
+    href = _cleaned_href(_attr_value(b, "href"), strip_quotes=False)
+    return (
+        rows.filter(
+            _has_token(_attr_value(b, "rel"), "alternate")
+            & (F.length(lang) > 0)
+            & (F.length(href) > 0)
+        )
+        .select(
+            "src_url", "pos",
+            F.lower(lang).alias("hreflang"),
+            _resolved(F.col("src_url"), href).alias("alternate"),
+        )
+        .filter(F.col("alternate").isNotNull())
+    )
+
+
 # structured-data caps, the JSON-LD analog of MAX_LINKS_PER_PAGE
 MAX_JSONLD_PER_PAGE = 16
 MAX_JSONLD_CHARS = 65536
