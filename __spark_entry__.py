@@ -2472,6 +2472,101 @@ def q_link_rot(spark, sf):
     return link_rot(links, fetched)
 
 
+def q_feed_links(spark, sf):
+    """Feed autodiscovery (operators/links.feed_links): head-region
+    <link rel=alternate> tags whose type is a feed MIME, across the
+    three quoting forms, uppercase MIME (lowercased), root-relative and
+    directory-relative hrefs (shared _resolved contract), an absolute
+    CDN href, plus decoys that must drop — a stylesheet link, a
+    parameterized MIME (";charset="), an empty href, and a feed link in
+    the BODY region. The DuckDB oracle replays the blob regex,
+    _attr_value precedence, token match, MIME mapping and resolution."""
+    from warcio_spark.operators.links import feed_links
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    page = F.concat(
+        F.lit('<head><link rel="stylesheet" href="/css.css">'),
+        F.when(d % 4 == 0, F.concat(
+            F.lit('<link rel="alternate" type="application/rss+xml" '
+                  'title="R '), s(d % 9), F.lit('" href="/feeds/r'),
+            s(d), F.lit('.xml">'))).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.concat(
+            F.lit("<link rel='alternate' type='APPLICATION/ATOM+XML' "
+                  "href='atom"), s(d), F.lit(".xml'>"))
+        ).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(
+            F.lit("<link rel=alternate type=application/feed+json "
+                  "href=https://cdn.ex/j"), s(d), F.lit(">"))
+        ).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(
+            '<link rel="alternate" '
+            'type="application/rss+xml; charset=utf-8" '
+            'href="/no.xml">')).otherwise(F.lit("")),
+        F.lit('<link rel="alternate" type="application/rss+xml" '
+              'href="">'
+              '</head><body>'
+              '<link rel="alternate" type="application/atom+xml" '
+              'href="/body.xml"></body>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://f"), s(d % 13), F.lit(".ex/dir/p"),
+                 s(d)).alias("page_url"),
+        page.alias("text"),
+    )
+    return feed_links(pages)
+
+
+def q_feed_entries(spark, sf):
+    """Feed entry extraction (operators/links.feed_entries): RSS
+    text-content <link> items (with the five-named-entity unescape and
+    whitespace-collapsed titles) and Atom attribute-form <link href>
+    entries across quoting variants, in document order. Channel-level
+    <title>/<link> and the Atom feed-level rel=self link sit OUTSIDE
+    entry blocks and must never leak; a title-only item and an ftp:
+    link drop at the absolute-http(s) gate. The DuckDB oracle replays
+    the entry-block scan, per-block link precedence (text content over
+    href attribute), unescape chain and title collapse."""
+    from warcio_spark.operators.links import feed_entries
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    host = F.concat(F.lit("http://s"), s(d % 11), F.lit(".ex"))
+    rss = F.concat(
+        F.lit("<rss><channel><title>C</title><link>"), host,
+        F.lit("/</link><item><title> P  "), s(d),
+        F.lit(" </title><link>"), host, F.lit("/p/"), s(d),
+        F.lit("?a=1&amp;b="), s(d % 7), F.lit("</link></item>"),
+        F.when(d % 3 == 0, F.concat(
+            F.lit("<item><link>"), host, F.lit("/q/"), s(d),
+            F.lit("</link></item>"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(
+            "<item><title>nolink</title></item>")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(
+            "<item><link>ftp://s.ex/skip</link></item>"))
+        .otherwise(F.lit("")),
+        F.lit("</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed><title>A</title><link href="'), host,
+        F.lit('/" rel="self"/><entry><title>E'), s(d),
+        F.lit('</title><link rel="alternate" href="https://s'),
+        s(d % 11), F.lit(".ex/e/"), s(d), F.lit('"/></entry>'),
+        F.when(d % 3 == 0, F.concat(
+            F.lit("<entry><link href='https://s"), s(d % 11),
+            F.lit(".ex/g/"), s(d), F.lit("'/></entry>"))
+        ).otherwise(F.lit("")),
+        F.lit("</feed>"),
+    )
+    feeds = docs.select(
+        F.concat(host, F.lit("/f"), s(d)).alias("url"),
+        F.when(d % 2 == 0, rss).otherwise(atom).alias("xml"),
+    )
+    return feed_entries(feeds)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -2569,6 +2664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_delays": q_adaptive_delays,
         "jsonld_types": q_jsonld,
         "hreflang_links": q_hreflang,
+        "feed_links": q_feed_links,
+        "feed_entries": q_feed_entries,
     }
 
 
@@ -2855,12 +2952,12 @@ def oracle_sql() -> dict[str, str]:
             d AS (
               SELECT doc_id, n_chars,
                 CASE WHEN regexp_extract(host,
-                            '([^.]+\.[^.]+)$', 1)
+                            '([^.]+\\.[^.]+)$', 1)
                           IN ('co.uk', 'com.au')
                      THEN regexp_extract(host,
-                            '((?:[^.]+\.){2}[^.]+)$', 1)
+                            '((?:[^.]+\\.){2}[^.]+)$', 1)
                      ELSE regexp_extract(host,
-                            '([^.]+\.[^.]+)$', 1) END AS domain
+                            '([^.]+\\.[^.]+)$', 1) END AS domain
               FROM h),
             st AS (
               SELECT domain,
@@ -4831,6 +4928,157 @@ def oracle_sql() -> dict[str, str]:
         FROM f
     """).format(lang=_attr_sql("hreflang"), href=_clean_href_sql,
                 rel=_attr_sql("rel"))
+    # feed autodiscovery: the hreflang machinery with a MIME gate and a
+    # 3-branch resolve (absolute / root-relative / directory-relative)
+    out["feed_links"] = ("""
+        WITH u AS (
+          SELECT doc_id,
+                 'http://f' || (doc_id % 13)::VARCHAR || '.ex/dir/p'
+                   || doc_id::VARCHAR AS url,
+                 '<head><link rel="stylesheet" href="/css.css">'
+                 || CASE WHEN doc_id % 4 = 0 THEN
+                      '<link rel="alternate" type="application/rss+xml" '
+                      || 'title="R ' || (doc_id % 9)::VARCHAR
+                      || '" href="/feeds/r' || doc_id::VARCHAR || '.xml">'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0 THEN
+                      '<link rel=''alternate'' type=''APPLICATION/ATOM+XML'' '
+                      || 'href=''atom' || doc_id::VARCHAR || '.xml''>'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN
+                      '<link rel=alternate type=application/feed+json '
+                      || 'href=https://cdn.ex/j' || doc_id::VARCHAR || '>'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0 THEN
+                      '<link rel="alternate" '
+                      || 'type="application/rss+xml; charset=utf-8" '
+                      || 'href="/no.xml">'
+                    ELSE '' END
+                 || '<link rel="alternate" type="application/rss+xml" '
+                 || 'href="">'
+                 || '</head><body>'
+                 || '<link rel="alternate" type="application/atom+xml" '
+                 || 'href="/body.xml"></body>' AS text
+          FROM documents),
+        h AS (
+          SELECT doc_id, url,
+                 CASE WHEN regexp_matches(text, '(?is)</head\\s*>')
+                      THEN regexp_extract(text, '(?is)^(.*?)</head\\s*>', 1)
+                      ELSE text END AS head_src
+          FROM u),
+        mb AS (
+          SELECT doc_id, url,
+                 list_slice(regexp_extract_all(head_src,
+                   '(?i)<link(\\s(?:[^<>"'']|"[^"]*"|''[^'']*'')*)/?>', 1),
+                   1, 64) AS blobs
+          FROM h),
+        e AS (
+          SELECT url, CAST(i - 1 AS INTEGER) AS pos, blobs[i] AS b
+          FROM mb, UNNEST(generate_series(1, len(blobs))) AS sub(i)),
+        f AS (
+          SELECT url AS src_url, pos,
+                 lower(trim({mime})) AS mime,
+                 NULLIF(trim({title}), '') AS feed_title,
+                 {href} AS href
+          FROM e
+          WHERE regexp_matches({rel},
+                  '(?i)(^|[\\s])alternate([\\s]|$)')
+            AND lower(trim({mime})) IN ('application/rss+xml',
+                  'application/atom+xml', 'application/feed+json')
+            AND length({href}) > 0)
+        SELECT src_url, pos,
+               CASE mime WHEN 'application/rss+xml' THEN 'rss'
+                         WHEN 'application/atom+xml' THEN 'atom'
+                         ELSE 'json' END AS feed_kind,
+               feed_title,
+               CASE WHEN regexp_matches(href, '^https?://') THEN href
+                    WHEN starts_with(href, '/') THEN
+                      regexp_extract(src_url, '^(https?://[^/?#]+)', 1)
+                      || href
+                    ELSE regexp_extract(src_url, '^(https?://[^/?#]+)', 1)
+                      || regexp_replace(
+                           regexp_replace(src_url,
+                             '^https?://[^/?#]+', ''),
+                           '[^/]*$', '')
+                      || href
+               END AS feed_url
+        FROM f
+    """).format(mime=_attr_sql("type"), title=_attr_sql("title"),
+                href=_clean_href_sql, rel=_attr_sql("rel"))
+    # feed entries: entry-block scan, link precedence (RSS text content
+    # over Atom href attribute), five-named-entity unescape (&amp;
+    # last), whitespace-collapsed titles, absolute-http(s) gate
+    out["feed_entries"] = ("""
+        WITH u AS (
+          SELECT doc_id,
+                 'http://s' || (doc_id % 11)::VARCHAR || '.ex' AS host
+          FROM documents),
+        x AS (
+          SELECT doc_id, host || '/f' || doc_id::VARCHAR AS url,
+                 CASE WHEN doc_id % 2 = 0 THEN
+                   '<rss><channel><title>C</title><link>' || host
+                   || '/</link><item><title> P  ' || doc_id::VARCHAR
+                   || ' </title><link>' || host || '/p/'
+                   || doc_id::VARCHAR || '?a=1&amp;b='
+                   || (doc_id % 7)::VARCHAR || '</link></item>'
+                   || CASE WHEN doc_id % 3 = 0 THEN
+                        '<item><link>' || host || '/q/'
+                        || doc_id::VARCHAR || '</link></item>'
+                      ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN
+                        '<item><title>nolink</title></item>'
+                      ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0 THEN
+                        '<item><link>ftp://s.ex/skip</link></item>'
+                      ELSE '' END
+                   || '</channel></rss>'
+                 ELSE
+                   '<feed><title>A</title><link href="' || host
+                   || '/" rel="self"/><entry><title>E'
+                   || doc_id::VARCHAR
+                   || '</title><link rel="alternate" href="https://s'
+                   || (doc_id % 11)::VARCHAR || '.ex/e/'
+                   || doc_id::VARCHAR || '"/></entry>'
+                   || CASE WHEN doc_id % 3 = 0 THEN
+                        '<entry><link href=''https://s'
+                        || (doc_id % 11)::VARCHAR || '.ex/g/'
+                        || doc_id::VARCHAR || '''/></entry>'
+                      ELSE '' END
+                   || '</feed>'
+                 END AS xml
+          FROM u),
+        bl AS (
+          SELECT url,
+                 list_slice(regexp_extract_all(xml,
+                   '(?is)<(?:item|entry)[\\s>](.*?)</(?:item|entry)\\s*>',
+                   1), 1, 1024) AS blocks
+          FROM x),
+        ex AS (
+          SELECT url AS src_url, CAST(i - 1 AS INTEGER) AS pos,
+                 blocks[i] AS blk
+          FROM bl, UNNEST(generate_series(1, len(blocks))) AS sub(i)),
+        lk AS (
+          SELECT src_url, pos,
+                 regexp_extract(blk,
+                   '(?is)<link[^>]*>\\s*([^<]+?)\\s*</link', 1) AS lt,
+                 NULLIF(regexp_replace(regexp_extract(blk,
+                   '(?is)<title[^>]*>\\s*([^<]*?)\\s*</title', 1),
+                   '\\s+', ' ', 'g'), '') AS entry_title,
+                 regexp_extract(blk,
+                   '(?is)<link((?:\\s(?:[^<>"'']|"[^"]*"|''[^'']*'')*)?)/?>',
+                   1) AS b
+          FROM ex),
+        uu AS (
+          SELECT src_url, pos, entry_title,
+                 replace(replace(replace(replace(replace(
+                   COALESCE(NULLIF(lt, ''), NULLIF({href_attr}, ''), ''),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&apos;', ''''), '&amp;', '&') AS entry_url
+          FROM lk)
+        SELECT src_url, pos, entry_url, entry_title
+        FROM uu
+        WHERE regexp_matches(entry_url, '^https?://')
+    """).format(href_attr=_attr_sql("href"))
     out["wat_head"] = """
         WITH u AS (
           SELECT doc_id,

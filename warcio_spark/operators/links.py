@@ -1353,3 +1353,172 @@ def link_rot(links: DataFrame, fetched: DataFrame,
         .select("url", status_class.alias("status_class"),
                 "status", "n_refs", "n_referrers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Feed autodiscovery + entry extraction — the fourth discovery channel
+# (anchors, redirects, sitemaps, feeds). The reference ecosystem archives
+# feed responses as ordinary WARC response records (warcio/warcwriter.py
+# doesn't care about payload type); a crawler that wants fresh content
+# fast walks feeds instead of waiting for recrawl_ttl.
+# ---------------------------------------------------------------------------
+
+# feed MIME types → kind labels: the RSS-autodiscovery convention plus
+# RFC 4287 (Atom) and JSON Feed 1.1. Matching is on the full lowercased
+# type attribute — a type with parameters (";charset=") is not a
+# discovery link per the convention and drops.
+FEED_MIME_KINDS = (
+    ("application/rss+xml", "rss"),
+    ("application/atom+xml", "atom"),
+    ("application/feed+json", "json"),
+)
+
+
+def feed_links(fetched: DataFrame, url_col: str = "page_url",
+               text_col: str = "text") -> DataFrame:
+    """(src_url, pos, feed_kind, feed_title, feed_url) per head-region
+    ``<link rel="alternate" type="application/rss+xml|atom+xml|feed+json">``
+    — RSS/Atom/JSON-Feed autodiscovery, the mechanism aggregators and
+    freshness-hungry crawlers use to find a site's update stream.
+
+    Same kernel as ``hreflang_alternates``: link tags from the head
+    region (``_LINK_TAG_RX``, MAX_METAS_PER_PAGE cap), attributes via
+    the ``_attr_value`` precedence, href through ``_cleaned_href`` +
+    ``_resolved``. ``pos`` is the tag's document position among ALL
+    head link tags, pre-filter; ``feed_kind`` maps the MIME type to
+    rss/atom/json; ``feed_title`` is the link tag's title attribute
+    trimmed, NULL when absent (RFC 8288 title hint). Tags missing
+    rel=alternate, a recognized feed type, or a resolvable href drop.
+
+    Map-only: one regex pass + one explode over a <=64-element array,
+    no shuffle."""
+    blobs = F.slice(
+        F.regexp_extract_all(_head_region(F.col(text_col)),
+                             F.lit(_LINK_TAG_RX), F.lit(1)),
+        1, MAX_METAS_PER_PAGE,
+    )
+    rows = (
+        fetched.filter(F.col(url_col).isNotNull())
+        .select(
+            F.col(url_col).alias("src_url"),
+            F.posexplode(blobs).alias("pos", "_b"),
+        )
+    )
+    b = F.col("_b")
+    mime = F.lower(F.trim(_attr_value(b, "type")))
+    kind = F.lit(None).cast("string")
+    for m, k in reversed(FEED_MIME_KINDS):
+        kind = F.when(mime == m, F.lit(k)).otherwise(kind)
+    href = _cleaned_href(_attr_value(b, "href"), strip_quotes=False)
+    return (
+        rows.filter(
+            _has_token(_attr_value(b, "rel"), "alternate")
+            & mime.isin([m for m, _ in FEED_MIME_KINDS])
+            & (F.length(href) > 0)
+        )
+        .select(
+            "src_url", "pos", kind.alias("feed_kind"),
+            F.nullif(F.trim(_attr_value(b, "title")),
+                     F.lit("")).alias("feed_title"),
+            _resolved(F.col("src_url"), href).alias("feed_url"),
+        )
+        .filter(F.col("feed_url").isNotNull())
+    )
+
+
+MAX_ENTRIES_PER_FEED = 1024
+
+# one RSS <item> or Atom <entry> element body. Lazy across the body,
+# (?is) — the Java-regex/RE2 common subset like every pattern here, so
+# the DuckDB oracle runs it verbatim.
+_FEED_ENTRY_RX = r"(?is)<(?:item|entry)[\s>](.*?)</(?:item|entry)\s*>"
+# RSS text-content <link>url</link>; stops at the next tag-open
+_FEED_LINK_TEXT_RX = r"(?is)<link[^>]*>\s*([^<]+?)\s*</link"
+# Atom attribute-form <link href=...>: the tag's attribute blob, then
+# _attr_value for href. First <link> tag per entry — Atom entries
+# conventionally list the alternate first (documented heuristic, not a
+# conforming rel-precedence parser).
+_FEED_LINK_TAG_RX = "(?is)<link((?:\\s(?:[^<>\"']|\"[^\"]*\"|'[^']*')*)?)/?>"
+_FEED_TITLE_RX = r"(?is)<title[^>]*>\s*([^<]*?)\s*</title"
+
+
+def feed_entries(feeds: DataFrame, url_col: str = "url",
+                 xml_col: str = "xml") -> DataFrame:
+    """Entry links of fetched RSS/Atom feed documents, in document order
+    — (src_url, pos, entry_url, entry_title). The feed twin of
+    ``sitemap_locs``: same crawler-heuristic discipline (regex over the
+    payload text, not a conforming XML parse), same five-named-entity
+    unescape, same absolute-http(s) gate.
+
+    Per entry block (first MAX_ENTRIES_PER_FEED ``<item>``/``<entry>``
+    elements): the entry url is the RSS text-content ``<link>url</link>``
+    when present, else the first Atom ``<link href=...>`` attribute
+    (``_attr_value`` precedence); the title is the entry's first
+    ``<title>`` text, whitespace-collapsed, NULL when absent. Entries
+    with no resolvable absolute url drop — feeds carry absolute urls per
+    both specs, so there is no base-relative resolution here.
+
+    A lazy ``.*?`` entry scan means an item MISSING its closing tag
+    absorbs through the next entry (malformed-feed behavior, pinned in
+    tests); well-formed feeds partition cleanly. Map-only: one regex
+    pass + one bounded explode, no shuffle."""
+    entries = F.slice(
+        F.regexp_extract_all(F.col(xml_col), F.lit(_FEED_ENTRY_RX),
+                             F.lit(1)),
+        1, MAX_ENTRIES_PER_FEED,
+    )
+    rows = (
+        feeds.filter(F.col(url_col).isNotNull())
+        .select(
+            F.col(url_col).alias("src_url"),
+            F.posexplode(entries).alias("pos", "_e"),
+        )
+    )
+    e = F.col("_e")
+    link_text = F.regexp_extract(e, _FEED_LINK_TEXT_RX, 1)
+    tag_blob = F.regexp_extract(e, _FEED_LINK_TAG_RX, 1)
+    link_href = _attr_value(tag_blob, "href")
+    url = _xml_unescape(
+        F.coalesce(F.nullif(link_text, F.lit("")),
+                   F.nullif(link_href, F.lit("")), F.lit(""))
+    )
+    title = F.nullif(
+        F.regexp_replace(F.regexp_extract(e, _FEED_TITLE_RX, 1),
+                         r"\s+", " "),
+        F.lit(""),
+    )
+    return (
+        rows.select(
+            "src_url", "pos", url.alias("entry_url"),
+            title.alias("entry_title"),
+        )
+        .filter(F.col("entry_url").rlike("^https?://"))
+    )
+
+
+FEED_SEQ_BASE = 1 << 49
+
+
+def seeds_from_feeds(feeds: DataFrame, url_col: str = "url",
+                     xml_col: str = "xml",
+                     priority: float = 95.0) -> DataFrame:
+    """Feed entries as frontier seed candidates (url, priority, seq) —
+    the freshness discovery channel feeding crawl(). Seq namespace
+    [2^49, 2^49 + 2^46): disjoint from links (< 2^47), redirects
+    (2^47..), sitemaps (2^48..) and below recrawl (2^50) — the
+    documented namespace layering. Default priority ABOVE sitemaps
+    (95 vs 90): a feed entry is the site announcing new content now,
+    the strongest freshness signal a polite crawler gets. Same 30-bit
+    source bucket x 64Ki positions as seeds_from_sitemaps; feed entry
+    positions are already capped far below the bucket size."""
+    entries = feed_entries(feeds, url_col=url_col, xml_col=xml_col)
+    s = F.pmod(F.xxhash64("src_url"), F.lit(1 << 30))
+    return entries.select(
+        F.col("entry_url").alias("url"),
+        F.lit(float(priority)).alias("priority"),
+        (
+            F.lit(FEED_SEQ_BASE)
+            + s * (MAX_LINKS_PER_PAGE * 1024)
+            + F.col("pos")
+        ).alias("seq"),
+    )
