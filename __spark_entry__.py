@@ -2567,6 +2567,47 @@ def q_feed_entries(spark, sf):
     return feed_entries(feeds)
 
 
+def q_main_content(spark, sf):
+    """Per-page main-content extraction
+    (operators/textstats.extract_main_content): pages wrap each
+    document's text in chrome — head/title, scrubbed style+script (the
+    script body contains a FAKE block tag that must not split), a
+    link-only nav, an HTML comment, a link-dense footer, a too-short
+    'ok' block — plus a mid-length related-reading paragraph on every
+    third page. The document body survives exactly when it clears the
+    25-char gate (short docs exercise the drop path); nav/footer fall
+    to the 30% link-density gate. The DuckDB oracle replays the whole
+    ladder: scrub, block split, per-block visible-text + anchor-chars
+    lambdas, both gates, newline join."""
+    from warcio_spark.operators.textstats import extract_main_content
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    page = F.concat(
+        F.lit('<head><title>Site '), s(d % 5),
+        F.lit('</title><style>p{color:red}</style>'
+              '<script>var x="<p>not a block</p>";</script>'
+              '</head><body>'
+              '<div><ul><li><a href="/">Home</a></li><li><a href="/s'),
+        s(d % 7), F.lit('">Section '), s(d % 7),
+        F.lit('</a></li></ul></div><!-- build '), s(d),
+        F.lit(' --><article><p>'), F.col("text"), F.lit("</p>"),
+        F.when(d % 3 == 0, F.concat(
+            F.lit("<p>Related: see item "), s(d),
+            F.lit(" &amp; the archive for more background"
+                  " reading.</p>"))).otherwise(F.lit("")),
+        F.lit('<p>ok</p></article>'
+              '<div>&copy; 2026 <a href="/tos">Terms of service</a> '
+              '<a href="/priv">Privacy policy</a> all rights</div>'
+              "</body>"),
+    )
+    pages = docs.select("doc_id", page.alias("page"))
+    return extract_main_content(pages, "page").select(
+        "doc_id", "n_blocks", "n_kept", "total_chars", "kept_chars",
+        "main_text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -2666,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_links": q_hreflang,
         "feed_links": q_feed_links,
         "feed_entries": q_feed_entries,
+        "main_content": q_main_content,
     }
 
 
@@ -5232,5 +5274,84 @@ def oracle_sql() -> dict[str, str]:
                ROUND(h3.hub / norms.nh, 8) AS hub,
                ROUND(a3.authority / norms.na, 8) AS authority
         FROM h3 JOIN a3 USING (host) CROSS JOIN norms
+    """)
+
+    # main_content: replay the block-density ladder. Assembled by
+    # concatenation (the SQL carries literal '{' and '%') around a
+    # plain(x) helper mirroring textstats._mc_plain: strip tags, decode
+    # the five named entities (&amp; last), collapse whitespace, trim.
+    def _mc_plain_sql(x):
+        t = "regexp_replace(" + x + ", '(?s)<[^>]*>', ' ', 'g')"
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&apos;", "''"), ("&amp;", "&")):
+            t = "replace(" + t + ", '" + ent + "', '" + ch + "')"
+        return "trim(regexp_replace(" + t + ", '\\s+', ' ', 'g'))"
+
+    _mc_tags = ("p|div|section|article|main|aside|header|footer|nav|"
+                "h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|"
+                "blockquote|pre|figure|figcaption|form|fieldset|hr|br")
+    out["main_content"] = (
+        """
+        WITH u AS (
+          SELECT doc_id,
+                 '<head><title>Site ' || (doc_id % 5)::VARCHAR
+                 || '</title><style>p{color:red}</style>'
+                 || '<script>var x="<p>not a block</p>";</script>'
+                 || '</head><body>'
+                 || '<div><ul><li><a href="/">Home</a></li><li><a href="/s'
+                 || (doc_id % 7)::VARCHAR || '">Section '
+                 || (doc_id % 7)::VARCHAR
+                 || '</a></li></ul></div><!-- build ' || doc_id::VARCHAR
+                 || ' --><article><p>' || text || '</p>'
+                 || CASE WHEN doc_id % 3 = 0 THEN
+                      '<p>Related: see item ' || doc_id::VARCHAR
+                      || ' &amp; the archive for more background'
+                      || ' reading.</p>'
+                    ELSE '' END
+                 || '<p>ok</p></article>'
+                 || '<div>&copy; 2026 <a href="/tos">Terms of service</a> '
+                 || '<a href="/priv">Privacy policy</a> all rights</div>'
+                 || '</body>' AS page
+          FROM documents),
+        scrub AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(page,
+                   '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+                   '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g') AS s
+          FROM u),
+        st AS (
+          SELECT doc_id,
+                 list_filter(list_transform(
+                     regexp_split_to_array(s,
+                       '(?i)</?(?:""" + _mc_tags + """)\\b[^>]*>'),
+                     b -> struct_pack(
+                       txt := """ + _mc_plain_sql("b") + """,
+                       lc := coalesce(list_sum(list_transform(
+                           regexp_extract_all(b,
+                             '(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1),
+                           a -> length(""" + _mc_plain_sql("a") + """))),
+                         0))),
+                   s0 -> length(struct_extract(s0, 'txt')) > 0) AS stats
+          FROM scrub),
+        k AS (
+          SELECT doc_id, stats,
+                 list_filter(stats, s2 ->
+                   length(struct_extract(s2, 'txt')) >= 25
+                   AND struct_extract(s2, 'lc') * 100
+                       <= 30 * length(struct_extract(s2, 'txt'))) AS kept
+          FROM st)
+        SELECT doc_id,
+               len(stats) AS n_blocks,
+               len(kept) AS n_kept,
+               coalesce(list_sum(list_transform(stats,
+                 x -> length(struct_extract(x, 'txt')))), 0)
+                 AS total_chars,
+               coalesce(list_sum(list_transform(kept,
+                 x -> length(struct_extract(x, 'txt')))), 0)
+                 AS kept_chars,
+               array_to_string(list_transform(kept,
+                 x -> struct_extract(x, 'txt')), chr(10)) AS main_text
+        FROM k
     """)
     return out

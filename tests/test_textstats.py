@@ -224,3 +224,109 @@ def test_script_shares_vs_unicodedata_oracle(spark):
     staged = {r.t: r.s.asDict() for r in with_script_shares(
         df, text_col="t").select("t", "s").collect()}
     assert staged == got
+
+
+# --- main-content extraction -------------------------------------------------
+
+def _mc_python_oracle(markup, min_chars=25, max_link_pct=30):
+    """Independent replay of extract_main_content with stdlib re."""
+    import re
+
+    if markup is None:
+        return None
+    s = re.sub(r"(?is)<script\b[^>]*>.*?</script\s*>", " ", markup)
+    s = re.sub(r"(?is)<style\b[^>]*>.*?</style\s*>", " ", s)
+    s = re.sub(r"(?s)<!--.*?-->", " ", s)
+    tags = ("p|div|section|article|main|aside|header|footer|nav|"
+            "h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|"
+            "blockquote|pre|figure|figcaption|form|fieldset|hr|br")
+
+    def plain(frag):
+        t = re.sub(r"(?s)<[^>]*>", " ", frag)
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&apos;", "'"), ("&amp;", "&")):
+            t = t.replace(ent, ch)
+        return re.sub(r"\s+", " ", t).strip()
+
+    blocks, kept = [], []
+    for b in re.split(r"(?i)</?(?:%s)\b[^>]*>" % tags, s):
+        txt = plain(b)
+        if not txt:
+            continue
+        lc = sum(len(plain(a)) for a in
+                 re.findall(r"(?is)<a\b[^>]*>(.*?)</a\s*>", b))
+        blocks.append(txt)
+        if len(txt) >= min_chars and lc * 100 <= max_link_pct * len(txt):
+            kept.append(txt)
+    return {
+        "main_text": "\n".join(kept),
+        "n_blocks": len(blocks), "n_kept": len(kept),
+        "total_chars": sum(len(t) for t in blocks),
+        "kept_chars": sum(len(t) for t in kept),
+    }
+
+
+_MC_PAGES = [
+    # chrome-heavy page: nav + footer all links, one real article
+    """<html><head><title>T</title><style>p{x}</style>
+    <script>var a="<p>fake block</p>";</script></head><body>
+    <div><ul><li><a href="/">Home</a></li><li><a href="/a">About</a></li></ul></div>
+    <!-- <p>commented out</p> -->
+    <article><p>The real article body, comfortably past the minimum length gate.</p>
+    <p>tiny</p>
+    <p>Another long paragraph with one inline <a href="/r">link</a> that stays
+    under the configured link-density ceiling.</p></article>
+    <div>&copy; 2026 <a href="/tos">Terms of service</a>
+    <a href="/priv">Privacy policy</a></div></body></html>""",
+    # entity decode + inline markup inside a block
+    "<p>Fish &amp; chips &lt;with&gt; <b>bold</b> text long enough to keep.</p>",
+    # unclosed script degrades to stripped text, never errors
+    "<p>Before.</p><script>var x = 1; no closing tag",
+    # block split on self-closing/void tags; br separates blocks
+    "<div>First block of sufficient length to pass.<br>Second block also "
+    "long enough to pass the gate.</div>",
+    # link-only page -> everything dropped, empty main_text
+    "<ul><li><a href='/x'>x</a></li><li><a href='/y'>y</a></li></ul>",
+    "",
+]
+
+
+def test_main_content_matches_python_oracle(spark):
+    from warcio_spark.operators.textstats import extract_main_content
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(_MC_PAGES)] + [(99, None)],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in extract_main_content(df).collect()}
+    for i, page in enumerate(_MC_PAGES):
+        exp = _mc_python_oracle(page)
+        got = rows[i]
+        assert got.main_text == exp["main_text"], i
+        assert got.n_blocks == exp["n_blocks"], i
+        assert got.n_kept == exp["n_kept"], i
+        assert got.total_chars == exp["total_chars"], i
+        assert got.kept_chars == exp["kept_chars"], i
+    r = rows[99]
+    assert r.main_text is None and r.n_blocks is None
+
+
+def test_main_content_hand_cases(spark):
+    from warcio_spark.operators.textstats import extract_main_content
+
+    page = _MC_PAGES[0]
+    df = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    r = extract_main_content(df).collect()[0]
+    # exactly the two long article paragraphs survive
+    assert r.n_kept == 2
+    assert r.main_text.startswith("The real article body")
+    assert "Privacy policy" not in r.main_text     # footer density-dropped
+    assert "Home" not in r.main_text               # nav density-dropped
+    assert "fake block" not in r.main_text         # script scrubbed
+    assert "commented out" not in r.main_text      # comment scrubbed
+    assert "tiny" not in r.main_text               # min-length gate
+    assert "one inline link that stays" in r.main_text.replace("\n", " ")
+
+    # thresholds are caller-tunable: lax gates keep everything non-empty
+    lax = extract_main_content(df, min_chars=1, max_link_pct=100).collect()[0]
+    assert lax.n_kept == lax.n_blocks
+    assert lax.kept_chars == lax.total_chars

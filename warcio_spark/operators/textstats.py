@@ -469,3 +469,101 @@ def with_script_shares(df: DataFrame, text_col: str = "text",
     )
     return staged.withColumn(out_col, struct).drop(
         "__sc_nl", "__sc_total", "__sc_m", *tmp.values())
+
+
+# ---------------------------------------------------------------------------
+# Per-page main-content extraction (jusText/Arc90-style block density)
+# ---------------------------------------------------------------------------
+# The per-PAGE complement to dedup.boilerplate_strip (which drops lines
+# repeated ACROSS documents): chrome is recognized from one page alone by
+# the two signals readability heuristics agree on — short text runs and
+# high link density. Everything below is pure codegen (split + HOFs over
+# the block array), so the DuckDB oracle can replay it expression for
+# expression; no backreferences, inline (?is) flags only, ASCII \s —
+# the Java-regex/RE2 parity rules this module already pins.
+
+_MC_BLOCK_TAGS = ("p|div|section|article|main|aside|header|footer|nav|"
+                  "h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|"
+                  "blockquote|pre|figure|figcaption|form|fieldset|hr|br")
+_MC_SPLIT_RX = r"(?i)</?(?:%s)\b[^>]*>" % _MC_BLOCK_TAGS
+_MC_SCRIPT_RX = r"(?is)<script\b[^>]*>.*?</script\s*>"
+_MC_STYLE_RX = r"(?is)<style\b[^>]*>.*?</style\s*>"
+_MC_COMMENT_RX = r"(?s)<!--.*?-->"
+_MC_TAG_RX = r"(?s)<[^>]*>"
+_MC_ANCHOR_RX = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
+
+
+def _mc_plain(col: Column) -> Column:
+    """Markup fragment -> visible text: strip tags, decode the five
+    named entities (&amp; last), collapse whitespace runs, trim."""
+    t = F.regexp_replace(col, _MC_TAG_RX, " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        t = F.regexp_replace(t, ent, ch)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def _mc_block_stats(markup) -> Column:
+    """array<struct<txt,tlen,lc>> of the page's non-empty text blocks.
+
+    Blocks are the segments between block-LEVEL tag boundaries (open or
+    close; inline markup like <a>/<b>/<span> stays inside its block) of
+    the page with <script>/<style> bodies and comments scrubbed first.
+    Per block: ``txt`` = visible text (_mc_plain), ``tlen`` its length,
+    ``lc`` the visible-text length inside the block's <a> elements —
+    the numerator of jusText's link density. Unclosed script/style
+    degrades to tag-stripped text (never an error)."""
+    col = F.col(markup) if isinstance(markup, str) else markup
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(col, _MC_SCRIPT_RX, " "),
+                         _MC_STYLE_RX, " "),
+        _MC_COMMENT_RX, " ")
+    blocks = F.split(scrubbed, _MC_SPLIT_RX, -1)
+    stats = F.transform(blocks, lambda b: F.struct(
+        _mc_plain(b).alias("txt"),
+        F.length(_mc_plain(b)).alias("tlen"),
+        F.aggregate(
+            F.regexp_extract_all(b, F.lit(_MC_ANCHOR_RX), 1),
+            F.lit(0),
+            lambda acc, a: acc + F.length(_mc_plain(a)),
+        ).alias("lc"),
+    ))
+    return F.filter(stats, lambda s: s["tlen"] > 0)
+
+
+def extract_main_content(df: DataFrame, markup_col: str = "text",
+                         min_chars: int = 25,
+                         max_link_pct: int = 30) -> DataFrame:
+    """Add per-page main-content columns: ``main_text`` (newline-joined
+    text of the kept blocks, in document order), ``n_blocks``/``n_kept``
+    (non-empty text blocks before/after the gates), ``total_chars``/
+    ``kept_chars``. A block is KEPT iff its visible text is at least
+    ``min_chars`` long AND its link density is at most ``max_link_pct``
+    percent (integer cross-multiplication ``lc*100 <= pct*tlen`` — no
+    float round-trip between engines). NULL markup yields NULL stats.
+
+    Map-only: one split + HOF pass per row, no shuffle, no Python — the
+    block array is STAGED as a projection column so Catalyst cannot
+    re-inline the split+transform into every downstream consumer (the
+    re-inlining hazard BENCH/BASELINE.md documents for this engine).
+    Pages with zero kept blocks report main_text='' (a filterable
+    signal: chrome-only page). Reference analog: none — warcio stops at
+    content_stream() bytes; this is the training-pipeline layer above
+    it (jusText / Arc90 readability heuristic, public algorithms)."""
+    staged = df.withColumn("__mc_stats", _mc_block_stats(markup_col))
+    stats = F.col("__mc_stats")
+    kept = F.filter(stats, lambda s: (s["tlen"] >= F.lit(min_chars)) & (
+        s["lc"] * 100 <= F.lit(max_link_pct) * s["tlen"]))
+    staged = staged.withColumn("__mc_kept", kept)
+    kcol = F.col("__mc_kept")
+    tsum = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0), lambda acc, s: acc + s["tlen"])
+    return staged.select(
+        "*",
+        F.array_join(F.transform(kcol, lambda s: s["txt"]), "\n")
+         .alias("main_text"),
+        F.size(stats).alias("n_blocks"),
+        F.size(kcol).alias("n_kept"),
+        tsum(stats).alias("total_chars"),
+        tsum(kcol).alias("kept_chars"),
+    ).drop("__mc_stats", "__mc_kept")
