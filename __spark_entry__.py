@@ -2608,6 +2608,38 @@ def q_main_content(spark, sf):
         "main_text")
 
 
+def q_rank_feedback(spark, sf):
+    """Graph→frontier feedback (plans/frontier.rank_host_budgets +
+    rank_boosted_candidates): candidates over 23 hosts, host scores
+    derived from the corpus itself (count + min-doc residual) with
+    every 4th host MISSING from the score table — those candidates keep
+    boost 0.0 and a NULL budget (the left-join default paths). Budgets
+    split 500 fetches proportionally, clamped to [2, 80] (the cap
+    binds on the heaviest hosts); boosts are max-normalized to alpha=10
+    priority units. The DuckDB oracle replays the scalar sum/max, both
+    clamps, and the rounding chain."""
+    from warcio_spark.plans.frontier import (rank_boosted_candidates,
+                                             rank_host_budgets)
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    host = F.concat(F.lit("h"), s(d % 23), F.lit(".ex"))
+    cands = docs.select(
+        F.concat(F.lit("http://"), host, F.lit("/p"), s(d)).alias("url"),
+        host.alias("host"),
+        ((d * 7919 % 1000) / 10.0).alias("priority"),
+        d.alias("seq"),
+    )
+    scores = (docs.filter((d % 23) % 4 != 0)
+              .groupBy(host.alias("host"))
+              .agg((F.count(F.lit(1)) + F.min(d) % 7).alias("rank")))
+    budgets = rank_host_budgets(scores, 500, min_budget=2, max_budget=80)
+    boosted = rank_boosted_candidates(cands, scores, alpha=10.0)
+    return boosted.join(F.broadcast(budgets), "host", "left").select(
+        "url", "host", "seq", "priority", "rank_boost", "host_budget")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -2708,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_links": q_feed_links,
         "feed_entries": q_feed_entries,
         "main_content": q_main_content,
+        "rank_feedback": q_rank_feedback,
     }
 
 
@@ -5354,4 +5387,46 @@ def oracle_sql() -> dict[str, str]:
                  x -> struct_extract(x, 'txt')), chr(10)) AS main_text
         FROM k
     """)
+
+    out["rank_feedback"] = """
+        WITH c AS (
+          SELECT 'http://h' || (doc_id % 23)::VARCHAR || '.ex/p'
+                   || doc_id::VARCHAR AS url,
+                 'h' || (doc_id % 23)::VARCHAR || '.ex' AS host,
+                 ((doc_id * 7919) % 1000) / 10.0 AS priority,
+                 doc_id AS seq
+          FROM documents),
+        sc AS (
+          SELECT 'h' || (doc_id % 23)::VARCHAR || '.ex' AS host,
+                 CAST(count(*) + (min(doc_id) % 7) AS DOUBLE) AS rank
+          FROM documents
+          WHERE (doc_id % 23) % 4 <> 0
+          GROUP BY 1),
+        tot AS (
+          SELECT SUM(CASE WHEN rank > 0 THEN rank ELSE 0 END) AS t,
+                 MAX(rank) AS m
+          FROM sc),
+        b AS (
+          SELECT host,
+                 CASE WHEN tot.t > 0 THEN CAST(LEAST(GREATEST(
+                        CEIL(500.0 * (CASE WHEN rank > 0 THEN rank
+                                      ELSE 0 END) / tot.t), 2), 80)
+                      AS INTEGER)
+                      ELSE 2 END AS host_budget
+          FROM sc CROSS JOIN tot)
+        SELECT c.url, c.host, c.seq,
+               ROUND(c.priority + COALESCE(
+                 CASE WHEN tot.m > 0 AND sc.rank > 0
+                      THEN ROUND(10.0 * sc.rank / tot.m, 6) END,
+                 0.0), 6) AS priority,
+               COALESCE(
+                 CASE WHEN tot.m > 0 AND sc.rank > 0
+                      THEN ROUND(10.0 * sc.rank / tot.m, 6) END,
+                 0.0) AS rank_boost,
+               b.host_budget
+        FROM c
+        LEFT JOIN sc USING (host)
+        LEFT JOIN b USING (host)
+        CROSS JOIN tot
+    """
     return out

@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     "host_hits",  # 3 auth/hub sweeps on the host table
     "robots_audit",  # broadcast rules, longest-match codegen, no shuffle
     "adaptive_delays",  # one map-combined host agg (exact percentile)
+    # round-5d additions
+    "main_content",  # block-density readability: split+HOF map, no shuffle
+    "rank_feedback",  # broadcast score join + two 1-row scalar aggs
 ]
 
 

@@ -513,6 +513,90 @@ def adaptive_crawl_delays(fetch_log: DataFrame, host_col: str = "host",
     )
 
 
+def rank_host_budgets(host_scores: DataFrame, total_budget: int, *,
+                      host_col: str = "host", score_col: str = "rank",
+                      min_budget: int = 1,
+                      max_budget: int = 1000) -> DataFrame:
+    """Per-host fetch budgets proportional to host importance — the
+    scheduling half of the graph→frontier feedback loop: feed
+    ``plans/graph.host_rank`` (or ``host_hits`` authority) in, get the
+    per-round budget each host deserves out, and hand it to the rules
+    table / ``PolitenessConfig`` so ``schedule_round``'s windowed top-k
+    spends the round's ``total_budget`` fetches where the link graph
+    says the value is (the OPIC/PageRank-ordered crawling practice —
+    Cho/Garcia-Molina/Page, public literature — instead of a flat
+    per-host cap).
+
+    ``host_budget = clamp(ceil(total_budget * score / sum(score)),
+    min_budget, max_budget)`` — non-positive/NULL scores contribute
+    nothing to the denominator and land at ``min_budget`` (a host the
+    graph has no opinion on still gets a trickle, so discovery never
+    starves); a degenerate all-zero score table yields ``min_budget``
+    everywhere. ``ceil`` + the clamp mean budgets can sum slightly over
+    ``total_budget`` — bounds, not an exact partition (the politeness
+    window is the enforcement point, and an exact largest-remainder
+    split would cost a global sort for no scheduling benefit).
+
+    Scale shape: host_scores is host-cardinality (orders of magnitude
+    smaller than the frontier); the score sum is ONE 1-row aggregate
+    broadcast back — no shuffle of anything frontier-sized."""
+    s = F.col(score_col).cast("double")
+    pos = F.when(s > 0, s).otherwise(F.lit(0.0))
+    tot = host_scores.agg(F.sum(pos).alias("__rb_total"))
+    raw = F.ceil(F.lit(float(total_budget)) * pos / F.col("__rb_total"))
+    budget = F.when(
+        F.col("__rb_total") > 0,
+        F.least(F.greatest(raw, F.lit(min_budget)), F.lit(max_budget)),
+    ).otherwise(F.lit(min_budget))
+    return (host_scores.crossJoin(F.broadcast(tot))
+            .select(F.col(host_col).alias("host"),
+                    budget.cast("int").alias("host_budget")))
+
+
+def rank_boosted_candidates(cands: DataFrame, host_scores: DataFrame, *,
+                            alpha: float = 10.0, host_col: str = "host",
+                            score_col: str = "rank",
+                            priority_col: str = "priority",
+                            decimals: int = 6) -> DataFrame:
+    """Fold host importance into candidate priority — the ordering half
+    of the graph→frontier feedback loop. Each candidate's priority is
+    raised by ``alpha * score / max(score)`` (max-normalized so alpha
+    is in PRIORITY units, independent of whether the score table is a
+    PageRank vector, HITS authority, or a raw fetch count), rounded to
+    ``decimals`` and exposed as ``rank_boost`` beside the rewritten
+    ``priority`` so ``schedule_round`` / ``frontier_schedule`` consume
+    the output unchanged and an audit can still separate the two terms.
+
+    Candidates on hosts the score table has no opinion on (or a
+    degenerate all-nonpositive table) get boost 0.0 — the frontier's
+    own priority stands alone. Deterministic: equal inputs give equal
+    boosts; the downstream total order's (priority, seq, url) tie-break
+    discipline is untouched.
+
+    Scale shape: host_scores broadcasts into a map-side hash join (it
+    is host-cardinality), the max is ONE 1-row aggregate broadcast —
+    the candidate table never shuffles here."""
+    s = F.col(score_col).cast("double")
+    mx = host_scores.agg(F.max(s).alias("__rb_max"))
+    scores = host_scores.select(F.col(host_col).alias("__rb_host"),
+                                s.alias("__rb_score"))
+    joined = (cands
+              .join(F.broadcast(scores),
+                    cands[host_col] == F.col("__rb_host"), "left")
+              .crossJoin(F.broadcast(mx)))
+    boost = F.when(
+        (F.col("__rb_max") > 0) & (F.col("__rb_score") > 0),
+        F.round(F.lit(float(alpha)) * F.col("__rb_score")
+                / F.col("__rb_max"), decimals),
+    ).otherwise(F.lit(0.0))
+    return (joined
+            .withColumn("rank_boost", boost)
+            .withColumn(priority_col,
+                        F.round(F.col(priority_col)
+                                + F.col("rank_boost"), decimals))
+            .drop("__rb_host", "__rb_score", "__rb_max"))
+
+
 def robots_audit(fetched: DataFrame, rules: DataFrame,
                  url_col: str = "url",
                  cfg: PolitenessConfig | None = None,
