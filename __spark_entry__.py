@@ -2640,6 +2640,35 @@ def q_rank_feedback(spark, sf):
         "url", "host", "seq", "priority", "rank_boost", "host_budget")
 
 
+def q_crawl_depth(spark, sf):
+    """BFS crawl-depth from seeds (plans/graph.crawl_depth): a directed
+    link universe with three deterministic edge families — every
+    non-head url links up to its section head (doc_id minus residue mod
+    7), heads chain to the next head (a long path that the depth-8
+    horizon TRUNCATES), every third url links laterally to its
+    successor — seeded at multiples of 97. Exercises min-depth via
+    multiple paths, horizon truncation, and unreachable urls (absent
+    from the output). The DuckDB oracle is a recursive CTE bounded by
+    the same horizon, MIN(depth) per url."""
+    from warcio_spark.plans.graph import crawl_depth
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+
+    def u(expr):
+        return F.concat(F.lit("http://ex.com/p"), expr.cast("string"))
+
+    e1 = docs.filter(d % 7 != 0).select(
+        u(d).alias("src"), u(d - d % 7).alias("dst"))
+    e2 = docs.filter(d % 7 == 0).select(
+        u(d).alias("src"), u(d + 7).alias("dst"))
+    e3 = docs.filter(d % 3 == 0).select(
+        u(d).alias("src"), u(d + 1).alias("dst"))
+    edges = e1.union(e2).union(e3)
+    seeds = docs.filter(d % 97 == 0).select(u(d).alias("url"))
+    return crawl_depth(edges, seeds, max_depth=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -2741,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_entries": q_feed_entries,
         "main_content": q_main_content,
         "rank_feedback": q_rank_feedback,
+        "crawl_depth": q_crawl_depth,
     }
 
 
@@ -5428,5 +5458,28 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN sc USING (host)
         LEFT JOIN b USING (host)
         CROSS JOIN tot
+    """
+
+    out["crawl_depth"] = """
+        WITH RECURSIVE e AS (
+          SELECT 'http://ex.com/p' || doc_id::VARCHAR AS src,
+                 'http://ex.com/p' || (doc_id - doc_id % 7)::VARCHAR AS dst
+          FROM documents WHERE doc_id % 7 <> 0
+          UNION ALL
+          SELECT 'http://ex.com/p' || doc_id::VARCHAR,
+                 'http://ex.com/p' || (doc_id + 7)::VARCHAR
+          FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT 'http://ex.com/p' || doc_id::VARCHAR,
+                 'http://ex.com/p' || (doc_id + 1)::VARCHAR
+          FROM documents WHERE doc_id % 3 = 0),
+        walk AS (
+          SELECT 'http://ex.com/p' || doc_id::VARCHAR AS url, 0 AS depth
+          FROM documents WHERE doc_id % 97 = 0
+          UNION
+          SELECT e.dst, walk.depth + 1
+          FROM walk JOIN e ON walk.url = e.src
+          WHERE walk.depth < 8)
+        SELECT url, MIN(depth) AS depth FROM walk GROUP BY url
     """
     return out

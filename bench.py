@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     # round-5d additions
     "main_content",  # block-density readability: split+HOF map, no shuffle
     "rank_feedback",  # broadcast score join + two 1-row scalar aggs
+    "crawl_depth",  # level-synchronous BFS: frontier-only shuffles per round
 ]
 
 

@@ -63,6 +63,9 @@ PICKS = [
     "host_hits",  # per-sweep joins keyed on the small host table
     "robots_audit",  # BroadcastHashJoin on host, HOF match, no shuffle
     "adaptive_delays",  # ONE partial-merge percentile agg on host
+    "main_content",  # staged split+HOF ladder: ONE regex pass, zero shuffles
+    "rank_feedback",  # broadcast score join + two 1-row scalar broadcasts
+    "crawl_depth",  # frontier join + anti-join per BFS level (iterative)
 ]
 
 

@@ -309,3 +309,62 @@ def connected_components(
     return nodes.join(assign, "node", "left").select(
         "node", F.coalesce("component", F.col("node")).alias("component")
     )
+
+
+def crawl_depth(edges: DataFrame, seeds: DataFrame,
+                max_depth: int = 6,
+                src_col: str = "src", dst_col: str = "dst",
+                seed_col: str = "url") -> DataFrame:
+    """(url, depth) — BFS hop distance from the seed list over the
+    directed link graph, for every url reachable within ``max_depth``
+    hops. THE crawl-horizon control: production crawlers cap depth (a
+    page 40 clicks from any seed is a trap or a tarpit, and scoping
+    policies like browsertrix's ``depth`` limit express exactly this),
+    and the depth table joined onto the frontier is how a scheduler
+    enforces it or decays priority with distance.
+
+    Level-synchronous frontier BFS: round d joins ONLY the new frontier
+    (urls first reached at depth d-1) against the edge table, anti-joins
+    the already-known set, and assigns depth d — each url is emitted
+    exactly once at its MINIMUM distance, so the output is exact BFS
+    depth regardless of partitioning or edge order. Rounds stop when
+    the frontier empties or ``max_depth`` is reached (truncation is the
+    point — it is the crawl horizon, not an error). Urls unreachable
+    from the seeds are absent from the output (a left join onto the
+    page table classifies them as out-of-horizon).
+
+    Scale shape: per round, one equi-join keyed on the source url and
+    one anti-join against the known set — both shuffle the FRONTIER
+    (one BFS level, typically orders of magnitude smaller than the
+    graph), never the whole reachable set at once; at 10^10 edges,
+    pre-bucket the edge table by ``src_col`` so the per-round join is
+    co-partitioned. Each frontier is checkpointed (localCheckpoint)
+    with its count observed on the SAME action, so a round costs
+    exactly one job and the iterated lineage stays O(1) per round —
+    the connected_components discipline."""
+    from pyspark.sql import Observation
+
+    e0 = edges.select(F.col(src_col).cast("string").alias("_src"),
+                      F.col(dst_col).cast("string").alias("_dst"))
+    known = (seeds.select(F.col(seed_col).cast("string").alias("url"))
+             .distinct().withColumn("depth", F.lit(0)))
+
+    def _materialize(df: DataFrame) -> tuple[DataFrame, int]:
+        obs = Observation()
+        ck = df.observe(obs, F.count(F.lit(1)).alias("n")) \
+               .localCheckpoint(eager=True)
+        return ck, obs.get["n"]
+
+    frontier, n = _materialize(known)
+    known = frontier
+    for d in range(1, max_depth + 1):
+        if n == 0:
+            break
+        nxt = (frontier.join(e0, frontier["url"] == e0["_src"])
+               .select(F.col("_dst").alias("url")).distinct()
+               .join(known, "url", "left_anti")
+               .withColumn("depth", F.lit(d)))
+        frontier, n = _materialize(nxt)
+        if n:
+            known = known.union(frontier)
+    return known
