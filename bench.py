@@ -86,7 +86,7 @@ BENCH_QUERIES = [
     "adaptive_delays",  # one map-combined host agg (exact percentile)
     # round-5d additions
     "main_content",  # block-density readability: split+HOF map, no shuffle
-    "rank_feedback",  # broadcast score join + two 1-row scalar aggs
+    "rank_feedback",  # broadcast score join; scalars folded as literals
     "crawl_depth",  # level-synchronous BFS: frontier-only shuffles per round
 ]
 

@@ -64,7 +64,7 @@ PICKS = [
     "robots_audit",  # BroadcastHashJoin on host, HOF match, no shuffle
     "adaptive_delays",  # ONE partial-merge percentile agg on host
     "main_content",  # staged split+HOF ladder: ONE regex pass, zero shuffles
-    "rank_feedback",  # broadcast score join + two 1-row scalar broadcasts
+    "rank_feedback",  # broadcast joins only; sum/max folded as literals
     "crawl_depth",  # frontier join + anti-join per BFS level (iterative)
 ]
 

@@ -538,19 +538,22 @@ def rank_host_budgets(host_scores: DataFrame, total_budget: int, *,
     split would cost a global sort for no scheduling benefit).
 
     Scale shape: host_scores is host-cardinality (orders of magnitude
-    smaller than the frontier); the score sum is ONE 1-row aggregate
-    broadcast back — no shuffle of anything frontier-sized."""
+    smaller than the frontier); the score sum is ONE tiny aggregate job
+    whose result is embedded as a literal — per-round scheduling
+    METADATA, the bm25 corpus-scalars discipline — so the output plan
+    is a pure projection (a constant-key attach would compile to the
+    degenerate 1-row-broadcast nested-loop join the plan audit bans)."""
     s = F.col(score_col).cast("double")
     pos = F.when(s > 0, s).otherwise(F.lit(0.0))
-    tot = host_scores.agg(F.sum(pos).alias("__rb_total"))
-    raw = F.ceil(F.lit(float(total_budget)) * pos / F.col("__rb_total"))
-    budget = F.when(
-        F.col("__rb_total") > 0,
-        F.least(F.greatest(raw, F.lit(min_budget)), F.lit(max_budget)),
-    ).otherwise(F.lit(min_budget))
-    return (host_scores.crossJoin(F.broadcast(tot))
-            .select(F.col(host_col).alias("host"),
-                    budget.cast("int").alias("host_budget")))
+    total = host_scores.agg(F.sum(pos)).first()[0]
+    if not total or total <= 0:
+        budget = F.lit(int(min_budget))
+    else:
+        raw = F.ceil(F.lit(float(total_budget)) * pos / F.lit(float(total)))
+        budget = F.least(F.greatest(raw, F.lit(min_budget)),
+                         F.lit(max_budget))
+    return host_scores.select(F.col(host_col).alias("host"),
+                              budget.cast("int").alias("host_budget"))
 
 
 def rank_boosted_candidates(cands: DataFrame, host_scores: DataFrame, *,
@@ -574,27 +577,30 @@ def rank_boosted_candidates(cands: DataFrame, host_scores: DataFrame, *,
     discipline is untouched.
 
     Scale shape: host_scores broadcasts into a map-side hash join (it
-    is host-cardinality), the max is ONE 1-row aggregate broadcast —
-    the candidate table never shuffles here."""
+    is host-cardinality); the max is ONE tiny aggregate job embedded as
+    a literal (the rank_host_budgets / bm25 corpus-scalars discipline)
+    — the candidate table never shuffles here and the plan carries a
+    single BroadcastHashJoin, no nested loop."""
     s = F.col(score_col).cast("double")
-    mx = host_scores.agg(F.max(s).alias("__rb_max"))
+    smax = host_scores.agg(F.max(s)).first()[0]
     scores = host_scores.select(F.col(host_col).alias("__rb_host"),
                                 s.alias("__rb_score"))
-    joined = (cands
-              .join(F.broadcast(scores),
-                    cands[host_col] == F.col("__rb_host"), "left")
-              .crossJoin(F.broadcast(mx)))
-    boost = F.when(
-        (F.col("__rb_max") > 0) & (F.col("__rb_score") > 0),
-        F.round(F.lit(float(alpha)) * F.col("__rb_score")
-                / F.col("__rb_max"), decimals),
-    ).otherwise(F.lit(0.0))
+    joined = cands.join(F.broadcast(scores),
+                        cands[host_col] == F.col("__rb_host"), "left")
+    if smax is None or smax <= 0:
+        boost = F.lit(0.0)
+    else:
+        boost = F.when(
+            F.col("__rb_score") > 0,
+            F.round(F.lit(float(alpha)) * F.col("__rb_score")
+                    / F.lit(float(smax)), decimals),
+        ).otherwise(F.lit(0.0))
     return (joined
             .withColumn("rank_boost", boost)
             .withColumn(priority_col,
                         F.round(F.col(priority_col)
                                 + F.col("rank_boost"), decimals))
-            .drop("__rb_host", "__rb_score", "__rb_max"))
+            .drop("__rb_host", "__rb_score"))
 
 
 def robots_audit(fetched: DataFrame, rules: DataFrame,
