@@ -2669,6 +2669,35 @@ def q_crawl_depth(spark, sf):
     return crawl_depth(edges, seeds, max_depth=8)
 
 
+def q_url_patterns(spark, sf):
+    """URL-template trap mining (plans/frontier.url_pattern_census): a
+    url universe with four generator shapes — a calendar trap (all 500
+    urls one {N}/{N}/{N} template, flagged), session-id paths (md5 hex
+    → one {H} template, flagged), 11 small per-host page families
+    (share 1.0 but under the absolute floor — NOT flagged), and a
+    query-param lister (?page&sort, exactly at min_count). The DuckDB
+    oracle replays the template collapse (hex-first regex chain,
+    sorted param names) and both gates over the same window share."""
+    from warcio_spark.plans.frontier import url_pattern_census
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    cal = docs.select(F.concat(
+        F.lit("http://cal.ex/cal/"), s(d % 30 + 2000), F.lit("/"),
+        s(d % 12 + 1), F.lit("/"), s(d % 28 + 1)).alias("url"))
+    ses = docs.filter(d % 2 == 0).select(F.concat(
+        F.lit("http://s.ex/u/"), F.md5(s(d).cast("binary")),
+        F.lit("/profile")).alias("url"))
+    www = docs.select(F.concat(
+        F.lit("http://w"), s(d % 11), F.lit(".ex/p"), s(d)).alias("url"))
+    q = docs.filter(d % 5 == 0).select(F.concat(
+        F.lit("http://q.ex/list?page="), s(d),
+        F.lit("&sort=asc")).alias("url"))
+    urls = cal.union(ses).union(www).union(q)
+    return url_pattern_census(urls, min_count=100, min_share=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -2771,6 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "rank_feedback": q_rank_feedback,
         "crawl_depth": q_crawl_depth,
+        "url_patterns": q_url_patterns,
     }
 
 
@@ -5482,4 +5512,49 @@ def oracle_sql() -> dict[str, str]:
           WHERE walk.depth < 8)
         SELECT url, MIN(depth) AS depth FROM walk GROUP BY url
     """
+
+    out["url_patterns"] = """
+        WITH urls AS (
+          SELECT 'http://cal.ex/cal/' || (doc_id % 30 + 2000)::VARCHAR
+                 || '/' || (doc_id % 12 + 1)::VARCHAR
+                 || '/' || (doc_id % 28 + 1)::VARCHAR AS url
+          FROM documents
+          UNION ALL
+          SELECT 'http://s.ex/u/' || md5(doc_id::VARCHAR) || '/profile'
+          FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT 'http://w' || (doc_id % 11)::VARCHAR || '.ex/p'
+                 || doc_id::VARCHAR
+          FROM documents
+          UNION ALL
+          SELECT 'http://q.ex/list?page=' || doc_id::VARCHAR || '&sort=asc'
+          FROM documents WHERE doc_id % 5 = 0),
+        t AS (
+          SELECT regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)', 1) AS host,
+                 TEMPLATE_EXPR AS template,
+                 url
+          FROM urls),
+        a AS (
+          SELECT host, template, count(*) AS n_urls,
+                 min(url) AS sample_url
+          FROM t GROUP BY 1, 2),
+        sh AS (
+          SELECT host, template, n_urls, sample_url,
+                 ROUND(n_urls / SUM(n_urls) OVER (PARTITION BY host), 6)
+                   AS host_share
+          FROM a)
+        SELECT host, template, n_urls, sample_url, host_share,
+               (n_urls >= 100 AND host_share >= 0.5) AS is_trap_pattern
+        FROM sh
+    """.replace("TEMPLATE_EXPR", """regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+)', 1)
+                 || regexp_replace(regexp_replace(
+                      regexp_extract(url,
+                        '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^?#]*)',
+                        1),
+                      '(?i)[0-9a-f]{8,}', '{H}', 'g'),
+                    '[0-9]+', '{N}', 'g')
+                 || CASE WHEN len(list_sort(list_transform(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'), x -> length(x) > 0), x -> string_split(x, '=')[1]))) > 0
+                    THEN '?' || array_to_string(list_sort(list_transform(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'), x -> length(x) > 0), x -> string_split(x, '=')[1])), '&')
+                    ELSE '' END""")
     return out

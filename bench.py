@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "main_content",  # block-density readability: split+HOF map, no shuffle
     "rank_feedback",  # broadcast score join; scalars folded as literals
     "crawl_depth",  # level-synchronous BFS: frontier-only shuffles per round
+    "url_patterns",  # template codegen + ONE (host,template) agg + host window
 ]
 
 

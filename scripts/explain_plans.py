@@ -66,6 +66,7 @@ PICKS = [
     "main_content",  # staged split+HOF ladder: ONE regex pass, zero shuffles
     "rank_feedback",  # broadcast joins only; sum/max folded as literals
     "crawl_depth",  # frontier join + anti-join per BFS level (iterative)
+    "url_patterns",  # template codegen, one hash agg, window on agg table
 ]
 
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from warcio_spark import functions as WF
@@ -313,6 +313,75 @@ def url_trap_signals(df: DataFrame, url_col: str = "url",
         | (F.col("n_params") > max_params)
         | (F.col("dup_segments") > max_dup_segments),
     )
+
+
+def url_template(url) -> Column:
+    """Collapse a url to its generative TEMPLATE: scheme+host kept,
+    digit runs in the path become ``{N}``, hex-id runs of 8+ chars
+    become ``{H}`` (matched first, so a long digit run reads as hex —
+    deterministic either way), and the query is reduced to its SORTED
+    parameter names (values dropped). Urls minted by the same generator
+    — calendar pages, session-id mazes, faceted navigation — collapse
+    to one template; the per-URL heuristics in ``url_trap_signals``
+    cannot see this (each generated url looks individually tame).
+    Pure codegen: three regexes + one split/HOF pass, no Python."""
+    u = F.col(url) if isinstance(url, str) else url
+    head = F.regexp_extract(
+        u, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+)", 1)
+    path = F.regexp_extract(
+        u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    npath = F.regexp_replace(
+        F.regexp_replace(path, r"(?i)[0-9a-f]{8,}", "{H}"),
+        r"[0-9]+", "{N}")
+    params = F.filter(F.split(query, "&"), lambda x: F.length(x) > 0)
+    keys = F.array_sort(F.transform(
+        params, lambda x: F.element_at(F.split(x, "=", 2), 1)))
+    qtpl = F.when(
+        F.size(keys) > 0,
+        F.concat(F.lit("?"), F.array_join(keys, "&"))).otherwise(F.lit(""))
+    return F.concat(head, npath, qtpl)
+
+
+def url_pattern_census(df: DataFrame, url_col: str = "url", *,
+                       min_count: int = 100,
+                       min_share: float = 0.5) -> DataFrame:
+    """Corpus-level crawl-trap mining: census the frontier (or fetch
+    log) by ``(host, url_template)`` and flag generator patterns — a
+    template that accounts for ``min_share`` of a host's urls AND at
+    least ``min_count`` urls absolutely is an infinite url space
+    being enumerated (Heritrix's queue-budget / pathological-pattern
+    practice, done set-at-a-time). Complements ``url_trap_signals``:
+    that gate judges each url alone; this one sees the pattern only
+    the population reveals.
+
+    Returns (host, template, n_urls, sample_url, host_share,
+    is_trap_pattern); join ``is_trap_pattern`` back onto candidates by
+    (host, template) to demote or cap — the census table is
+    template-cardinality, broadcastable.
+
+    Scale shape: one hash aggregation on (host, template) — map-side
+    combinable, the url table shuffles only its reduced per-partition
+    partials — then a host window over the AGGREGATED table (template
+    cardinality, not url cardinality). ``sample_url`` is min(url), so
+    output is deterministic at any partitioning."""
+    u = F.col(url_col)
+    host = F.regexp_extract(
+        u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)", 1)
+    agg = (df.select(host.alias("host"),
+                     url_template(u).alias("template"),
+                     u.alias("_u"))
+           .groupBy("host", "template")
+           .agg(F.count(F.lit(1)).alias("n_urls"),
+                F.min("_u").alias("sample_url")))
+    w = Window.partitionBy("host")
+    out = agg.withColumn(
+        "host_share",
+        F.round(F.col("n_urls") / F.sum("n_urls").over(w), 6))
+    return out.withColumn(
+        "is_trap_pattern",
+        (F.col("n_urls") >= F.lit(min_count))
+        & (F.col("host_share") >= F.lit(float(min_share))))
 
 
 def prepare_candidates(raw: DataFrame, seen: DataFrame | None,
