@@ -2698,6 +2698,30 @@ def q_url_patterns(spark, sf):
     return url_pattern_census(urls, min_count=100, min_share=0.5)
 
 
+def q_circuit_breaker(spark, sf):
+    """Per-host circuit breaker (plans/retry.host_circuit_breaker): a
+    fetch log over 13 hosts — one host 5xx on every attempt (whole
+    history = the streak, tripped), every 7th attempt a NULL status
+    (network failure), the rest a deterministic 200/500 mix so trailing
+    streaks vary per host around the trip_after=3 threshold. The DuckDB
+    oracle replays last-success, the trailing count, and the trip
+    gate."""
+    from warcio_spark.plans.retry import host_circuit_breaker
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    status = (
+        F.when(d % 13 == 0, F.lit(503))
+        .when(d % 7 == 0, F.lit(None).cast("int"))
+        .when((d * 31) % 10 < 7, F.lit(200))
+        .otherwise(F.lit(500)))
+    log = docs.select(
+        F.concat(F.lit("h"), s(d % 13), F.lit(".ex")).alias("host"),
+        d.alias("seq"), status.alias("status"))
+    return host_circuit_breaker(log, trip_after=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -2801,6 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_feedback": q_rank_feedback,
         "crawl_depth": q_crawl_depth,
         "url_patterns": q_url_patterns,
+        "circuit_breaker": q_circuit_breaker,
     }
 
 
@@ -5438,10 +5463,10 @@ def oracle_sql() -> dict[str, str]:
                len(stats) AS n_blocks,
                len(kept) AS n_kept,
                coalesce(list_sum(list_transform(stats,
-                 x -> length(struct_extract(x, 'txt')))), 0)
+                 x -> length(struct_extract(x, 'txt')))), 0)::BIGINT
                  AS total_chars,
                coalesce(list_sum(list_transform(kept,
-                 x -> length(struct_extract(x, 'txt')))), 0)
+                 x -> length(struct_extract(x, 'txt')))), 0)::BIGINT
                  AS kept_chars,
                array_to_string(list_transform(kept,
                  x -> struct_extract(x, 'txt')), chr(10)) AS main_text
@@ -5557,4 +5582,32 @@ def oracle_sql() -> dict[str, str]:
                  || CASE WHEN len(list_sort(list_transform(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'), x -> length(x) > 0), x -> string_split(x, '=')[1]))) > 0
                     THEN '?' || array_to_string(list_sort(list_transform(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'), x -> length(x) > 0), x -> string_split(x, '=')[1])), '&')
                     ELSE '' END""")
+
+    out["circuit_breaker"] = """
+        WITH log AS (
+          SELECT 'h' || (doc_id % 13)::VARCHAR || '.ex' AS host,
+                 doc_id AS seq,
+                 CASE WHEN doc_id % 13 = 0 THEN 503
+                      WHEN doc_id % 7 = 0 THEN NULL
+                      WHEN (doc_id * 31) % 10 < 7 THEN 200
+                      ELSE 500 END AS status
+          FROM documents),
+        lo AS (
+          SELECT host,
+                 MAX(CASE WHEN status >= 200 AND status < 400
+                          THEN seq END) AS last_ok
+          FROM log GROUP BY host)
+        SELECT log.host,
+               COUNT(*) AS n_fetches,
+               COUNT(CASE WHEN status IS NULL
+                          OR NOT (status >= 200 AND status < 400)
+                     THEN 1 END) AS n_failures,
+               MAX(lo.last_ok) AS last_ok_seq,
+               COUNT(CASE WHEN lo.last_ok IS NULL OR seq > lo.last_ok
+                     THEN 1 END) AS trailing_failures,
+               COUNT(CASE WHEN lo.last_ok IS NULL OR seq > lo.last_ok
+                     THEN 1 END) >= 3 AS tripped
+        FROM log JOIN lo USING (host)
+        GROUP BY log.host
+    """
     return out

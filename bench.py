@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "rank_feedback",  # broadcast score join; scalars folded as literals
     "crawl_depth",  # level-synchronous BFS: frontier-only shuffles per round
     "url_patterns",  # template codegen + ONE (host,template) agg + host window
+    "circuit_breaker",  # two host aggs + broadcast last-success join
 ]
 
 

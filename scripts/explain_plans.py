@@ -67,6 +67,7 @@ PICKS = [
     "rank_feedback",  # broadcast joins only; sum/max folded as literals
     "crawl_depth",  # frontier join + anti-join per BFS level (iterative)
     "url_patterns",  # template codegen, one hash agg, window on agg table
+    "circuit_breaker",  # host aggs + broadcast join, nothing shuffles twice
 ]
 
 

@@ -185,3 +185,49 @@ def retry_due(
         status_col=status_col,
     )
     return rep.filter("due").select(url_col, "n_failures")
+
+
+def host_circuit_breaker(fetch_log: DataFrame, *, trip_after: int = 5,
+                         host_col: str = "host", seq_col: str = "seq",
+                         status_col: str = "status") -> DataFrame:
+    """Per-HOST failure circuit breaker — the governance layer above
+    per-url retry: a host answering with an unbroken TRAILING run of
+    failures (5xx storm, network blackhole, ban page on every url) is
+    "tripped" and should be skipped next round as a whole, instead of
+    burning the round's politeness budget rediscovering the same outage
+    url by url (the circuit-breaker pattern every production fetcher
+    runs; re-entry composes with ``retry_due``'s backoff once the host
+    is re-probed).
+
+    Success = ``status_class`` 'success' (200-399); NULL status is a
+    network-level failure. The trailing streak is the number of
+    attempts AFTER the host's last success in ``seq_col`` order (all of
+    them failures by construction); a host with no success ever has its
+    whole history as the streak. Returns (host, n_fetches, n_failures,
+    last_ok_seq, trailing_failures, tripped) — feed ``tripped`` hosts
+    into the rules table as ``allowed = false`` or anti-join them off
+    the candidate set.
+
+    Scale shape: two map-combinable aggregations on host with a
+    BROADCAST join of the host-cardinality last-success table between
+    them — the fetch log shuffles its per-partition partials once,
+    and nothing url-cardinality crosses after that."""
+    st = F.col(status_col).cast("int")
+    ok = status_class(st) == F.lit("success")
+    seq = F.col(seq_col)
+    last_ok = (fetch_log.groupBy(F.col(host_col).alias("host"))
+               .agg(F.max(F.when(ok, seq)).alias("_last_ok")))
+    joined = fetch_log.select(
+        F.col(host_col).alias("host"), seq.alias("_seq"), ok.alias("_ok")
+    ).join(F.broadcast(last_ok), "host")
+    trailing = F.count(F.when(
+        F.col("_last_ok").isNull() | (F.col("_seq") > F.col("_last_ok")),
+        F.lit(1)))
+    agg = joined.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.count(F.when(~F.col("_ok"), F.lit(1))).alias("n_failures"),
+        F.max("_last_ok").alias("last_ok_seq"),
+        trailing.alias("trailing_failures"),
+    )
+    return agg.withColumn(
+        "tripped", F.col("trailing_failures") >= F.lit(int(trip_after)))
