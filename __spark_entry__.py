@@ -2722,6 +2722,65 @@ def q_circuit_breaker(spark, sf):
     return host_circuit_breaker(log, trip_after=3)
 
 
+def q_redirect_chains(spark, sf):
+    """Redirect-chain collapse (plans/graph.resolve_chains): a pointer
+    universe with per-decade chains (doc_id → doc_id-1, terminal at
+    multiples of 10, so chain length = doc_id mod 10) and planted
+    3-cycles at multiples of 53 in a separate namespace. max_hops=8
+    makes the 9-hop chains (doc_id ≡ 9 mod 10) exceed the cap —
+    unresolved alongside the loops, while 8-hop chains resolve exactly
+    AT the cap. The DuckDB oracle is a hop-capped recursive CTE walk:
+    resolved rows take the terminal + exact hop count, sources with no
+    terminal within the cap are unresolved."""
+    from warcio_spark.plans.graph import resolve_chains
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    chain = docs.filter(d % 10 != 0).select(
+        F.concat(F.lit("http://r.ex/"), s(d)).alias("src"),
+        F.concat(F.lit("http://r.ex/"), s(d - 1)).alias("dst"))
+    cyc = docs.filter(d % 53 == 0)
+    cycles = None
+    for frm, to in (("/a", "/b"), ("/b", "/c"), ("/c", "/a")):
+        leg = cyc.select(
+            F.concat(F.lit("http://c.ex/"), s(d), F.lit(frm)).alias("src"),
+            F.concat(F.lit("http://c.ex/"), s(d), F.lit(to)).alias("dst"))
+        cycles = leg if cycles is None else cycles.union(leg)
+    return resolve_chains(chain.union(cycles), max_hops=8)
+
+
+def q_parked_hosts(spark, sf):
+    """Parked/soft-404 host census (operators/domains.
+    host_content_census): a page universe with a registrar lander
+    (every page one body — share 1.0, flagged), three soft-404 farms
+    (~70% of pages share the error body — over the 0.6 gate), 17
+    healthy hosts (every body distinct and long), and a 3-page
+    identical-content host under min_pages (unjudged). The DuckDB
+    oracle groups by literal body text (exact-hash equivalence) and
+    replays both gates plus the thin-share ratio."""
+    from warcio_spark.operators.domains import host_content_census
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    b1 = docs.select(F.lit("parked.ex").alias("host"),
+                     F.lit("buy this domain now").alias("text"))
+    b2 = docs.select(
+        F.concat(F.lit("soft"), s(d % 3), F.lit(".ex")).alias("host"),
+        F.when((d * 7) % 10 < 7, F.lit("error: page not found"))
+        .otherwise(F.concat(F.lit("unique page "), s(d))).alias("text"))
+    b3 = docs.select(
+        F.concat(F.lit("w"), s(d % 17), F.lit(".ex")).alias("host"),
+        F.concat(F.lit("content "), s(d), F.lit(" "),
+                 F.lit("x" * 600)).alias("text"))
+    b4 = docs.filter(d.isin(5, 6, 7)).select(
+        F.lit("tiny.ex").alias("host"), F.lit("same body").alias("text"))
+    pages = b1.union(b2).union(b3).union(b4)
+    return host_content_census(pages, min_pages=20,
+                               top_share_threshold=0.6, thin_bytes=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -2826,6 +2885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_depth": q_crawl_depth,
         "url_patterns": q_url_patterns,
         "circuit_breaker": q_circuit_breaker,
+        "redirect_chains": q_redirect_chains,
+        "parked_hosts": q_parked_hosts,
     }
 
 
@@ -5609,5 +5670,65 @@ def oracle_sql() -> dict[str, str]:
                      THEN 1 END) >= 3 AS tripped
         FROM log JOIN lo USING (host)
         GROUP BY log.host
+    """
+
+    out["redirect_chains"] = """
+        WITH RECURSIVE edges AS (
+          SELECT 'http://r.ex/' || doc_id::VARCHAR AS src,
+                 'http://r.ex/' || (doc_id - 1)::VARCHAR AS dst
+          FROM documents WHERE doc_id % 10 <> 0
+          UNION ALL
+          SELECT 'http://c.ex/' || doc_id::VARCHAR || l.f,
+                 'http://c.ex/' || doc_id::VARCHAR || l.t
+          FROM documents,
+               (VALUES ('/a','/b'), ('/b','/c'), ('/c','/a')) l(f, t)
+          WHERE doc_id % 53 = 0),
+        walk(src, cur, hops) AS (
+          SELECT src, dst, 1 FROM edges
+          UNION ALL
+          SELECT w.src, e.dst, w.hops + 1
+          FROM walk w JOIN edges e ON w.cur = e.src
+          WHERE w.hops < 8),
+        term AS (SELECT DISTINCT src FROM edges)
+        SELECT w.src AS url,
+               MAX(CASE WHEN t.src IS NULL THEN w.cur END) AS final_url,
+               MAX(CASE WHEN t.src IS NULL
+                        THEN w.hops END)::BIGINT AS hops,
+               (COUNT(CASE WHEN t.src IS NULL THEN 1 END) = 0)
+                 AS unresolved
+        FROM walk w LEFT JOIN term t ON w.cur = t.src
+        GROUP BY w.src
+    """
+
+    out["parked_hosts"] = """
+        WITH pages AS (
+          SELECT 'parked.ex' AS host, 'buy this domain now' AS text
+          FROM documents
+          UNION ALL
+          SELECT 'soft' || (doc_id % 3)::VARCHAR || '.ex',
+                 CASE WHEN (doc_id * 7) % 10 < 7
+                      THEN 'error: page not found'
+                      ELSE 'unique page ' || doc_id::VARCHAR END
+          FROM documents
+          UNION ALL
+          SELECT 'w' || (doc_id % 17)::VARCHAR || '.ex',
+                 'content ' || doc_id::VARCHAR || ' ' || repeat('x', 600)
+          FROM documents
+          UNION ALL
+          SELECT 'tiny.ex', 'same body' FROM documents
+          WHERE doc_id IN (5, 6, 7)),
+        per AS (
+          SELECT host, text, COUNT(*) AS cnt, MIN(LENGTH(text)) AS len
+          FROM pages GROUP BY host, text)
+        SELECT host,
+               SUM(cnt)::BIGINT AS n_pages,
+               COUNT(*)::BIGINT AS n_distinct,
+               MAX(cnt)::BIGINT AS top_cnt,
+               MAX(cnt)::DOUBLE / SUM(cnt) AS top_share,
+               SUM(CASE WHEN len < 64 THEN cnt ELSE 0 END)::DOUBLE
+                 / SUM(cnt) AS thin_share,
+               (SUM(cnt) >= 20
+                AND MAX(cnt)::DOUBLE / SUM(cnt) >= 0.6) AS parked
+        FROM per GROUP BY host
     """
     return out

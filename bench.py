@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "crawl_depth",  # level-synchronous BFS: frontier-only shuffles per round
     "url_patterns",  # template codegen + ONE (host,template) agg + host window
     "circuit_breaker",  # two host aggs + broadcast last-success join
+    "redirect_chains",  # pointer doubling: log(max_hops) self-joins
+    "parked_hosts",  # (host,body-hash) partial agg -> host rollup
 ]
 
 

@@ -68,6 +68,8 @@ PICKS = [
     "crawl_depth",  # frontier join + anti-join per BFS level (iterative)
     "url_patterns",  # template codegen, one hash agg, window on agg table
     "circuit_breaker",  # host aggs + broadcast join, nothing shuffles twice
+    "redirect_chains",  # doubling rounds: alias-table self-join only
+    "parked_hosts",  # two map-combinable aggs, no page-cardinality window
 ]
 
 

@@ -368,3 +368,96 @@ def crawl_depth(edges: DataFrame, seeds: DataFrame,
         if n:
             known = known.union(frontier)
     return known
+
+
+def resolve_chains(edges: DataFrame, src_col: str = "src",
+                   dst_col: str = "dst", max_hops: int = 32) -> DataFrame:
+    """(url, final_url, hops, unresolved) — follow single-hop pointer
+    edges (url -> redirect target) to their terminal node for EVERY
+    source url at once. THE redirect-chain collapse: an index of raw
+    captures stores each 301/302 hop as its own row
+    (``links.redirect_candidates`` emits them), but dedup, canonical
+    alias tables, and link-graph construction all want the FINAL
+    destination — warcio-ecosystem replayers (pywb's redirect-following
+    lookup) walk these chains one url at a time; set-at-a-time is how a
+    corpus does it.
+
+    Semantics: ``final_url``/``hops`` are the terminal node and exact
+    hop count for chains that terminate within ``max_hops``; everything
+    else — redirect loops (a->b->a), self-redirects, and chains longer
+    than ``max_hops`` — gets ``unresolved = true`` with NULL
+    final_url/hops (the politeness answer: a crawler treats all three
+    identically, per RFC 9110 §15.4's loop-detection note and every
+    browser's ~20-redirect cap). A url that redirects to two different
+    targets across captures is collapsed deterministically to the
+    lexicographic max target first (last-writer-wins needs a capture
+    timestamp the edge table may not have; determinism is the
+    contract).
+
+    Algorithm: pointer doubling (path halving) — round k composes the
+    current table with itself, so a row covers min(2^k, chain_len)
+    hops; ceil(log2(max_hops)) + 1 rounds settle every chain within the
+    cap, unlike one-hop-per-round walking whose round count is the
+    longest chain. Exact hop counts ride the composition (hops_a +
+    hops_b), so the output is order- and partitioning-independent.
+
+    Scale shape: each round is ONE self left-join of the redirect
+    table (|sources| rows — a few percent of the corpus; never
+    page-cardinality) keyed reach-vs-source, materialized with
+    localCheckpoint so the iterated lineage stays O(1) per round, with
+    the pending count observed on the SAME action (one job per round —
+    the connected_components discipline) for early exit. A hot
+    terminal (millions of chains converging on one homepage) skews the
+    probe side of the join; AQE's skew-join split handles it because
+    the build side key (source url) is unique."""
+    import math
+
+    from pyspark.sql import Observation
+
+    cur = (
+        edges.select(F.col(src_col).cast("string").alias("u"),
+                     F.col(dst_col).cast("string").alias("_r"))
+        .groupBy("u").agg(F.max("_r").alias("reach"))
+        .select("u", "reach", F.lit(1).cast("long").alias("hops"),
+                F.lit(False).alias("done"))
+    )
+
+    def _materialize(df: DataFrame) -> tuple[DataFrame, int]:
+        obs = Observation()
+        ck = df.observe(
+            obs,
+            F.coalesce(
+                F.sum(F.when(~F.col("done"), 1).otherwise(0)), F.lit(0)
+            ).alias("pending"),
+        ).localCheckpoint(eager=True)
+        return ck, obs.get["pending"]
+
+    cur, pending = _materialize(cur)
+    rounds = max(1, math.ceil(math.log2(max(2, int(max_hops)))) + 1)
+    for _ in range(rounds):
+        if not pending:
+            break
+        j = cur.select(F.col("u").alias("_ju"),
+                       F.col("reach").alias("_jreach"),
+                       F.col("hops").alias("_jhops"),
+                       F.col("done").alias("_jdone"))
+        stay = F.col("done") | F.col("_ju").isNull()
+        nxt = (
+            cur.join(j, cur["reach"] == j["_ju"], "left")
+            .select(
+                "u",
+                F.when(stay, F.col("reach"))
+                .otherwise(F.col("_jreach")).alias("reach"),
+                F.when(stay, F.col("hops"))
+                .otherwise(F.col("hops") + F.col("_jhops")).alias("hops"),
+                (stay | F.col("_jdone")).alias("done"),
+            )
+        )
+        cur, pending = _materialize(nxt)
+    ok = F.col("done") & (F.col("hops") <= F.lit(int(max_hops)))
+    return cur.select(
+        F.col("u").alias("url"),
+        F.when(ok, F.col("reach")).alias("final_url"),
+        F.when(ok, F.col("hops")).alias("hops"),
+        (~ok).alias("unresolved"),
+    )
