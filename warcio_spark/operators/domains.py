@@ -105,3 +105,59 @@ def filter_by_domain_stats(
     # a domain absent from stats is unjudged -> kept
     return out.filter(F.coalesce(F.col("_keep"), F.lit(True))).drop(
         "_sd", "_keep")
+
+
+def host_content_census(docs: DataFrame, host_col: str = "host",
+                        text_col: str = "text", *,
+                        min_pages: int = 20,
+                        top_share_threshold: float = 0.8,
+                        thin_bytes: int = 512) -> DataFrame:
+    """Per-host content-diversity census — the set-at-a-time detector
+    for parked domains, soft-404 hosts, and error-page farms: a host
+    where one body dominates every url (the registrar lander, the
+    custom "not found" page served with HTTP 200, the login wall) is
+    serving the CRAWLER the same page no matter what it asks for, and
+    per-page quality scores can't see that because each page looks
+    fine in isolation. Production pipelines cut these wholesale
+    (CCNet/RefinedWeb-style site hygiene; Heritrix crawls probe a
+    known-bogus url for the same reason — this is the probe-free,
+    corpus-side equivalent).
+
+    Returns (host, n_pages, n_distinct, top_cnt, top_share, thin_share,
+    parked): ``top_share`` is the share of pages carrying the host's
+    single most common body (exact MD5 — near-dup variants are the
+    dedup layer's job, a parked lander is byte-identical),
+    ``thin_share`` the share under ``thin_bytes``, and ``parked`` fires
+    when the host has at least ``min_pages`` observations AND
+    ``top_share >= top_share_threshold`` (small hosts stay unjudged —
+    two pages agreeing is not evidence). NULL text hashes as the empty
+    body. Feed ``parked`` hosts into the frontier rules table or
+    ``filter_by_domain_stats``-style gates.
+
+    Scale shape: two map-side-combinable aggregations — (host, body
+    hash) counts, then host rollup — so the corpus shuffles once on
+    (host, hash) and the second shuffle carries only distinct-body
+    rows; no window over page-cardinality data, and a mega-host's
+    identical bodies collapse in the partial aggregate before they
+    travel."""
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary"))
+    per_body = docs.groupBy(
+        F.col(host_col).alias("host"), h.alias("_h")
+    ).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(F.length(F.coalesce(F.col(text_col), F.lit("")))
+              ).alias("_len"),
+    )
+    out = per_body.groupBy("host").agg(
+        F.sum("_cnt").alias("n_pages"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("_cnt").alias("top_cnt"),
+        (F.max("_cnt") / F.sum("_cnt")).alias("top_share"),
+        (F.sum(F.when(F.col("_len") < int(thin_bytes), F.col("_cnt"))
+               .otherwise(F.lit(0))) / F.sum("_cnt")).alias("thin_share"),
+    )
+    return out.withColumn(
+        "parked",
+        (F.col("n_pages") >= int(min_pages))
+        & (F.col("top_share") >= float(top_share_threshold)),
+    )
