@@ -2781,6 +2781,33 @@ def q_parked_hosts(spark, sf):
                                top_share_threshold=0.6, thin_bytes=64)
 
 
+def q_cdx_collapse(spark, sf):
+    """Wayback collapse= thinning (operators/indexer.collapse_captures):
+    a 65-urlkey capture index (~8 captures each at sf0.01) whose
+    3-value digest advances every second capture of a urlkey —
+    producing both runs (squashed to their first capture) and
+    change-backs (kept; the adjacency semantic a group-by can't
+    express) when collapsed on digest. The
+    DuckDB oracle replays the LAG window over the same
+    (urlkey; timestamp, url) order."""
+    from warcio_spark.operators.indexer import collapse_captures
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    index = docs.select(
+        F.concat(F.lit("com,example,host"), s(d % 13), F.lit(")/q/"),
+                 s(d % 5)).alias("urlkey"),
+        F.date_format(
+            F.timestamp_seconds(F.lit(1704067200) + (d * 37) % 31536000),
+            "yyyyMMddHHmmss").alias("timestamp"),
+        F.concat(F.lit("http://host"), s(d % 13), F.lit(".example.com/q/"),
+                 s(d % 5)).alias("url"),
+        F.concat(F.lit("D"), s(F.floor(d / 130) % 3)).alias("digest"),
+    )
+    return collapse_captures(index, field="digest")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -2887,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "circuit_breaker": q_circuit_breaker,
         "redirect_chains": q_redirect_chains,
         "parked_hosts": q_parked_hosts,
+        "cdx_collapse": q_cdx_collapse,
     }
 
 
@@ -5730,5 +5758,24 @@ def oracle_sql() -> dict[str, str]:
                (SUM(cnt) >= 20
                 AND MAX(cnt)::DOUBLE / SUM(cnt) >= 0.6) AS parked
         FROM per GROUP BY host
+    """
+
+    out["cdx_collapse"] = """
+        WITH idx AS (
+          SELECT 'com,example,host' || (doc_id % 13)::VARCHAR || ')/q/'
+                   || (doc_id % 5)::VARCHAR AS urlkey,
+                 strftime(to_timestamp(1704067200 + (doc_id * 37)
+                   % 31536000), '%Y%m%d%H%M%S') AS timestamp,
+                 'http://host' || (doc_id % 13)::VARCHAR
+                   || '.example.com/q/' || (doc_id % 5)::VARCHAR AS url,
+                 'D' || (CAST(floor(doc_id / 130) AS BIGINT) % 3)::VARCHAR AS digest
+          FROM documents),
+        lagged AS (
+          SELECT urlkey, timestamp, url, digest,
+                 LAG(digest) OVER (PARTITION BY urlkey
+                                   ORDER BY timestamp, url) AS prev
+          FROM idx)
+        SELECT urlkey, timestamp, url, digest FROM lagged
+        WHERE prev IS NULL OR digest <> prev
     """
     return out

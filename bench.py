@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "circuit_breaker",  # two host aggs + broadcast last-success join
     "redirect_chains",  # pointer doubling: log(max_hops) self-joins
     "parked_hosts",  # (host,body-hash) partial agg -> host rollup
+    "cdx_collapse",  # one lag window on urlkey, codegen filter
 ]
 
 

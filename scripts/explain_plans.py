@@ -70,6 +70,7 @@ PICKS = [
     "circuit_breaker",  # host aggs + broadcast join, nothing shuffles twice
     "redirect_chains",  # doubling rounds: alias-table self-join only
     "parked_hosts",  # two map-combinable aggs, no page-cardinality window
+    "cdx_collapse",  # ONE lag window shuffle on urlkey + codegen filter
 ]
 
 

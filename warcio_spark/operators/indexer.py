@@ -254,3 +254,40 @@ def timemap_links(index: DataFrame,
                  F.lit('>; rel="original",')).alias("line"),
     )
     return original.unionByName(memento)
+
+
+def collapse_captures(index: DataFrame, *, field: str = "timestamp",
+                      prefix: int = 0, urlkey_col: str = "urlkey",
+                      ts_col: str = "timestamp") -> DataFrame:
+    """Wayback/pywb CDX ``collapse=`` over a typed capture index: keep
+    a capture only when its collapse key differs from the PREVIOUS
+    capture of the same urlkey in (timestamp, url) order — the
+    adjacency semantics of the cdx-server filter (``collapse=
+    timestamp:6`` = at most one capture per urlkey per month run;
+    ``collapse=digest`` = squash consecutive identical-payload
+    captures but KEEP a change-back, which a plain group-by cannot
+    express: A B A collapses to A B A, not A B). The standard
+    index-thinning step before replay UIs and change-tracking diffs.
+
+    ``field`` names the column carrying the collapse key; ``prefix``
+    > 0 compares only its first ``prefix`` characters (the
+    ``timestamp:N`` form). A NULL key never matches anything, so NULL
+    rows always survive. Schema passes through unchanged.
+
+    Scale shape: ONE window (lag) partitioned by urlkey ordered by
+    (timestamp, url) — a single shuffle on urlkey, the same
+    partitioning the columnar CDX table already carries (a bucketed /
+    urlkey-sorted source makes it shuffle-free), then a codegen
+    filter. Nothing aggregates; a urlkey with millions of captures
+    sorts within its partition only."""
+    from pyspark.sql import Window
+
+    key = F.col(field).cast("string")
+    if int(prefix) > 0:
+        key = F.substring(key, 1, int(prefix))
+    w = Window.partitionBy(urlkey_col).orderBy(ts_col, "url")
+    out = index.withColumn("_ck", key).withColumn(
+        "_prev", F.lag("_ck").over(w))
+    keep = (F.col("_ck").isNull() | F.col("_prev").isNull()
+            | (F.col("_ck") != F.col("_prev")))
+    return out.filter(keep).drop("_ck", "_prev")

@@ -262,3 +262,62 @@ def due_by_freshness(freshness: DataFrame, as_of_epoch: int,
     effective = F.coalesce(
         F.col("stale_at"), fetched + F.lit(int(default_ttl_s)))
     return freshness.filter(effective <= F.lit(int(as_of_epoch)))
+
+
+def change_rate_table(index: DataFrame, urlkey_col: str = "urlkey",
+                      ts_col: str = "timestamp",
+                      digest_col: str = "digest") -> DataFrame:
+    """Per-url change-rate estimation from capture history — the
+    adaptive-recrawl input: a url whose payload digest changed in 9 of
+    10 captures deserves a short revisit interval, one that never
+    changed can wait (Cho & Garcia-Molina, "Estimating Frequency of
+    Change", TOIT 2003 — the estimator every incremental-crawl
+    scheduler descends from; Heritrix's wait-interval multiplier is
+    the ad-hoc version of the same signal).
+
+    Per urlkey over captures in (epoch, digest) order: ``n_changes`` =
+    adjacent digest transitions (the LAG semantics ``collapse_captures``
+    filters by), and ``change_rate_per_day`` = the Poisson-corrected
+    estimator  -ln((n - X + 0.5) / (n + 0.5)) / mean_interval  — which
+    de-biases the naive X/n for changes that happened between captures
+    and were observed only once (NULL when fewer than 2 captures or
+    zero span). ``est_interval_days`` inverts it (NULL when no change
+    was ever observed — the estimator's rate is 0 there). Feed it into
+    ``due_by_freshness``-style scheduling or the recrawl_ttl as a
+    per-url override.
+
+    Scale shape: ONE window (lag) + ONE aggregation, both keyed on
+    urlkey — a single shuffle of the capture index (shuffle-free over
+    the urlkey-sorted columnar CDX table), then pure scalar math on
+    the urlkey-cardinality aggregate."""
+    from pyspark.sql import Window
+
+    epoch = F.unix_timestamp(
+        F.try_to_timestamp(F.col(ts_col), F.lit("yyyyMMddHHmmss")))
+    w = Window.partitionBy(urlkey_col).orderBy("_epoch", digest_col)
+    rows = index.select(
+        F.col(urlkey_col).alias("urlkey"), epoch.alias("_epoch"),
+        F.col(digest_col).alias("_dig"),
+    ).withColumn(
+        "_chg",
+        F.when(F.lag("_dig").over(w).isNull(), F.lit(0))
+        .when(F.col("_dig") != F.lag("_dig").over(w), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    agg = rows.groupBy("urlkey").agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.sum("_chg").alias("n_changes"),
+        (F.max("_epoch") - F.min("_epoch")).alias("span_s"),
+    )
+    n, x = F.col("n_captures"), F.col("n_changes")
+    mean_iv = F.when(
+        (n > 1) & (F.col("span_s") > 0),
+        F.col("span_s") / (n - 1).cast("double"))
+    rate_day = -F.log((n - x + 0.5) / (n + 0.5)) / mean_iv * 86400.0
+    return agg.select(
+        "urlkey", "n_captures", "n_changes", "span_s",
+        F.round(mean_iv, 4).alias("mean_interval_s"),
+        F.round(rate_day, 8).alias("change_rate_per_day"),
+        F.round(F.when(rate_day > 0, 1.0 / rate_day), 6)
+        .alias("est_interval_days"),
+    )
