@@ -2808,6 +2808,31 @@ def q_cdx_collapse(spark, sf):
     return collapse_captures(index, field="digest")
 
 
+def q_change_rate(spark, sf):
+    """Per-url change-rate estimation (plans/revalidate.
+    change_rate_table): the cdx_collapse capture universe (65 urlkeys,
+    digest advancing every second capture, ~2405s capture cadence) run
+    through the Cho & Garcia-Molina Poisson-corrected estimator. The
+    DuckDB oracle replays the LAG transition count and the
+    -ln((n-X+.5)/(n+.5))/mean_interval math on raw epochs (the Spark
+    side round-trips through ts14 formatting — parity pins the
+    timestamp codec too)."""
+    from warcio_spark.plans.revalidate import change_rate_table
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    index = docs.select(
+        F.concat(F.lit("com,example,host"), s(d % 13), F.lit(")/q/"),
+                 s(d % 5)).alias("urlkey"),
+        F.date_format(
+            F.timestamp_seconds(F.lit(1704067200) + (d * 37) % 31536000),
+            "yyyyMMddHHmmss").alias("timestamp"),
+        F.concat(F.lit("D"), s(F.floor(d / 130) % 3)).alias("digest"),
+    )
+    return change_rate_table(index)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -2915,6 +2940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_chains": q_redirect_chains,
         "parked_hosts": q_parked_hosts,
         "cdx_collapse": q_cdx_collapse,
+        "change_rate": q_change_rate,
     }
 
 
@@ -5777,5 +5803,44 @@ def oracle_sql() -> dict[str, str]:
           FROM idx)
         SELECT urlkey, timestamp, url, digest FROM lagged
         WHERE prev IS NULL OR digest <> prev
+    """
+
+    out["change_rate"] = """
+        WITH idx AS (
+          SELECT 'com,example,host' || (doc_id % 13)::VARCHAR || ')/q/'
+                   || (doc_id % 5)::VARCHAR AS urlkey,
+                 1704067200 + (doc_id * 37) % 31536000 AS epoch,
+                 'D' || (CAST(floor(doc_id / 130) AS BIGINT) % 3)::VARCHAR
+                   AS digest
+          FROM documents),
+        lagged AS (
+          SELECT urlkey, epoch, digest,
+                 LAG(digest) OVER (PARTITION BY urlkey
+                                   ORDER BY epoch, digest) AS prev
+          FROM idx),
+        agg AS (
+          SELECT urlkey,
+                 COUNT(*)::BIGINT AS n_captures,
+                 SUM(CASE WHEN prev IS NOT NULL AND digest <> prev
+                          THEN 1 ELSE 0 END)::BIGINT AS n_changes,
+                 (MAX(epoch) - MIN(epoch))::BIGINT AS span_s
+          FROM lagged GROUP BY urlkey),
+        rated AS (
+          SELECT *,
+                 CASE WHEN n_captures > 1 AND span_s > 0
+                      THEN span_s::DOUBLE / (n_captures - 1)
+                 END AS mean_iv,
+                 CASE WHEN n_captures > 1 AND span_s > 0
+                      THEN -ln((n_captures - n_changes + 0.5)
+                               / (n_captures + 0.5))
+                           / (span_s::DOUBLE / (n_captures - 1)) * 86400.0
+                 END AS rate
+          FROM agg)
+        SELECT urlkey, n_captures, n_changes, span_s,
+               ROUND(mean_iv, 4) AS mean_interval_s,
+               ROUND(rate, 8) AS change_rate_per_day,
+               ROUND(CASE WHEN rate > 0 THEN 1.0 / rate END, 6)
+                 AS est_interval_days
+        FROM rated
     """
     return out

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "redirect_chains",  # pointer doubling: log(max_hops) self-joins
     "parked_hosts",  # (host,body-hash) partial agg -> host rollup
     "cdx_collapse",  # one lag window on urlkey, codegen filter
+    "change_rate",  # lag window + one urlkey agg, scalar math after
 ]
 
 

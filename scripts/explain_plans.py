@@ -71,6 +71,7 @@ PICKS = [
     "redirect_chains",  # doubling rounds: alias-table self-join only
     "parked_hosts",  # two map-combinable aggs, no page-cardinality window
     "cdx_collapse",  # ONE lag window shuffle on urlkey + codegen filter
+    "change_rate",  # lag window + agg share the urlkey shuffle
 ]
 
 

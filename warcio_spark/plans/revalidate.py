@@ -294,7 +294,7 @@ def change_rate_table(index: DataFrame, urlkey_col: str = "urlkey",
 
     epoch = F.unix_timestamp(
         F.try_to_timestamp(F.col(ts_col), F.lit("yyyyMMddHHmmss")))
-    w = Window.partitionBy(urlkey_col).orderBy("_epoch", digest_col)
+    w = Window.partitionBy("urlkey").orderBy("_epoch", "_dig")
     rows = index.select(
         F.col(urlkey_col).alias("urlkey"), epoch.alias("_epoch"),
         F.col(digest_col).alias("_dig"),
