@@ -2833,6 +2833,36 @@ def q_change_rate(spark, sf):
     return change_rate_table(index)
 
 
+def q_link_farms(spark, sf):
+    """Link-farm reciprocity census (plans/graph.link_reciprocity): a
+    host graph with an 8-host fully-mutual ring (reciprocity 1.0,
+    flagged), a 23-target organic hub (reciprocity 0, its targets are
+    pure sinks with NULL reciprocity), and a partially-reciprocated
+    host (4 of 10 out-neighbors link back — under the 0.6 gate). The
+    DuckDB oracle replays distinct-edge collapse, the reversed-pair
+    join, and both gate legs."""
+    from warcio_spark.plans.graph import link_reciprocity
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    ring = docs.filter(d < 64).select(
+        F.concat(F.lit("f"), s(d % 8), F.lit(".ex")).alias("src_host"),
+        F.concat(F.lit("f"), s(F.floor(d / 8) % 8),
+                 F.lit(".ex")).alias("dst_host"))
+    hub = docs.select(
+        F.lit("hub.ex").alias("src_host"),
+        F.concat(F.lit("t"), s(d % 23), F.lit(".ex")).alias("dst_host"))
+    part = docs.select(
+        F.lit("p.ex").alias("src_host"),
+        F.concat(F.lit("q"), s(d % 10), F.lit(".ex")).alias("dst_host"))
+    back = docs.filter(d % 10 < 4).select(
+        F.concat(F.lit("q"), s(d % 10), F.lit(".ex")).alias("src_host"),
+        F.lit("p.ex").alias("dst_host"))
+    edges = ring.union(hub).union(part).union(back)
+    return link_reciprocity(edges, min_out=5, farm_threshold=0.6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -2941,6 +2971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parked_hosts": q_parked_hosts,
         "cdx_collapse": q_cdx_collapse,
         "change_rate": q_change_rate,
+        "link_farms": q_link_farms,
     }
 
 
@@ -5842,5 +5873,45 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CASE WHEN rate > 0 THEN 1.0 / rate END, 6)
                  AS est_interval_days
         FROM rated
+    """
+
+    out["link_farms"] = """
+        WITH e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT 'f' || (doc_id % 8)::VARCHAR || '.ex' AS src,
+                   'f' || (CAST(floor(doc_id / 8) AS BIGINT) % 8)::VARCHAR
+                     || '.ex' AS dst
+            FROM documents WHERE doc_id < 64
+            UNION ALL
+            SELECT 'hub.ex', 't' || (doc_id % 23)::VARCHAR || '.ex'
+            FROM documents
+            UNION ALL
+            SELECT 'p.ex', 'q' || (doc_id % 10)::VARCHAR || '.ex'
+            FROM documents
+            UNION ALL
+            SELECT 'q' || (doc_id % 10)::VARCHAR || '.ex', 'p.ex'
+            FROM documents WHERE doc_id % 10 < 4)
+          WHERE src <> dst),
+        hosts AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        o AS (SELECT src AS host, COUNT(*) AS n FROM e GROUP BY src),
+        i AS (SELECT dst AS host, COUNT(*) AS n FROM e GROUP BY dst),
+        r AS (SELECT e.src AS host, COUNT(*) AS n
+              FROM e JOIN e e2 ON e.src = e2.dst AND e.dst = e2.src
+              GROUP BY e.src)
+        SELECT h.host,
+               COALESCE(o.n, 0)::BIGINT AS out_hosts,
+               COALESCE(i.n, 0)::BIGINT AS in_hosts,
+               COALESCE(r.n, 0)::BIGINT AS reciprocal_hosts,
+               CASE WHEN COALESCE(o.n, 0) > 0
+                    THEN ROUND(COALESCE(r.n, 0)::DOUBLE / o.n, 8)
+               END AS reciprocity,
+               (COALESCE(o.n, 0) >= 5 AND COALESCE(
+                  CASE WHEN COALESCE(o.n, 0) > 0
+                       THEN ROUND(COALESCE(r.n, 0)::DOUBLE / o.n, 8)
+                  END >= 0.6, FALSE)) AS farm
+        FROM hosts h
+        LEFT JOIN o ON o.host = h.host
+        LEFT JOIN i ON i.host = h.host
+        LEFT JOIN r ON r.host = h.host
     """
     return out

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "parked_hosts",  # (host,body-hash) partial agg -> host rollup
     "cdx_collapse",  # one lag window on urlkey, codegen filter
     "change_rate",  # lag window + one urlkey agg, scalar math after
+    "link_farms",  # distinct edges + reversed-pair semi-join, host-sized
 ]
 
 

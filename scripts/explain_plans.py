@@ -72,6 +72,7 @@ PICKS = [
     "parked_hosts",  # two map-combinable aggs, no page-cardinality window
     "cdx_collapse",  # ONE lag window shuffle on urlkey + codegen filter
     "change_rate",  # lag window + agg share the urlkey shuffle
+    "link_farms",  # reversed-pair left-semi join, host-cardinality aggs
 ]
 
 

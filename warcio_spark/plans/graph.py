@@ -461,3 +461,61 @@ def resolve_chains(edges: DataFrame, src_col: str = "src",
         F.when(ok, F.col("hops")).alias("hops"),
         (~ok).alias("unresolved"),
     )
+
+
+def link_reciprocity(edges: DataFrame, src_col: str = "src_host",
+                     dst_col: str = "dst_host", *,
+                     min_out: int = 5,
+                     farm_threshold: float = 0.6) -> DataFrame:
+    """Per-host link-reciprocity census over the host graph — the
+    classic link-farm signal (Gyöngyi & Garcia-Molina's web-spam
+    taxonomy; Fetterly et al.'s spam statistics): organic linking is
+    overwhelmingly one-directional, while farms that trade links to
+    inflate rank produce hosts whose out-neighborhoods point straight
+    back. Feeds the frontier the same way `url_pattern_census` does —
+    a site-level demotion signal per-page analysis can't see.
+
+    Returns (host, out_hosts, in_hosts, reciprocal_hosts, reciprocity,
+    farm): distinct out-/in-neighbor counts (self-loops dropped,
+    multiplicities collapsed — link COUNT farms are `host_graph`
+    weight's job), ``reciprocity`` = share of out-neighbors that link
+    back, and ``farm`` fires at ``min_out`` distinct out-neighbors AND
+    ``reciprocity >= farm_threshold`` (a two-host mutual link is
+    normal; fifty mutual partners is a ring). Hosts with in-links only
+    appear with out_hosts = 0 and NULL reciprocity.
+
+    Scale shape: one distinct pass over the edge table, a self
+    equi-join on the reversed pair key (left-semi — nothing widens),
+    and three host-keyed aggregations joined at host cardinality; every
+    shuffle after the first is neighbor-pair- or host-sized, never
+    page- or link-cardinality."""
+    d = (edges.select(F.col(src_col).cast("string").alias("s"),
+                      F.col(dst_col).cast("string").alias("t"))
+         .filter(F.col("s").isNotNull() & F.col("t").isNotNull()
+                 & (F.col("s") != F.col("t")))
+         .distinct())
+    rev = d.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    recip = (d.join(rev, ["s", "t"], "left_semi")
+             .groupBy("s").agg(F.count(F.lit(1)).alias("reciprocal_hosts")))
+    out_deg = d.groupBy("s").agg(F.count(F.lit(1)).alias("out_hosts"))
+    in_deg = (d.groupBy("t").agg(F.count(F.lit(1)).alias("in_hosts"))
+              .withColumnRenamed("t", "s"))
+    stats = (out_deg.join(in_deg, "s", "full_outer")
+             .join(recip, "s", "left")
+             .select(
+                 F.col("s").alias("host"),
+                 F.coalesce("out_hosts", F.lit(0)).alias("out_hosts"),
+                 F.coalesce("in_hosts", F.lit(0)).alias("in_hosts"),
+                 F.coalesce("reciprocal_hosts", F.lit(0))
+                 .alias("reciprocal_hosts")))
+    reciprocity = F.when(
+        F.col("out_hosts") > 0,
+        F.round(F.col("reciprocal_hosts")
+                / F.col("out_hosts").cast("double"), 8))
+    return stats.select(
+        "host", "out_hosts", "in_hosts", "reciprocal_hosts",
+        reciprocity.alias("reciprocity"),
+        ((F.col("out_hosts") >= int(min_out))
+         & F.coalesce(reciprocity >= float(farm_threshold), F.lit(False))
+         ).alias("farm"),
+    )
