@@ -2863,6 +2863,36 @@ def q_link_farms(spark, sf):
     return link_reciprocity(edges, min_out=5, farm_threshold=0.6)
 
 
+def q_recrawl_priors(spark, sf):
+    """Revisit-interval merge (plans/revalidate.recrawl_priors): 37
+    urls each claimed by many sitemap entries cycling through the full
+    changefreq enum (plus NULL claims and NULL priorities), overridden
+    by an observed change-rate table covering every third url. The
+    DuckDB oracle replays the prior CASE map, the deterministic
+    (prior, changefreq) arg-min reduction, max-priority, and the
+    observed-wins coalesce + source label."""
+    from warcio_spark.plans.revalidate import recrawl_priors
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    cf = (F.when(d % 8 == 1, F.lit("always"))
+          .when(d % 8 == 2, F.lit("hourly"))
+          .when(d % 8 == 3, F.lit("daily"))
+          .when(d % 8 == 4, F.lit("weekly"))
+          .when(d % 8 == 5, F.lit("monthly"))
+          .when(d % 8 == 6, F.lit("yearly"))
+          .when(d % 8 == 7, F.lit("never")))
+    entries = docs.select(
+        F.concat(F.lit("http://s.ex/p"), s(d % 37)).alias("loc"),
+        cf.alias("changefreq"),
+        F.when(d % 5 != 0, (d % 10) / F.lit(10.0)).alias("priority"))
+    observed = docs.filter((d < 37) & (d % 3 == 0)).select(
+        F.concat(F.lit("http://s.ex/p"), s(d)).alias("urlkey"),
+        (d + F.lit(0.5)).alias("est_interval_days"))
+    return recrawl_priors(entries, observed)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -2972,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_collapse": q_cdx_collapse,
         "change_rate": q_change_rate,
         "link_farms": q_link_farms,
+        "recrawl_priors": q_recrawl_priors,
     }
 
 
@@ -5913,5 +5944,52 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN o ON o.host = h.host
         LEFT JOIN i ON i.host = h.host
         LEFT JOIN r ON r.host = h.host
+    """
+
+    out["recrawl_priors"] = """
+        WITH e AS (
+          SELECT 'http://s.ex/p' || (doc_id % 37)::VARCHAR AS url,
+                 CASE doc_id % 8
+                      WHEN 1 THEN 'always' WHEN 2 THEN 'hourly'
+                      WHEN 3 THEN 'daily' WHEN 4 THEN 'weekly'
+                      WHEN 5 THEN 'monthly' WHEN 6 THEN 'yearly'
+                      WHEN 7 THEN 'never' END AS changefreq,
+                 CASE WHEN doc_id % 5 <> 0
+                      THEN (doc_id % 10) / 10.0 END AS priority
+          FROM documents),
+        p AS (
+          SELECT *, CASE changefreq
+                         WHEN 'always' THEN 1.0/48
+                         WHEN 'hourly' THEN 1.0/24
+                         WHEN 'daily' THEN 1.0 WHEN 'weekly' THEN 7.0
+                         WHEN 'monthly' THEN 30.0 WHEN 'yearly' THEN 365.0
+                    END AS prior
+          FROM e),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY url
+                   ORDER BY COALESCE(prior, 1e18),
+                            COALESCE(changefreq, '~')) AS rn
+          FROM p),
+        agg AS (
+          SELECT url, MAX(priority) AS priority,
+                 MIN(prior) AS prior_interval_days
+          FROM p GROUP BY url),
+        best AS (SELECT url, changefreq FROM ranked WHERE rn = 1),
+        obs AS (
+          SELECT 'http://s.ex/p' || doc_id::VARCHAR AS url,
+                 doc_id + 0.5 AS observed_interval_days
+          FROM documents WHERE doc_id < 37 AND doc_id % 3 = 0)
+        SELECT a.url, b.changefreq, a.priority, a.prior_interval_days,
+               o.observed_interval_days,
+               COALESCE(o.observed_interval_days, a.prior_interval_days)
+                 AS effective_interval_days,
+               CASE WHEN o.observed_interval_days IS NOT NULL
+                    THEN 'observed'
+                    WHEN a.prior_interval_days IS NOT NULL
+                    THEN 'sitemap' END AS interval_source
+        FROM agg a
+        JOIN best b ON a.url = b.url
+        LEFT JOIN obs o ON o.url = a.url
     """
     return out

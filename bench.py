@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "cdx_collapse",  # one lag window on urlkey, codegen filter
     "change_rate",  # lag window + one urlkey agg, scalar math after
     "link_farms",  # distinct edges + reversed-pair semi-join, host-sized
+    "recrawl_priors",  # literal CASE prior + one url agg + one equi join
 ]
 
 

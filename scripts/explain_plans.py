@@ -73,6 +73,7 @@ PICKS = [
     "cdx_collapse",  # ONE lag window shuffle on urlkey + codegen filter
     "change_rate",  # lag window + agg share the urlkey shuffle
     "link_farms",  # reversed-pair left-semi join, host-cardinality aggs
+    "recrawl_priors",  # CASE-map prior, one url agg, observed-wins join
 ]
 
 

@@ -321,3 +321,84 @@ def change_rate_table(index: DataFrame, urlkey_col: str = "urlkey",
         F.round(F.when(rate_day > 0, 1.0 / rate_day), 6)
         .alias("est_interval_days"),
     )
+
+
+# sitemaps.org changefreq -> prior revisit interval in days. "always"
+# (changes on every access) gets half the hourly interval; "never" is a
+# claim, not a schedule — it contributes NO prior (takedown/audit
+# crawls ignore it anyway) but flows through in `changefreq`.
+CHANGEFREQ_PRIOR_DAYS = {
+    "always": 1.0 / 48, "hourly": 1.0 / 24, "daily": 1.0,
+    "weekly": 7.0, "monthly": 30.0, "yearly": 365.0,
+}
+
+
+def recrawl_priors(entries: DataFrame, observed: DataFrame | None = None,
+                   *, url_col: str = "loc",
+                   obs_url_col: str = "urlkey",
+                   obs_interval_col: str = "est_interval_days") -> DataFrame:
+    """Per-url revisit intervals: the site's own ``<changefreq>`` claim
+    (``sitemap_entries`` output) as the PRIOR, overridden by the
+    measured ``change_rate_table`` interval once capture history exists
+    — the scheduling rule every incremental crawler converges on
+    (sitemaps claims are aspirational; Google's documentation says it
+    largely ignores changefreq BECAUSE observed change wins — this
+    operator is that policy as a table).
+
+    A url listed in several sitemaps reduces to its most aggressive
+    claim (min prior interval) and max priority. Returns (url,
+    changefreq, priority, prior_interval_days, observed_interval_days,
+    effective_interval_days, interval_source) where source is
+    'observed' > 'sitemap' > NULL (no signal either way — the caller's
+    default TTL applies).
+
+    Scale shape: one map-combinable aggregation on the url + one equi
+    join against the observed table (url-keyed both sides; broadcast it
+    when the observed universe is small, e.g. a single host's
+    history). The changefreq map compiles to a literal CASE — no lookup
+    table crosses the wire."""
+    prior_iv = F.lit(None).cast("double")
+    for k, v in CHANGEFREQ_PRIOR_DAYS.items():
+        prior_iv = F.when(F.col("changefreq") == k, F.lit(v)).otherwise(
+            prior_iv)
+    per_url = (
+        entries.select(F.col(url_col).alias("url"), "changefreq",
+                       F.col("priority").cast("double").alias("priority"))
+        .withColumn("_prior", prior_iv)
+        .groupBy("url")
+        .agg(
+            # deterministic even when priors tie (struct min breaks ties
+            # on the changefreq string; '~' sorts after every enum value)
+            F.min(F.struct(
+                F.coalesce("_prior", F.lit(1e18)).alias("p"),
+                F.coalesce("changefreq", F.lit("~")).alias("cf"),
+            )).alias("_best"),
+            F.max("priority").alias("priority"),
+            F.min("_prior").alias("prior_interval_days"),
+        )
+        .withColumn("changefreq",
+                    F.nullif(F.col("_best.cf"), F.lit("~")))
+        .drop("_best")
+    )
+    if observed is None:
+        obs = None
+    else:
+        obs = observed.select(
+            F.col(obs_url_col).alias("url"),
+            F.col(obs_interval_col).cast("double")
+            .alias("observed_interval_days"))
+    if obs is not None:
+        per_url = per_url.join(obs, "url", "left")
+    else:
+        per_url = per_url.withColumn(
+            "observed_interval_days", F.lit(None).cast("double"))
+    eff = F.coalesce("observed_interval_days", "prior_interval_days")
+    return per_url.select(
+        "url", "changefreq", "priority", "prior_interval_days",
+        "observed_interval_days",
+        eff.alias("effective_interval_days"),
+        F.when(F.col("observed_interval_days").isNotNull(),
+               F.lit("observed"))
+        .when(F.col("prior_interval_days").isNotNull(), F.lit("sitemap"))
+        .alias("interval_source"),
+    )
