@@ -2893,6 +2893,33 @@ def q_recrawl_priors(spark, sf):
     return recrawl_priors(entries, observed)
 
 
+def q_delay_compliance(spark, sf):
+    """Politeness compliance audit (plans/frontier.delay_compliance): a
+    9-host fetch log with pseudo-scattered timestamps (gap multisets
+    vary per host), a delay table covering even hosts at varying
+    requirements (odd hosts fall back to the 2s default), same-second
+    duplicate fetches on one host (gap 0 = definite violation), and a
+    single-fetch host (no gaps — compliant with NULL min_gap/rate).
+    The DuckDB oracle replays the LAG gap computation, the per-gap
+    requirement comparison, and the rate math."""
+    from warcio_spark.plans.frontier import delay_compliance
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    log = docs.select(
+        F.concat(F.lit("h"), s(d % 9), F.lit(".ex")).alias("host"),
+        (((d * 7919) % 9973) / F.lit(7.0)).alias("fetch_ts"))
+    log = log.union(docs.filter(d.isin(2, 3)).select(
+        F.lit("dup.ex").alias("host"), F.lit(42.0).alias("fetch_ts")))
+    log = log.union(docs.filter(d == 5).select(
+        F.lit("one.ex").alias("host"), F.lit(7.0).alias("fetch_ts")))
+    delays = docs.filter((d < 9) & (d % 2 == 0)).select(
+        F.concat(F.lit("h"), s(d), F.lit(".ex")).alias("host"),
+        (d % 4 + F.lit(0.5)).alias("crawl_delay"))
+    return delay_compliance(log, delays, default_delay=2.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -3003,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_rate": q_change_rate,
         "link_farms": q_link_farms,
         "recrawl_priors": q_recrawl_priors,
+        "delay_compliance": q_delay_compliance,
     }
 
 
@@ -5991,5 +6019,42 @@ def oracle_sql() -> dict[str, str]:
         FROM agg a
         JOIN best b ON a.url = b.url
         LEFT JOIN obs o ON o.url = a.url
+    """
+
+    out["delay_compliance"] = """
+        WITH log AS (
+          SELECT 'h' || (doc_id % 9)::VARCHAR || '.ex' AS host,
+                 ((doc_id * 7919) % 9973) / 7.0 AS fetch_ts
+          FROM documents
+          UNION ALL
+          SELECT 'dup.ex', 42.0 FROM documents WHERE doc_id IN (2, 3)
+          UNION ALL
+          SELECT 'one.ex', 7.0 FROM documents WHERE doc_id = 5),
+        delays AS (
+          SELECT 'h' || doc_id::VARCHAR || '.ex' AS host,
+                 (doc_id % 4 + 0.5)::DOUBLE AS crawl_delay
+          FROM documents WHERE doc_id < 9 AND doc_id % 2 = 0),
+        gapped AS (
+          SELECT log.host,
+                 fetch_ts - LAG(fetch_ts) OVER (
+                   PARTITION BY log.host ORDER BY fetch_ts) AS gap,
+                 COALESCE(d.crawl_delay, 2.0)::DOUBLE AS req
+          FROM log LEFT JOIN delays d ON d.host = log.host),
+        agg AS (
+          SELECT host,
+                 COUNT(*)::BIGINT AS n_fetches,
+                 MAX(req) AS required_delay_s,
+                 MIN(gap) AS min_gap_s,
+                 COUNT(CASE WHEN gap < req THEN 1 END)::BIGINT
+                   AS n_violations,
+                 COUNT(gap)::BIGINT AS n_gaps
+          FROM gapped GROUP BY host)
+        SELECT host, n_fetches, required_delay_s, min_gap_s,
+               n_violations,
+               CASE WHEN n_gaps > 0
+                    THEN ROUND(n_violations::DOUBLE / n_gaps, 6)
+               END AS violation_rate,
+               (n_violations = 0) AS compliant
+        FROM agg
     """
     return out

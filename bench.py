@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "change_rate",  # lag window + one urlkey agg, scalar math after
     "link_farms",  # distinct edges + reversed-pair semi-join, host-sized
     "recrawl_priors",  # literal CASE prior + one url agg + one equi join
+    "delay_compliance",  # lag window + host agg share one shuffle
 ]
 
 

@@ -74,6 +74,7 @@ PICKS = [
     "change_rate",  # lag window + agg share the urlkey shuffle
     "link_farms",  # reversed-pair left-semi join, host-cardinality aggs
     "recrawl_priors",  # CASE-map prior, one url agg, observed-wins join
+    "delay_compliance",  # broadcast delays onto lagged rows, one shuffle
 ]
 
 

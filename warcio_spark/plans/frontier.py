@@ -582,6 +582,69 @@ def adaptive_crawl_delays(fetch_log: DataFrame, host_col: str = "host",
     )
 
 
+def delay_compliance(fetch_log: DataFrame, delays: DataFrame | None,
+                     host_col: str = "host", ts_col: str = "fetch_ts",
+                     delay_col: str = "crawl_delay", *,
+                     default_delay: float = 1.0,
+                     decimals: int = 6) -> DataFrame:
+    """Politeness compliance audit over the FETCH LOG — the
+    retroactive twin of the token-bucket gate, the way ``robots_audit``
+    is the retroactive twin of ``apply_robots_rules``: did the crawler
+    ACTUALLY keep each host's required spacing? Drift between the two
+    (a bug in the scheduler, a second crawler writing the same log, a
+    delay table updated after the fact) is what an operator review
+    walks when a webmaster complains.
+
+    Per host, inter-fetch gaps are consecutive differences of the
+    time-sorted log (tie order is irrelevant — the gap multiset of a
+    sorted multiset is unique; two same-second fetches audit as a gap
+    of 0, a definite violation). ``delays`` carries (host,
+    required_delay) — ``adaptive_crawl_delays`` output or the rules
+    table; hosts absent from it (or with a NULL delay) audit against
+    ``default_delay``, mirroring the no-robots default. Returns (host,
+    n_fetches, required_delay_s, min_gap_s, n_violations,
+    violation_rate, compliant); single-fetch hosts have no gaps and
+    audit compliant with NULL min_gap/rate.
+
+    Scale shape: one lag window on host + one host aggregation SHARING
+    the same shuffle (the change_rate_table discipline), with the
+    host-cardinality delay table broadcast onto the lagged rows before
+    the count (violations need the per-gap comparison; the table is
+    broadcastable by construction)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy("_ts")
+    rows = fetch_log.select(
+        F.col(host_col).alias("host"),
+        F.col(ts_col).cast("double").alias("_ts"),
+    ).withColumn("_gap", F.col("_ts") - F.lag("_ts").over(w))
+    if delays is not None:
+        d = delays.select(
+            F.col(host_col).alias("host"),
+            F.col(delay_col).cast("double").alias("_req"))
+        rows = rows.join(F.broadcast(d), "host", "left")
+    else:
+        rows = rows.withColumn("_req", F.lit(None).cast("double"))
+    req = F.coalesce(F.col("_req"), F.lit(float(default_delay)))
+    agg = rows.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.max(req).alias("required_delay_s"),
+        F.min("_gap").alias("min_gap_s"),
+        F.count(F.when(F.col("_gap") < req, F.lit(1)))
+        .alias("n_violations"),
+        F.count(F.col("_gap")).alias("_n_gaps"),
+    )
+    rate = F.when(
+        F.col("_n_gaps") > 0,
+        F.round(F.col("n_violations") / F.col("_n_gaps").cast("double"),
+                int(decimals)))
+    return agg.select(
+        "host", "n_fetches", "required_delay_s", "min_gap_s",
+        "n_violations", rate.alias("violation_rate"),
+        (F.col("n_violations") == 0).alias("compliant"),
+    )
+
+
 def rank_host_budgets(host_scores: DataFrame, total_budget: int, *,
                       host_col: str = "host", score_col: str = "rank",
                       min_budget: int = 1,
