@@ -5862,7 +5862,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT 'tiny.ex', 'same body' FROM documents
           WHERE doc_id IN (5, 6, 7)),
         per AS (
-          SELECT host, text, COUNT(*) AS cnt, MIN(LENGTH(text)) AS len
+          SELECT host, text, COUNT(*) AS cnt, MIN(strlen(text)) AS len
           FROM pages GROUP BY host, text)
         SELECT host,
                SUM(cnt)::BIGINT AS n_pages,

@@ -86,6 +86,18 @@ def test_matches_python_oracle_pseudorandom(spark):
     assert got6 == exp6
 
 
+def test_narrow_projection_without_url_column(spark):
+    # (urlkey, timestamp, digest) frames — the change_rate_table input
+    # shape — must work: the url tie-break is skipped when absent
+    df = spark.createDataFrame(
+        [("k)/", "20240101000000", "A"), ("k)/", "20240102000000", "A"),
+         ("k)/", "20240103000000", "B")],
+        "urlkey string, timestamp string, digest string")
+    got = collapse_captures(df, field="digest").collect()
+    assert sorted(r.timestamp for r in got) == [
+        "20240101000000", "20240103000000"]
+
+
 def test_parallelism_invariance(spark):
     rows = [("u%d)/" % (i % 7), "20240%d01000000" % (i % 9 + 1),
              "http://u%d/" % (i % 7), "D%d" % (i % 3))

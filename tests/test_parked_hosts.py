@@ -20,7 +20,7 @@ def _oracle(rows, min_pages, thr, thin_bytes):
     for h, texts in by.items():
         c = Counter(hashlib.md5(t.encode()).hexdigest() for t in texts)
         n, top = len(texts), max(c.values())
-        thin = sum(1 for t in texts if len(t) < thin_bytes)
+        thin = sum(1 for t in texts if len(t.encode()) < thin_bytes)
         out[h] = (n, len(c), top, round(top / n, 9), round(thin / n, 9),
                   n >= min_pages and top / n >= thr)
     return out
@@ -58,6 +58,16 @@ def test_hand_cases(spark):
     assert got["ok.ex"][4] == 0.0  # all bodies >= 64 bytes
     assert got["tiny.ex"] == (3, 1, 3, 1.0, 1.0, False)
     assert got["null.ex"] == (21, 1, 21, 1.0, 1.0, True)
+
+
+def test_thin_is_bytes_not_chars(spark):
+    # 40 CJK chars = 120 UTF-8 bytes: thin at 64 chars would misfire,
+    # thin_bytes=64 must NOT count it; the 30-byte ASCII body must.
+    rows = [("cjk.ex", "文" * 40)] * 3 + [("thin.ex", "x" * 30)] * 3
+    got = _run(spark, rows, min_pages=2, top_share_threshold=0.9,
+               thin_bytes=64)
+    assert got["cjk.ex"][4] == 0.0
+    assert got["thin.ex"][4] == 1.0
 
 
 def test_matches_python_oracle_pseudorandom(spark):

@@ -87,6 +87,19 @@ def test_matches_python_oracle_pseudorandom(spark):
         assert got == exp, "max_hops=%d" % mh
 
 
+def test_null_edges_dropped(spark):
+    # NULL targets (unparseable Location) are not pointers: the source
+    # drops from the output instead of claiming a resolved NULL final;
+    # upstream chains terminate AT the url whose pointer was null-dropped
+    edges = [("a", None), ("b", "a"), (None, "x"), ("c", "z")]
+    got = _run(spark, edges, max_hops=8)
+    assert set(got) == {"b", "c"}
+    assert got["b"] == ("a", 1, False)   # a is terminal once its edge drops
+    assert got["c"] == ("z", 1, False)
+    for final, hops, unresolved in got.values():
+        assert unresolved or final is not None
+
+
 def test_parallelism_invariance(spark):
     edges = [("u%d" % i, "u%d" % ((i * 7 + 3) % 200))
              for i in range(200) if i % 9]

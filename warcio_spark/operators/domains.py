@@ -145,8 +145,10 @@ def host_content_census(docs: DataFrame, host_col: str = "host",
         F.col(host_col).alias("host"), h.alias("_h")
     ).agg(
         F.count(F.lit(1)).alias("_cnt"),
-        F.min(F.length(F.coalesce(F.col(text_col), F.lit("")))
-              ).alias("_len"),
+        # octet_length: thin_bytes means BYTES — 300 CJK chars are
+        # ~900 UTF-8 bytes and must not count as thin at the default
+        F.min(F.octet_length(F.coalesce(F.col(text_col), F.lit(""))))
+        .alias("_len"),
     )
     out = per_body.groupBy("host").agg(
         F.sum("_cnt").alias("n_pages"),

@@ -258,7 +258,8 @@ def timemap_links(index: DataFrame,
 
 def collapse_captures(index: DataFrame, *, field: str = "timestamp",
                       prefix: int = 0, urlkey_col: str = "urlkey",
-                      ts_col: str = "timestamp") -> DataFrame:
+                      ts_col: str = "timestamp",
+                      tiebreak_col: str | None = "url") -> DataFrame:
     """Wayback/pywb CDX ``collapse=`` over a typed capture index: keep
     a capture only when its collapse key differs from the PREVIOUS
     capture of the same urlkey in (timestamp, url) order — the
@@ -273,6 +274,11 @@ def collapse_captures(index: DataFrame, *, field: str = "timestamp",
     > 0 compares only its first ``prefix`` characters (the
     ``timestamp:N`` form). A NULL key never matches anything, so NULL
     rows always survive. Schema passes through unchanged.
+    ``tiebreak_col`` breaks equal-timestamp ordering deterministically;
+    it is skipped when absent from the frame (or passed as None), so
+    narrow (urlkey, timestamp, key) projections work as-is — exact
+    same-second captures then order arbitrarily, which only matters
+    when they also differ in the collapse key.
 
     Scale shape: ONE window (lag) partitioned by urlkey ordered by
     (timestamp, url) — a single shuffle on urlkey, the same
@@ -285,7 +291,10 @@ def collapse_captures(index: DataFrame, *, field: str = "timestamp",
     key = F.col(field).cast("string")
     if int(prefix) > 0:
         key = F.substring(key, 1, int(prefix))
-    w = Window.partitionBy(urlkey_col).orderBy(ts_col, "url")
+    order = [ts_col]
+    if tiebreak_col and tiebreak_col in index.columns:
+        order.append(tiebreak_col)
+    w = Window.partitionBy(urlkey_col).orderBy(*order)
     out = index.withColumn("_ck", key).withColumn(
         "_prev", F.lag("_ck").over(w))
     keep = (F.col("_ck").isNull() | F.col("_prev").isNull()

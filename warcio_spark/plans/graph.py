@@ -392,7 +392,10 @@ def resolve_chains(edges: DataFrame, src_col: str = "src",
     targets across captures is collapsed deterministically to the
     lexicographic max target first (last-writer-wins needs a capture
     timestamp the edge table may not have; determinism is the
-    contract).
+    contract). Edges with a NULL side are dropped up front (an
+    unparseable Location header is not a pointer) — so the invariant
+    holds that ``final_url`` is non-NULL exactly when ``unresolved``
+    is false.
 
     Algorithm: pointer doubling (path halving) — round k composes the
     current table with itself, so a row covers min(2^k, chain_len)
@@ -403,7 +406,10 @@ def resolve_chains(edges: DataFrame, src_col: str = "src",
 
     Scale shape: each round is ONE self left-join of the redirect
     table (|sources| rows — a few percent of the corpus; never
-    page-cardinality) keyed reach-vs-source, materialized with
+    page-cardinality) keyed reach-vs-source, with only the PENDING
+    rows probing (1-hop chains dominate real redirect tables, so the
+    probe side shrinks geometrically after round 1; settled rows stay
+    join targets and union back unchanged), materialized with
     localCheckpoint so the iterated lineage stays O(1) per round, with
     the pending count observed on the SAME action (one job per round —
     the connected_components discipline) for early exit. A hot
@@ -417,6 +423,7 @@ def resolve_chains(edges: DataFrame, src_col: str = "src",
     cur = (
         edges.select(F.col(src_col).cast("string").alias("u"),
                      F.col(dst_col).cast("string").alias("_r"))
+        .filter(F.col("u").isNotNull() & F.col("_r").isNotNull())
         .groupBy("u").agg(F.max("_r").alias("reach"))
         .select("u", "reach", F.lit(1).cast("long").alias("hops"),
                 F.lit(False).alias("done"))
@@ -441,17 +448,22 @@ def resolve_chains(edges: DataFrame, src_col: str = "src",
                        F.col("reach").alias("_jreach"),
                        F.col("hops").alias("_jhops"),
                        F.col("done").alias("_jdone"))
-        stay = F.col("done") | F.col("_ju").isNull()
+        # only pending rows probe the join (after round 1 most rows are
+        # done on real redirect tables — 1-hop chains dominate); done
+        # rows still serve as join TARGETS through j
+        pend = cur.filter(~F.col("done"))
+        terminal = F.col("_ju").isNull()
         nxt = (
-            cur.join(j, cur["reach"] == j["_ju"], "left")
+            pend.join(j, pend["reach"] == j["_ju"], "left")
             .select(
                 "u",
-                F.when(stay, F.col("reach"))
+                F.when(terminal, F.col("reach"))
                 .otherwise(F.col("_jreach")).alias("reach"),
-                F.when(stay, F.col("hops"))
+                F.when(terminal, F.col("hops"))
                 .otherwise(F.col("hops") + F.col("_jhops")).alias("hops"),
-                (stay | F.col("_jdone")).alias("done"),
+                (terminal | F.col("_jdone")).alias("done"),
             )
+            .unionByName(cur.filter(F.col("done")))
         )
         cur, pending = _materialize(nxt)
     ok = F.col("done") & (F.col("hops") <= F.lit(int(max_hops)))
