@@ -2920,6 +2920,96 @@ def q_delay_compliance(spark, sf):
     return delay_compliance(log, delays, default_delay=2.0)
 
 
+# Shared by q_sniff_mime and its DuckDB oracle: the 12 content families
+# of the sniff universe, indexed by doc_id % 12.
+_SNIFF_FAMILIES = [
+    "image/png", "image/jpeg", "image/gif", "application/pdf",
+    "application/gzip", "application/zip", "text/html", "text/xml",
+    "application/json", "text/plain", "image/webp", "audio/wav",
+]
+# alias spellings a server might declare for the same family
+_SNIFF_ALIAS_SPELLING = {
+    "text/html": "application/xhtml+xml",
+    "text/xml": "application/xml",
+    "image/jpeg": "image/jpg",
+    "application/gzip": "application/x-gzip",
+    "audio/wav": "audio/x-wav",
+    "application/json": "text/json",
+}
+
+
+def q_sniff_mime(spark, sf):
+    """MIME sniffing audit (operators/checker.py:sniff_mime): WHATWG-style
+    magic-byte detection over the first 64 payload bytes — magic
+    prefixes, whitespace-skipped case-insensitive markup tags, NUL-byte
+    binary/text split — compared against the declared Content-Type
+    (parameter-stripped, alias-folded).  Universe: 12 content families
+    keyed on doc_id%12 with real magic bytes (PNG/JPEG/GIF/PDF/gzip/
+    zip/RIFF-WEBP/RIFF-WAVE), html/xml/json tag spelling + leading-
+    whitespace variants, a NUL-poisoned "text/plain" slice, lying
+    declarations on doc_id%7, alias spellings on doc_id%13, and
+    case+charset-param noise on doc_id%11.  The oracle rebuilds the same
+    payload blobs in DuckDB and runs the byte-identical hex-regex rule
+    ladder (generated from the same table).  Pure Catalyst codegen —
+    hex/regexp/CASE, no UDF, no shuffle; at 100 TB it pipelines into the
+    scan.  Reference analog: warcio trusts the declared header
+    (warcio/recordloader.py:223-235); this is the audit that finds where
+    that trust is misplaced."""
+    from warcio_spark.operators.checker import sniff_mime
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    k = d % 12
+    body = F.encode(F.concat(F.lit("body"), s(d)), "UTF-8")
+    magic = (
+        F.when(k == 0, F.lit(b"\x89PNG\r\n\x1a\n"))
+        .when(k == 1, F.lit(b"\xff\xd8\xff\xe0"))
+        .when(k == 2, F.lit(b"GIF89a"))
+        .when(k == 3, F.lit(b"%PDF-1.7\n"))
+        .when(k == 4, F.lit(b"\x1f\x8b\x08"))
+        .when(k == 5, F.lit(b"PK\x03\x04"))
+        .when(k == 6,
+              F.when(d % 4 == 0, F.lit(b"<!DOCTYPE html><x>"))
+               .when(d % 4 == 1, F.lit(b"<Html><x>"))
+               .when(d % 4 == 2, F.lit(b"  <head><x>"))
+               .otherwise(F.lit(b"\n<SCRIPT>var x;")))
+        .when(k == 7,
+              F.when(d % 2 == 0, F.lit(b'<?xml version="1.0"?><r/>'))
+               .otherwise(F.lit(b'\t<?XML version="1.0"?><r/>')))
+        .when(k == 8,
+              F.when(d % 2 == 0, F.lit(b'{"k":1}')).otherwise(F.lit(b"[1,2]")))
+        .when(k == 9,
+              F.when(d % 2 == 0, F.lit(b"plain\x00bin"))
+               .otherwise(F.lit(b"plain text ")))
+        .when(k == 10, F.lit(b"RIFF0000WEBP"))
+        .otherwise(F.lit(b"RIFF0000WAVE"))
+    )
+    fams = F.array(*[F.lit(x) for x in _SNIFF_FAMILIES])
+    decl = F.when(
+        d % 7 == 0, F.element_at(fams, ((k + 3) % 12 + 1).cast("int"))
+    ).otherwise(F.element_at(fams, (k + 1).cast("int")))
+    # map lookup, not an iterated when-chain (2^n expression growth)
+    alias_map = F.create_map(
+        *[F.lit(x) for pair in _SNIFF_ALIAS_SPELLING.items() for x in pair]
+    )
+    decl = F.when(
+        d % 13 == 0, F.coalesce(F.element_at(alias_map, decl), decl)
+    ).otherwise(decl)
+    decl = F.when(
+        d % 11 == 0, F.concat(F.upper(decl), F.lit("; charset=UTF-8"))
+    ).otherwise(decl)
+    pages = docs.select(
+        d.alias("doc_id"),
+        F.concat(magic, body).alias("payload"),
+        decl.alias("content_type"),
+    )
+    return sniff_mime(pages).select(
+        "doc_id", F.col("content_type").alias("declared"),
+        "declared_norm", "sniffed_mime", "mismatch",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -3031,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_farms": q_link_farms,
         "recrawl_priors": q_recrawl_priors,
         "delay_compliance": q_delay_compliance,
+        "sniff_mime": q_sniff_mime,
     }
 
 
@@ -6056,5 +6147,67 @@ def oracle_sql() -> dict[str, str]:
                END AS violation_rate,
                (n_violations = 0) AS compliant
         FROM agg
+    """
+
+    # sniff_mime: the universe blobs are rebuilt in DuckDB and the rule
+    # ladder is the byte-identical hex-regex CASE generated from the same
+    # table the Spark expression compiles from (operators/checker.py).
+    from warcio_spark.operators.checker import sniff_mime_sql
+
+    _sniffed, _declnorm, _ = sniff_mime_sql("payload", "content_type")
+    _fams = "[" + ", ".join(f"'{x}'" for x in _SNIFF_FAMILIES) + "]"
+    _alias_whens = "".join(
+        f" WHEN '{src}' THEN '{dst}'"
+        for src, dst in _SNIFF_ALIAS_SPELLING.items()
+    )
+    out["sniff_mime"] = f"""
+        WITH u0 AS (
+          SELECT doc_id,
+            (CASE doc_id % 12
+              WHEN 0 THEN '\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB
+              WHEN 1 THEN '\\xFF\\xD8\\xFF\\xE0'::BLOB
+              WHEN 2 THEN 'GIF89a'::BLOB
+              WHEN 3 THEN '%PDF-1.7\\x0A'::BLOB
+              WHEN 4 THEN '\\x1F\\x8B\\x08'::BLOB
+              WHEN 5 THEN 'PK\\x03\\x04'::BLOB
+              WHEN 6 THEN (CASE doc_id % 4
+                WHEN 0 THEN '<!DOCTYPE html><x>'::BLOB
+                WHEN 1 THEN '<Html><x>'::BLOB
+                WHEN 2 THEN '  <head><x>'::BLOB
+                ELSE '\\x0A<SCRIPT>var x;'::BLOB END)
+              WHEN 7 THEN (CASE WHEN doc_id % 2 = 0
+                THEN '<?xml version="1.0"?><r/>'::BLOB
+                ELSE '\\x09<?XML version="1.0"?><r/>'::BLOB END)
+              WHEN 8 THEN (CASE WHEN doc_id % 2 = 0
+                THEN '{{"k":1}}'::BLOB ELSE '[1,2]'::BLOB END)
+              WHEN 9 THEN (CASE WHEN doc_id % 2 = 0
+                THEN 'plain\\x00bin'::BLOB ELSE 'plain text '::BLOB END)
+              WHEN 10 THEN 'RIFF0000WEBP'::BLOB
+              ELSE 'RIFF0000WAVE'::BLOB END)
+            || encode('body' || doc_id::VARCHAR) AS payload,
+            (CASE WHEN doc_id % 7 = 0
+                  THEN ({_fams})[(doc_id % 12 + 3) % 12 + 1]
+                  ELSE ({_fams})[doc_id % 12 + 1] END) AS ct
+          FROM documents),
+        u1 AS (
+          SELECT doc_id, payload,
+            CASE WHEN doc_id % 13 = 0
+                 THEN (CASE ct{_alias_whens} ELSE ct END)
+                 ELSE ct END AS ct
+          FROM u0),
+        u AS (
+          SELECT doc_id, payload,
+            CASE WHEN doc_id % 11 = 0
+                 THEN upper(ct) || '; charset=UTF-8'
+                 ELSE ct END AS content_type
+          FROM u1),
+        s AS (
+          SELECT doc_id, content_type AS declared,
+                 {_declnorm} AS declared_norm,
+                 {_sniffed} AS sniffed_mime
+          FROM u)
+        SELECT doc_id, declared, declared_norm, sniffed_mime,
+               (sniffed_mime <> declared_norm) AS mismatch
+        FROM s
     """
     return out

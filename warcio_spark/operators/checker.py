@@ -44,3 +44,190 @@ def rec_type_census(records: DataFrame) -> DataFrame:
     return records.groupBy("filename", "rec_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# MIME sniffing: magic-byte content-type detection vs the declared header.
+#
+# A crawl-hygiene audit in the spirit of the reference's content-type
+# handling (warcio/recordloader.py:223-235 trusts the declared
+# Content-Type; pywb and browsers re-sniff).  Rules follow the WHATWG MIME
+# Sniffing Standard's pattern-matching core: exact magic prefixes first,
+# then whitespace-skipped case-insensitive markup tags, then a binary/text
+# split on whether the sniff window contains a NUL byte.
+#
+# Everything operates on HEX(first 64 bytes) so the identical rule table
+# compiles to both a Spark Column (pure JVM regexp/CASE codegen — no UDF,
+# no shuffle; at 100 TB this is a scan+project that pipelines into
+# whatever runs next) and ANSI SQL text for an independent oracle.
+# ---------------------------------------------------------------------------
+
+SNIFF_WINDOW = 64
+
+# (uppercase-hex prefixes, sniffed mime) — first match wins.  Plain
+# prefix compares, not regexes: each compiles to a startswith/LIKE, so
+# the whole ladder stays inside one small whole-stage-codegen method (a
+# 19-regex CASE blew janino's 64KB method limit and forced the stage
+# into interpreted mode).
+MAGIC_RULES: list[tuple[list[str], str]] = [
+    (["89504E470D0A1A0A"], "image/png"),
+    (["FFD8FF"], "image/jpeg"),
+    (["474946383761", "474946383961"], "image/gif"),
+    (["25504446"], "application/pdf"),
+    (["1F8B"], "application/gzip"),
+    (["504B0304", "504B0506"], "application/zip"),
+]
+
+# RIFF containers: 'RIFF' + 4-byte chunk size + form type at bytes 9-12
+# (hex chars 17-24).
+RIFF_RULES: list[tuple[str, str]] = [
+    ("57454250", "image/webp"),
+    ("57415645", "audio/wav"),
+]
+
+# Markup tags matched case-insensitively after optional leading HTML
+# whitespace (tab/LF/CR/space), per the WHATWG table.
+TAG_RULES: list[tuple[str, str]] = [
+    ("<!doctype html", "text/html"),
+    ("<html", "text/html"),
+    ("<head", "text/html"),
+    ("<script", "text/html"),
+    ("<?xml", "text/xml"),
+    ("<svg", "image/svg+xml"),
+    ("{", "application/json"),
+    ("[", "application/json"),
+]
+
+_WS_HEX = "(09|0A|0D|20)*"
+
+
+def _ci_hex(s: str) -> str:
+    """Case-insensitive uppercase-hex regex fragment for an ASCII string."""
+    parts = []
+    for ch in s:
+        lo, up = ch.lower(), ch.upper()
+        if lo != up:
+            parts.append("(%02X|%02X)" % (ord(up), ord(lo)))
+        else:
+            parts.append("%02X" % ord(ch))
+    return "".join(parts)
+
+
+def tag_rules_hex() -> list[tuple[str, str]]:
+    """The markup-tag rules as (anchored ci hex regex, mime) pairs over
+    the whitespace-stripped window — the single source both the Spark
+    expression and the SQL oracle text compile from."""
+    return [("^" + _ci_hex(tag), mime) for tag, mime in TAG_RULES]
+
+
+# hex pairs always start at even offsets, so `^(..)*00` == "window
+# contains a 0x00 byte" (the WHATWG binary-data check).
+NUL_RULE_HEX = "^(..)*00"
+
+# Family aliases applied to BOTH the sniffed and the declared type before
+# comparing, so e.g. application/xhtml+xml vs a sniffed text/html is not
+# flagged.
+MIME_ALIASES: list[tuple[str, str]] = [
+    ("application/xhtml+xml", "text/html"),
+    ("application/xml", "text/xml"),
+    ("image/jpg", "image/jpeg"),
+    ("text/json", "application/json"),
+    ("application/x-gzip", "application/gzip"),
+    ("audio/x-wav", "audio/wav"),
+]
+
+
+def _normalize_mime(col):
+    """lowercase, parameters stripped, aliases folded to their family.
+
+    Map lookup, not an iterated when-chain: chaining
+    ``when(base == src).otherwise(base)`` embeds the base expression
+    twice per alias (2^n growth) and overflows janino."""
+    base = F.lower(F.trim(F.split_part(col, F.lit(";"), F.lit(1))))
+    alias_map = F.create_map(
+        *[F.lit(x) for pair in MIME_ALIASES for x in pair]
+    )
+    return F.coalesce(F.element_at(alias_map, base), base)
+
+
+def sniff_mime(
+    df: DataFrame,
+    payload_col: str = "payload",
+    declared_col: str = "content_type",
+) -> DataFrame:
+    """Append ``sniffed_mime``, ``declared_norm`` and ``mismatch`` columns.
+
+    ``sniffed_mime`` comes from the magic/tag/NUL rule ladder over the
+    first SNIFF_WINDOW bytes of ``payload_col``; ``declared_norm`` is the
+    parameter-stripped, alias-folded declared type; ``mismatch`` flags
+    rows whose bytes contradict their header.  Pure Catalyst expressions
+    end-to-end — prefix compares on a hex window computed once (codegen
+    subexpression elimination) plus 6 short anchored regexes on the
+    whitespace-stripped window: no Python hop, no shuffle."""
+    h = F.hex(F.col(payload_col).substr(1, SNIFF_WINDOW))
+    # leading-whitespace strip happens once; `^(09|0A|0D|20)*` consumes
+    # whole hex pairs so byte alignment is preserved
+    h2 = F.regexp_replace(h, "^" + _WS_HEX, "")
+    sniffed = None
+
+    def _add(cond, mime):
+        nonlocal sniffed
+        sniffed = (
+            F.when(cond, F.lit(mime)) if sniffed is None
+            else sniffed.when(cond, F.lit(mime))
+        )
+
+    for prefixes, mime in MAGIC_RULES:
+        cond = h.startswith(prefixes[0])
+        for p in prefixes[1:]:
+            cond = cond | h.startswith(p)
+        _add(cond, mime)
+    for form, mime in RIFF_RULES:
+        _add(h.startswith("52494646") & (h.substr(17, 8) == form), mime)
+    for pat, mime in tag_rules_hex():
+        _add(h2.rlike(pat), mime)
+    sniffed = sniffed.when(h.rlike(NUL_RULE_HEX), F.lit("application/octet-stream"))
+    sniffed = sniffed.otherwise(F.lit("text/plain"))
+    declared_norm = _normalize_mime(F.col(declared_col))
+    return df.withColumn("sniffed_mime", sniffed).withColumn(
+        "declared_norm", declared_norm
+    ).withColumn("mismatch", F.col("sniffed_mime") != F.col("declared_norm"))
+
+
+def sniff_mime_sql(payload_expr: str, declared_expr: str) -> tuple[str, str, str]:
+    """Render the identical sniff ladder as ANSI SQL text (DuckDB oracle).
+
+    Returns (sniffed_sql, declared_norm_sql, mismatch_sql) fragments over
+    the given payload/declared SQL expressions."""
+    # DuckDB has no substring-on-BLOB; left() on the hex string is the
+    # same 64-byte window (2 hex chars per byte).  `h`/`h2` are expected
+    # to be SELECTed once in a surrounding CTE by the caller — pass the
+    # column names in; this keeps the oracle text mirroring the Spark
+    # plan's compute-once window.
+    h = f"left(hex({payload_expr}), {2 * SNIFF_WINDOW})"
+    h2 = f"regexp_replace({h}, '^{_WS_HEX}', '')"
+    whens = ""
+    for prefixes, mime in MAGIC_RULES:
+        cond = " OR ".join(f"starts_with({h}, '{p}')" for p in prefixes)
+        whens += f" WHEN {cond} THEN '{mime}'"
+    for form, mime in RIFF_RULES:
+        whens += (
+            f" WHEN starts_with({h}, '52494646')"
+            f" AND substring({h}, 17, 8) = '{form}' THEN '{mime}'"
+        )
+    for pat, mime in tag_rules_hex():
+        whens += f" WHEN regexp_matches({h2}, '{pat}') THEN '{mime}'"
+    whens += (
+        f" WHEN regexp_matches({h}, '{NUL_RULE_HEX}')"
+        " THEN 'application/octet-stream'"
+    )
+    sniffed = f"(CASE{whens} ELSE 'text/plain' END)"
+    # Alias sources and targets are disjoint, so the iterative Spark
+    # when-chain is equivalent to one flat simple CASE.
+    b = f"lower(trim(split_part({declared_expr}, ';', 1)))"
+    alias_whens = "".join(
+        f" WHEN '{src}' THEN '{dst}'" for src, dst in MIME_ALIASES
+    )
+    base = f"(CASE {b}{alias_whens} ELSE {b} END)"
+    mismatch = f"({sniffed} <> {base})"
+    return sniffed, base, mismatch
