@@ -3010,6 +3010,185 @@ def q_sniff_mime(spark, sf):
     )
 
 
+# language ring shared by q_bitext_candidates and its DuckDB oracle
+_BITEXT_LANGS = ["en", "fr", "de", "es", "it", "pt"]
+
+
+def q_segment_reassembly(spark, sf):
+    """WARC segment reassembly (operators/segments.reassemble_segments):
+    continuation records stitched back into whole records per WARC 1.1
+    §§5.18-5.20 — grouped on WARC-Segment-Origin-ID, ordered by
+    WARC-Segment-Number, validated against WARC-Segment-Total-Length.
+    The reference reads the segment number only to skip digest checks
+    (warcio/recordloader.py:161) and hands segments through unassembled;
+    this is the distributed reassembly a multi-file corpus needs.
+    Universe: doc_id%4+1 segments per logical record (1 -> unsegmented
+    passthrough), fixed-shape part text so the true total is expressible
+    in both engines, a gap (segment 2 dropped) on doc_id%5, a lying
+    declared total on doc_id%7, a missing total on doc_id%11.  The
+    DuckDB oracle replays the universe and the reassembly as
+    string_agg ORDER BY seg + the same completeness predicate.  Scale
+    shape: only segmented records shuffle (one exchange on origin id);
+    the unsegmented mass stays map-only."""
+    from warcio_spark.operators.segments import reassemble_segments
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    n = (d % 4 + 1).cast("int")
+    parts = docs.select(
+        d.alias("doc_id"),
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(1), n)).alias("seg"),
+    ).filter(
+        ~((F.col("doc_id") % 5 == 0) & (F.col("n") >= 3) & (F.col("seg") == 2))
+    )
+    dd, nn, sg = F.col("doc_id"), F.col("n"), F.col("seg")
+    part = F.concat(F.lit("seg:"), s(dd), F.lit(":"), s(sg))
+    true_total = (nn * (F.length(s(dd)) + 6)).cast("long")
+    declared = F.when(
+        sg == nn,
+        F.when(dd % 11 == 0, F.lit(None).cast("long"))
+        .when(dd % 7 == 0, true_total + 1)
+        .otherwise(true_total),
+    )
+    head = sg == 1
+    records = parts.select(
+        F.when(head, F.concat(F.lit("<id:"), s(dd), F.lit(">")))
+        .otherwise(F.concat(F.lit("<id:"), s(dd), F.lit("/"), s(sg),
+                            F.lit(">"))).alias("record_id"),
+        F.when(
+            head, F.when(dd % 2 == 0, F.lit("response")).otherwise("resource")
+        ).otherwise(F.lit("continuation")).alias("rec_type"),
+        F.when(nn > 1, sg).alias("segment_number"),
+        F.when(
+            (nn > 1) & ~head, F.concat(F.lit("<id:"), s(dd), F.lit(">"))
+        ).alias("segment_origin_id"),
+        F.when(nn > 1, declared).alias("segment_total_length"),
+        F.encode(part, "UTF-8").alias("payload"),
+    )
+    return reassemble_segments(records).select(
+        "origin_id",
+        "rec_type",
+        F.decode("payload", "UTF-8").alias("payload_text"),
+        "n_segments",
+        "actual_length",
+        "declared_total",
+        "complete",
+    )
+
+
+def q_bitext_candidates(spark, sf):
+    """Bitext candidate mining (operators/bitext.bitext_candidates):
+    cross-language translation-pair candidates from declared hreflang
+    alternates — the CCAligned/CCMatrix first stage over the link signal
+    the crawler already extracts (links.hreflang_alternates).  Universe:
+    one page per doc over a 6-language ring (doc_id%19 shifts a page
+    onto its partner's language to exercise the same-lang mirror gate),
+    n_chars=(doc_id*37)%200 so length ratios span the gate; even docs
+    link to their odd partner, odd docs reciprocate on doc_id%3; the
+    declared hreflang is the target's true language except doc_id%7
+    (lies), doc_id%13 (regional '-XX' suffix — primary subtag still
+    agrees) and doc_id%17 (x-default, dropped); the last even doc's
+    partner may not exist (unfetched -> silently out, in both engines,
+    via the page join).  The DuckDB oracle replays universe, joins,
+    canonical pair ordering and the min/AND fold.  Scale shape: two url
+    equi joins + one pair groupBy."""
+    from warcio_spark.operators.bitext import bitext_candidates
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    langs = F.array(*[F.lit(x) for x in _BITEXT_LANGS])
+
+    def url(x):
+        return F.concat(F.lit("http://s"), s(x % 23), F.lit(".ex/p"), s(x))
+
+    def lang(x):
+        shift = F.when(x % 19 == 0, 1).otherwise(0)
+        return F.element_at(langs, ((x + shift) % 6 + 1).cast("int"))
+
+    pages = docs.select(
+        url(d).alias("url"),
+        lang(d).alias("lang"),
+        ((d * 37) % 200).cast("long").alias("n_chars"),
+    )
+
+    def declared(src, tgt):
+        return (
+            F.when(src % 17 == 0, F.lit("x-default"))
+            .when(src % 7 == 0,
+                  F.element_at(langs, ((src + 2) % 6 + 1).cast("int")))
+            .when(src % 13 == 0, F.concat(lang(tgt), F.lit("-XX")))
+            .otherwise(lang(tgt))
+        )
+
+    fwd = docs.filter(d % 2 == 0).select(
+        url(d).alias("src_url"),
+        declared(d, d + 1).alias("hreflang"),
+        url(d + 1).alias("alternate"),
+    )
+    back = docs.filter((d % 2 == 1) & (d % 3 == 0)).select(
+        url(d).alias("src_url"),
+        declared(d, d - 1).alias("hreflang"),
+        url(d - 1).alias("alternate"),
+    )
+    return bitext_candidates(fwd.unionByName(back), pages)
+
+
+def q_ip_queues(spark, sf):
+    """Queue-by-IP politeness (plans/ipqueues.ip_queue_budget):
+    Heritrix-style merge of per-host crawl queues that resolve to the
+    same server — co-hosted vhosts share one budget keyed ip:<ip>, the
+    strictest member delay governs, unresolved hosts keep host:<host>
+    queues.  Universe: 37 hosts over doc_id with per-host URL counts
+    from the real doc distribution, delays from hostnum%4 (0 -> NULL ->
+    default 2.0), resolution onto 5 shared IPs with hostnum%3==2 left
+    unresolved and host 7 resolving to NULL (same as unresolved).  The
+    DuckDB oracle replays the aggregation + merge.  Scale shape: one
+    broadcast join (resolution is hosts-sized) + one map-side-combinable
+    groupBy."""
+    from warcio_spark.plans.ipqueues import ip_queue_budget
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    hostnum = (d % 37).alias("hostnum")
+    stats = (
+        docs.groupBy(hostnum)
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .select(
+            F.concat(F.lit("h"), s(F.col("hostnum")), F.lit(".ex")).alias(
+                "host"),
+            "n_urls",
+            F.when(
+                F.col("hostnum") % 4 != 0,
+                (F.col("hostnum") % 4).cast("double") * 1.5,
+            ).alias("crawl_delay"),
+        )
+    )
+    res = (
+        docs.select((d % 37).alias("hostnum")).distinct()
+        .filter(F.col("hostnum") % 3 != 2)
+        .select(
+            F.concat(F.lit("h"), s(F.col("hostnum")), F.lit(".ex")).alias(
+                "host"),
+            F.when(
+                F.col("hostnum") != 7,
+                F.concat(F.lit("10.0.0."), s(F.col("hostnum") % 5)),
+            ).alias("ip"),
+        )
+    )
+    return ip_queue_budget(stats, res, default_delay=2.0).select(
+        "queue_key",
+        "n_hosts",
+        "n_urls",
+        "delay_s",
+        "eta_s",
+        F.array_join("hosts_preview", ",").alias("hosts_preview"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -3122,6 +3301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priors": q_recrawl_priors,
         "delay_compliance": q_delay_compliance,
         "sniff_mime": q_sniff_mime,
+        "segment_reassembly": q_segment_reassembly,
+        "bitext_candidates": q_bitext_candidates,
+        "ip_queues": q_ip_queues,
     }
 
 
@@ -6209,5 +6391,185 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, declared, declared_norm, sniffed_mime,
                (sniffed_mime <> declared_norm) AS mismatch
         FROM s
+    """
+
+    # segment_reassembly: replay the universe (doc_id%4+1 parts, gap on
+    # %5, lying total on %7, missing total on %11) and the reassembly as
+    # ordered string_agg + the same completeness predicate.
+    out["segment_reassembly"] = """
+        WITH parts AS (
+          SELECT doc_id, (doc_id % 4 + 1)::INT AS n,
+                 unnest(generate_series(1, doc_id % 4 + 1))::INT AS seg
+          FROM documents
+        ),
+        rws AS (
+          SELECT doc_id, seg, n,
+                 'seg:' || doc_id::VARCHAR || ':' || seg::VARCHAR AS part,
+                 CASE WHEN seg = n THEN
+                   CASE WHEN doc_id % 11 = 0 THEN NULL
+                        WHEN doc_id % 7 = 0
+                          THEN n * (length(doc_id::VARCHAR) + 6) + 1
+                        ELSE n * (length(doc_id::VARCHAR) + 6) END
+                 END AS total
+          FROM parts
+          WHERE NOT (doc_id % 5 = 0 AND n >= 3 AND seg = 2)
+        ),
+        plain AS (
+          SELECT '<id:' || doc_id::VARCHAR || '>' AS origin_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'response'
+                      ELSE 'resource' END AS rec_type,
+                 part AS payload_text,
+                 1 AS n_segments,
+                 length(part)::BIGINT AS actual_length,
+                 NULL::BIGINT AS declared_total,
+                 TRUE AS complete
+          FROM rws WHERE n = 1
+        ),
+        seg AS (
+          SELECT '<id:' || doc_id::VARCHAR || '>' AS origin_id,
+                 max(CASE WHEN seg = 1 THEN
+                       (CASE WHEN doc_id % 2 = 0 THEN 'response'
+                             ELSE 'resource' END) END) AS rec_type,
+                 string_agg(part, '' ORDER BY seg) AS payload_text,
+                 count(*)::INT AS n_segments,
+                 sum(length(part))::BIGINT AS actual_length,
+                 max(total)::BIGINT AS declared_total,
+                 (min(seg) = 1 AND max(seg) = count(*)
+                  AND count(DISTINCT seg) = count(*)
+                  AND max(CASE WHEN seg = 1 THEN 1 END) IS NOT NULL
+                  AND coalesce(max(total) = sum(length(part)), FALSE)
+                 ) AS complete
+          FROM rws WHERE n > 1
+          GROUP BY doc_id
+        )
+        SELECT * FROM plain UNION ALL SELECT * FROM seg
+    """
+
+    # bitext_candidates: replay the 6-language page universe, the
+    # forward/reciprocal hreflang edges, both page joins, the canonical
+    # (url_a < url_b) fold and the min/AND dedup.
+    _bl = "[" + ", ".join(f"'{x}'" for x in _BITEXT_LANGS) + "]"
+    out["bitext_candidates"] = f"""
+        WITH pages AS (
+          SELECT 'http://s' || (doc_id % 23)::VARCHAR || '.ex/p'
+                   || doc_id::VARCHAR AS url,
+                 ({_bl})[((doc_id + CASE WHEN doc_id % 19 = 0 THEN 1
+                                         ELSE 0 END) % 6 + 1)::INT] AS lang,
+                 ((doc_id * 37) % 200)::BIGINT AS n_chars
+          FROM documents
+        ),
+        edges AS (
+          SELECT 'http://s' || (doc_id % 23)::VARCHAR || '.ex/p'
+                   || doc_id::VARCHAR AS src_url,
+                 CASE WHEN doc_id % 17 = 0 THEN 'x-default'
+                      WHEN doc_id % 7 = 0
+                        THEN ({_bl})[((doc_id + 2) % 6 + 1)::INT]
+                      WHEN doc_id % 13 = 0
+                        THEN ({_bl})[((doc_id + 1
+                               + CASE WHEN (doc_id + 1) % 19 = 0 THEN 1
+                                      ELSE 0 END) % 6 + 1)::INT] || '-XX'
+                      ELSE ({_bl})[((doc_id + 1
+                               + CASE WHEN (doc_id + 1) % 19 = 0 THEN 1
+                                      ELSE 0 END) % 6 + 1)::INT]
+                 END AS hreflang,
+                 'http://s' || ((doc_id + 1) % 23)::VARCHAR || '.ex/p'
+                   || (doc_id + 1)::VARCHAR AS alternate
+          FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT 'http://s' || (doc_id % 23)::VARCHAR || '.ex/p'
+                   || doc_id::VARCHAR,
+                 CASE WHEN doc_id % 17 = 0 THEN 'x-default'
+                      WHEN doc_id % 7 = 0
+                        THEN ({_bl})[((doc_id + 2) % 6 + 1)::INT]
+                      WHEN doc_id % 13 = 0
+                        THEN ({_bl})[((doc_id - 1
+                               + CASE WHEN (doc_id - 1) % 19 = 0 THEN 1
+                                      ELSE 0 END) % 6 + 1)::INT] || '-XX'
+                      ELSE ({_bl})[((doc_id - 1
+                               + CASE WHEN (doc_id - 1) % 19 = 0 THEN 1
+                                      ELSE 0 END) % 6 + 1)::INT]
+                 END,
+                 'http://s' || ((doc_id - 1) % 23)::VARCHAR || '.ex/p'
+                   || (doc_id - 1)::VARCHAR
+          FROM documents WHERE doc_id % 2 = 1 AND doc_id % 3 = 0
+        ),
+        joined AS (
+          SELECT e.src_url, e.hreflang AS declared_lang, e.alternate,
+                 ps.lang AS src_lang, ps.n_chars AS src_chars,
+                 pd.lang AS dst_lang, pd.n_chars AS dst_chars
+          FROM edges e
+          JOIN pages ps ON ps.url = e.src_url
+          JOIN pages pd ON pd.url = e.alternate
+          WHERE e.hreflang <> 'x-default' AND e.src_url <> e.alternate
+        ),
+        pairs AS (
+          SELECT
+            CASE WHEN src_url < alternate THEN src_url
+                 ELSE alternate END AS url_a,
+            CASE WHEN src_url < alternate THEN alternate
+                 ELSE src_url END AS url_b,
+            CASE WHEN src_url < alternate THEN src_lang
+                 ELSE dst_lang END AS lang_a,
+            CASE WHEN src_url < alternate THEN dst_lang
+                 ELSE src_lang END AS lang_b,
+            declared_lang,
+            round(CASE WHEN greatest(src_chars, dst_chars) > 0
+                       THEN least(src_chars, dst_chars)::DOUBLE
+                            / greatest(src_chars, dst_chars)
+                       ELSE 0.0 END, 6) AS len_ratio,
+            (dst_lang = split_part(declared_lang, '-', 1)) AS lang_agrees,
+            (src_lang <> dst_lang
+             AND round(CASE WHEN greatest(src_chars, dst_chars) > 0
+                            THEN least(src_chars, dst_chars)::DOUBLE
+                                 / greatest(src_chars, dst_chars)
+                            ELSE 0.0 END, 6) >= 0.5
+             AND dst_lang = split_part(declared_lang, '-', 1)
+            ) AS candidate
+          FROM joined
+        )
+        SELECT url_a, url_b,
+               min(lang_a) AS lang_a, min(lang_b) AS lang_b,
+               min(declared_lang) AS declared_lang,
+               min(len_ratio) AS len_ratio,
+               min(lang_agrees) AS lang_agrees,
+               min(candidate) AS candidate
+        FROM pairs GROUP BY url_a, url_b
+    """
+
+    # ip_queues: replay the 37-host stats aggregation, the resolution
+    # table (hostnum%3==2 absent, host 7 NULL ip) and the queue merge.
+    out["ip_queues"] = """
+        WITH stats AS (
+          SELECT 'h' || (doc_id % 37)::VARCHAR || '.ex' AS host,
+                 (doc_id % 37) AS hostnum,
+                 count(*)::BIGINT AS n_urls,
+                 CASE WHEN (doc_id % 37) % 4 <> 0
+                      THEN ((doc_id % 37) % 4)::DOUBLE * 1.5
+                 END AS crawl_delay
+          FROM documents GROUP BY doc_id % 37
+        ),
+        res AS (
+          SELECT DISTINCT (doc_id % 37) AS hostnum,
+                 CASE WHEN doc_id % 37 <> 7
+                      THEN '10.0.0.' || ((doc_id % 37) % 5)::VARCHAR
+                 END AS ip
+          FROM documents WHERE (doc_id % 37) % 3 <> 2
+        ),
+        joined AS (
+          SELECT CASE WHEN r.ip IS NOT NULL THEN 'ip:' || r.ip
+                      ELSE 'host:' || s.host END AS queue_key,
+                 s.host, s.n_urls,
+                 coalesce(s.crawl_delay, 2.0::DOUBLE) AS delay_s
+          FROM stats s LEFT JOIN res r ON r.hostnum = s.hostnum
+        )
+        SELECT queue_key,
+               count(DISTINCT host)::INT AS n_hosts,
+               sum(n_urls)::BIGINT AS n_urls,
+               round(max(delay_s), 6) AS delay_s,
+               round(greatest(sum(n_urls) - 1, 0) * max(delay_s), 6) AS eta_s,
+               array_to_string(
+                 (array_agg(DISTINCT host ORDER BY host))[1:5], ','
+               ) AS hosts_preview
+        FROM joined GROUP BY queue_key
     """
     return out

@@ -97,6 +97,11 @@ BENCH_QUERIES = [
     "link_farms",  # distinct edges + reversed-pair semi-join, host-sized
     "recrawl_priors",  # literal CASE prior + one url agg + one equi join
     "delay_compliance",  # lag window + host agg share one shuffle
+    # round-5f additions
+    "sniff_mime",  # hex prefix ladder, pure codegen, no shuffle
+    "segment_reassembly",  # one origin-id shuffle for the segmented sliver
+    "bitext_candidates",  # two url equi joins + one pair agg
+    "ip_queues",  # broadcast resolution join + one host-queue agg
 ]
 
 

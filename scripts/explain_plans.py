@@ -75,6 +75,10 @@ PICKS = [
     "link_farms",  # reversed-pair left-semi join, host-cardinality aggs
     "recrawl_priors",  # CASE-map prior, one url agg, observed-wins join
     "delay_compliance",  # broadcast delays onto lagged rows, one shuffle
+    "sniff_mime",  # hex prefix ladder: pure codegen, zero shuffles
+    "segment_reassembly",  # ONE origin-id shuffle, unsegmented mass map-only
+    "bitext_candidates",  # two url equi joins + one pair groupBy
+    "ip_queues",  # broadcast resolution + map-combinable queue agg
 ]
 
 
