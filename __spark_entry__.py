@@ -3014,6 +3014,72 @@ def q_sniff_mime(spark, sf):
 _BITEXT_LANGS = ["en", "fr", "de", "es", "it", "pt"]
 
 
+def q_truncation_audit(spark, sf):
+    """Truncation audit (operators/checker.truncation_audit): WARC 1.1
+    §5.13 WARC-Truncated reasons normalized (empty value -> unspecified,
+    case/space folded) + declared HTTP Content-Length vs stored body
+    bytes, classifying declared / silent / overlong / clean with the
+    byte deficit.  The reference carries WARC-Truncated through
+    (statusandheaders get_header) but never audits; a record cut short
+    WITHOUT the header is invisible until a consumer starves — this is
+    the corpus-hygiene sweep that finds it.  Universe: body length from
+    (doc_id*13)%500 with a no-payload slice (doc_id%17), declared CL
+    offset +60 / -5 / 0 by doc_id%5 (silent / overlong / exact),
+    malformed 'abc' CL on doc_id%11, absent CL on doc_id%13, and a
+    WARC-Truncated header on doc_id%7 with tokens cycling
+    'length'/' TIME '/''.  Both engines see the SAME headers: Spark
+    builds real header arrays and runs the higher-order-filter audit;
+    the DuckDB oracle recomputes reason/CL/body from the generating
+    CASEs (including the negative-CL digits-guard).  Pure codegen, no
+    UDF, no shuffle.  Reference corpus parity (4 fixtures, including
+    example-trunc.warc, record-for-record vs the reference library)
+    lives in tests/test_truncation.py."""
+    from warcio_spark.operators.checker import truncation_audit
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    body = (d * 13) % 500
+    token = (
+        F.when(d % 3 == 0, "length").when(d % 3 == 1, " TIME ")
+        .otherwise("")
+    )
+    rec_base = F.struct(
+        F.lit("WARC-Type").alias("name"), F.lit("response").alias("value")
+    )
+    rec_headers = F.when(
+        d % 7 == 0,
+        F.array(rec_base, F.struct(
+            F.lit("WARC-Truncated").alias("name"), token.alias("value"))),
+    ).otherwise(F.array(rec_base))
+    delta = F.when(d % 5 == 0, 60).when(d % 5 == 1, -5).otherwise(0)
+    cl_value = (
+        F.when(d % 11 == 0, F.lit("abc")).otherwise(s(body + delta))
+    )
+    http_base = F.struct(
+        F.lit("Content-Type").alias("name"), F.lit("text/html").alias("value")
+    )
+    http_headers = F.when(
+        d % 13 == 0, F.array(http_base)
+    ).otherwise(F.array(http_base, F.struct(
+        F.lit("Content-Length").alias("name"), cl_value.alias("value"))))
+    records = docs.select(
+        F.concat(F.lit("<id:"), s(d), F.lit(">")).alias("record_id"),
+        rec_headers.alias("rec_headers"),
+        http_headers.alias("http_headers"),
+        F.when(d % 17 == 0, F.lit(-1)).otherwise(body).cast("long").alias(
+            "payload_length"),
+    )
+    return truncation_audit(records).select(
+        "record_id",
+        "truncated_reason",
+        "declared_cl",
+        "body_length",
+        "deficit",
+        "trunc_status",
+    )
+
+
 def q_segment_reassembly(spark, sf):
     """WARC segment reassembly (operators/segments.reassemble_segments):
     continuation records stitched back into whole records per WARC 1.1
@@ -3304,6 +3370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_reassembly": q_segment_reassembly,
         "bitext_candidates": q_bitext_candidates,
         "ip_queues": q_ip_queues,
+        "truncation_audit": q_truncation_audit,
     }
 
 
@@ -6571,5 +6638,42 @@ def oracle_sql() -> dict[str, str]:
                  (array_agg(DISTINCT host ORDER BY host))[1:5], ','
                ) AS hosts_preview
         FROM joined GROUP BY queue_key
+    """
+
+    # truncation_audit: recompute reason/declared/body from the universe's
+    # generating CASEs — including the empty-token -> 'unspecified' fold
+    # and the digits-guard that NULLs a negative or non-numeric CL.
+    out["truncation_audit"] = """
+        WITH u AS (
+          SELECT doc_id,
+                 (doc_id * 13) % 500 AS body,
+                 CASE WHEN doc_id % 5 = 0 THEN 60
+                      WHEN doc_id % 5 = 1 THEN -5 ELSE 0 END AS delta
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0 THEN
+              CASE WHEN doc_id % 3 = 0 THEN 'length'
+                   WHEN doc_id % 3 = 1 THEN 'time'
+                   ELSE 'unspecified' END
+            END AS truncated_reason,
+            CASE WHEN doc_id % 13 = 0 THEN NULL
+                 WHEN doc_id % 11 = 0 THEN NULL
+                 WHEN body + delta < 0 THEN NULL
+                 ELSE (body + delta)::BIGINT END AS declared_cl,
+            CASE WHEN doc_id % 17 = 0 THEN NULL
+                 ELSE body::BIGINT END AS body_length
+          FROM u
+        )
+        SELECT '<id:' || doc_id::VARCHAR || '>' AS record_id,
+               truncated_reason, declared_cl, body_length,
+               CASE WHEN declared_cl - body_length > 0
+                    THEN declared_cl - body_length END AS deficit,
+               CASE WHEN truncated_reason IS NOT NULL THEN 'declared'
+                    WHEN declared_cl - body_length > 0 THEN 'silent'
+                    WHEN body_length > declared_cl THEN 'overlong'
+                    ELSE 'clean' END AS trunc_status
+        FROM f
     """
     return out

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "segment_reassembly",  # one origin-id shuffle for the segmented sliver
     "bitext_candidates",  # two url equi joins + one pair agg
     "ip_queues",  # broadcast resolution join + one host-queue agg
+    "truncation_audit",  # header HOF filters + CASE ladder, zero shuffles
 ]
 
 

@@ -79,6 +79,7 @@ PICKS = [
     "segment_reassembly",  # ONE origin-id shuffle, unsegmented mass map-only
     "bitext_candidates",  # two url equi joins + one pair groupBy
     "ip_queues",  # broadcast resolution + map-combinable queue agg
+    "truncation_audit",  # header HOF filters + CASE ladder: zero shuffles
 ]
 
 

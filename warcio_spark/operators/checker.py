@@ -231,3 +231,91 @@ def sniff_mime_sql(payload_expr: str, declared_expr: str) -> tuple[str, str, str
     base = f"(CASE {b}{alias_whens} ELSE {b} END)"
     mismatch = f"({sniffed} <> {base})"
     return sniffed, base, mismatch
+
+
+# ---------------------------------------------------------------------------
+# Truncation audit: WARC-Truncated (WARC 1.1 §5.13) + declared-vs-actual
+# payload length.
+#
+# The spec lets a writer store a cut-short capture and say so: a
+# WARC-Truncated header with reason-token length / time / disconnect /
+# unspecified.  The reference carries the header through like any other
+# (statusandheaders.py get_header) but never audits it, and a record cut
+# short WITHOUT the header (the crawler died, the pipe broke mid-write) is
+# invisible until a consumer trips over the missing bytes.  This is the
+# corpus-hygiene sweep: classify every record's body against its own
+# declared HTTP Content-Length.
+#
+# Pure JVM expressions over the parsed-records table (header_get is a
+# higher-order filter) — no UDF, no shuffle; at 100 TB it pipelines into
+# the ingest scan.  `truncation_census` adds the one groupBy a report
+# needs.
+# ---------------------------------------------------------------------------
+
+# reason tokens the spec enumerates; anything else surfaces as-is
+TRUNCATION_REASONS = ("length", "time", "disconnect", "unspecified")
+
+
+def truncation_audit(records: DataFrame) -> DataFrame:
+    """Per-record truncation verdict.
+
+    Expects the parsed-records shape (``rec_headers``, ``http_headers``,
+    ``payload_length`` — sources/warc.read_warc output).  Appends:
+
+    - ``truncated_reason`` — the WARC-Truncated value, trimmed and
+      lowercased; a PRESENT-but-empty header reads ``unspecified`` (the
+      spec's own default); NULL when the header is absent;
+    - ``declared_cl`` — the HTTP Content-Length the server declared
+      (NULL when absent or non-numeric: chunked bodies carry none);
+    - ``body_length`` — the actual stored body byte count
+      (``payload_length``; NULL when the record has no http payload);
+    - ``deficit`` — ``declared_cl - body_length`` when positive;
+    - ``trunc_status`` — ``declared`` (header present, honest writer),
+      ``silent`` (no header, body shorter than declared — the bad case),
+      ``overlong`` (body longer than declared), ``clean`` otherwise.
+    """
+    from warcio_spark import functions as WF
+
+    reason_raw = WF.header_get(F.col("rec_headers"), "WARC-Truncated")
+    reason = F.when(
+        reason_raw.isNotNull(),
+        F.when(F.trim(reason_raw) == "", "unspecified").otherwise(
+            F.lower(F.trim(reason_raw))
+        ),
+    )
+    cl_raw = F.trim(WF.header_get(F.col("http_headers"), "Content-Length"))
+    # digits-only guard, then cast: a malformed CL (empty, 'abc', '1,2')
+    # reads NULL — the same "untrustworthy header" treatment the parse
+    # kernel gives it, and trivially mirrored in the SQL oracle
+    declared_cl = F.when(cl_raw.rlike("^[0-9]+$"), cl_raw.cast("long"))
+    body = F.when(F.col("payload_length") >= 0, F.col("payload_length"))
+    deficit = F.when(declared_cl - body > 0, declared_cl - body)
+    status = (
+        F.when(reason.isNotNull(), "declared")
+        .when(deficit.isNotNull(), "silent")
+        .when(body > declared_cl, "overlong")
+        .otherwise("clean")
+    )
+    return records.withColumns(
+        {
+            "truncated_reason": reason,
+            "declared_cl": declared_cl,
+            "body_length": body,
+            "deficit": deficit,
+            "trunc_status": status,
+        }
+    )
+
+
+def truncation_census(records: DataFrame) -> DataFrame:
+    """(filename, trunc_status, truncated_reason, n, bytes_missing) —
+    the per-file rollup of ``truncation_audit``: one map-combinable
+    groupBy."""
+    return (
+        truncation_audit(records)
+        .groupBy("filename", "trunc_status", "truncated_reason")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("deficit").alias("bytes_missing"),
+        )
+    )
