@@ -1181,6 +1181,105 @@ def q_per_host_budget(spark, sf):
 # --- non-SQL-expressible ops: pinned-golden oracles (see PINNED_GOLDEN) -------
 
 
+def q_alias_collapse(spark, sf):
+    """Canonical-alias capture collapse (plans/graph.collapse_aliases):
+    redirect targets and rel=canonical declarations union into one
+    pointer graph, resolve_chains walks every chain to its terminal
+    (pointer doubling — loops keep their own url), and the capture
+    index folds onto the finals — the canonicalization stage index
+    pipelines run before content dedup.  Universe over 5-doc blocks
+    with base b(k): the block head captures b(k) itself, one member
+    captures the utm-tagged alias (canonical edge), one captures an
+    old-host url that 301s through a middle host (2-hop redirect
+    chain), one is a 2-loop (unresolved, keeps self), one is a plain
+    solo url.  The DuckDB oracle replays the edges with a recursive
+    walk CTE (terminal = no outgoing edge), the same
+    coalesce(final, self) fold, and the two-level capture rollup."""
+    from warcio_spark.plans.graph import collapse_aliases
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    k = d - d % 5
+
+    def base(x):
+        return F.concat(F.lit("http://p.ex/"), s(x))
+
+    cap = (
+        F.when(d % 5 == 0, base(k))
+        .when(d % 5 == 1, F.concat(base(k), F.lit("?utm=1")))
+        .when(d % 5 == 2, F.concat(F.lit("http://old.ex/"), s(k)))
+        .when(d % 5 == 3, F.concat(F.lit("http://loop.ex/"), s(d)))
+        .otherwise(F.concat(F.lit("http://solo.ex/"), s(d)))
+    )
+    captures = docs.select(cap.alias("url"))
+    canon_edges = docs.filter(d % 5 == 1).select(
+        F.concat(base(k), F.lit("?utm=1")).alias("src"),
+        base(k).alias("dst"),
+    )
+    redir1 = docs.filter(d % 5 == 2).select(
+        F.concat(F.lit("http://old.ex/"), s(k)).alias("src"),
+        F.concat(F.lit("http://m.ex/"), s(k)).alias("dst"),
+    )
+    redir2 = docs.filter(d % 5 == 2).select(
+        F.concat(F.lit("http://m.ex/"), s(k)).alias("src"),
+        base(k).alias("dst"),
+    )
+    loop1 = docs.filter(d % 5 == 3).select(
+        F.concat(F.lit("http://loop.ex/"), s(d)).alias("src"),
+        F.concat(F.lit("http://loopb.ex/"), s(d)).alias("dst"),
+    )
+    loop2 = docs.filter(d % 5 == 3).select(
+        F.concat(F.lit("http://loopb.ex/"), s(d)).alias("src"),
+        F.concat(F.lit("http://loop.ex/"), s(d)).alias("dst"),
+    )
+    edges = canon_edges.unionByName(redir1).unionByName(redir2) \
+        .unionByName(loop1).unionByName(loop2)
+    return collapse_aliases(captures, edges, max_hops=8)
+
+
+def q_fetch_fairness(spark, sf):
+    """Crawl fairness report (plans/fairness.fetch_fairness): Gini /
+    HHI / max-share concentration of the fetch budget across hosts —
+    the scheduler drift alarm (a trap or skew bug concentrates fetches
+    long before anything else visibly breaks).  Universe: a skewed log,
+    host = least(doc_id%53, doc_id%17) so small host numbers soak up
+    multiple residue classes.  The Gini's global rank comes from the
+    TeraSort-style two-phase prefix scan (plans/prefix) — NO
+    unpartitioned window even at 10^8 hosts; the DuckDB oracle uses a
+    plain ROW_NUMBER (same (count, host) order, tie-commutative) and
+    replays the closed forms."""
+    from warcio_spark.plans.fairness import fetch_fairness
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    log = docs.select(
+        F.concat(
+            F.lit("h"), F.least(d % 53, d % 17).cast("string"), F.lit(".ex")
+        ).alias("host")
+    )
+    return fetch_fairness(log)
+
+
+def q_compression_ratio(spark, sf):
+    """Compression-ratio quality signal (operators/textstats.
+    compression_stats): zlib-compressibility of each document's text —
+    the web-text gate complementary to the Gopher repetition signals
+    (exact line/ngram recurrence): template-spun and keyword-stuffed
+    pages compress far better than prose, so a LOW zlib_len/raw_len
+    ratio flags regularity per-line counts miss.  One Arrow hop
+    returning the compressed length; raw length, ratio and the flag are
+    JVM codegen; no shuffle.  Deterministic for a fixed zlib level ->
+    PINNED golden (DuckDB has no zlib); the python-zlib oracle and the
+    prose/spam separation live in tests/test_compression.py."""
+    from warcio_spark.operators.textstats import compression_stats
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return compression_stats(docs)
+
+
 def q_simhash(spark, sf):
     from warcio_spark.operators.dedup import simhash_deterministic
 
@@ -3371,6 +3470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_candidates": q_bitext_candidates,
         "ip_queues": q_ip_queues,
         "truncation_audit": q_truncation_audit,
+        "compression_ratio": q_compression_ratio,
+        "fetch_fairness": q_fetch_fairness,
+        "alias_collapse": q_alias_collapse,
     }
 
 
@@ -3396,6 +3498,7 @@ PINNED_GOLDEN = {
     "warc_parse_corpus",
     "wet_extract",
     "multimodal_features",
+    "compression_ratio",
 }
 
 
@@ -6675,5 +6778,89 @@ def oracle_sql() -> dict[str, str]:
                     WHEN body_length > declared_cl THEN 'overlong'
                     ELSE 'clean' END AS trunc_status
         FROM f
+    """
+
+    # fetch_fairness: the oracle uses a plain ROW_NUMBER over the same
+    # (count, host) order (tie-commutative for the Gini) and replays the
+    # rank-weighted Gini, HHI and max-share closed forms.
+    out["fetch_fairness"] = """
+        WITH log AS (
+          SELECT 'h' || least(doc_id % 53, doc_id % 17)::VARCHAR || '.ex'
+                 AS host
+          FROM documents
+        ),
+        c AS (SELECT host, count(*)::BIGINT AS n FROM log GROUP BY host),
+        r AS (
+          SELECT n, row_number() OVER (ORDER BY n, host) AS rk FROM c
+        )
+        SELECT count(*)::INT AS n_hosts,
+               sum(n)::BIGINT AS total_fetches,
+               round((2 * sum(rk * n))::DOUBLE / (count(*) * sum(n))
+                     - (count(*) + 1)::DOUBLE / count(*), 6) AS gini,
+               round(sum(n * n)::DOUBLE / (sum(n) * sum(n)), 6) AS hhi,
+               round(max(n)::DOUBLE / sum(n), 6) AS max_share
+        FROM r
+    """
+
+    # alias_collapse: recursive walk over the unioned canonical+redirect
+    # edges (terminal = no outgoing edge; loops never reach one ->
+    # unresolved -> keep self), then the capture fold.
+    out["alias_collapse"] = """
+        WITH RECURSIVE base AS (
+          SELECT doc_id, doc_id - doc_id % 5 AS k FROM documents
+        ),
+        caps AS (
+          SELECT CASE
+            WHEN doc_id % 5 = 0 THEN 'http://p.ex/' || k::VARCHAR
+            WHEN doc_id % 5 = 1 THEN 'http://p.ex/' || k::VARCHAR || '?utm=1'
+            WHEN doc_id % 5 = 2 THEN 'http://old.ex/' || k::VARCHAR
+            WHEN doc_id % 5 = 3 THEN 'http://loop.ex/' || doc_id::VARCHAR
+            ELSE 'http://solo.ex/' || doc_id::VARCHAR END AS url
+          FROM base
+        ),
+        edges AS (
+          SELECT 'http://p.ex/' || k::VARCHAR || '?utm=1' AS src,
+                 'http://p.ex/' || k::VARCHAR AS dst
+          FROM base WHERE doc_id % 5 = 1
+          UNION ALL
+          SELECT 'http://old.ex/' || k::VARCHAR,
+                 'http://m.ex/' || k::VARCHAR
+          FROM base WHERE doc_id % 5 = 2
+          UNION ALL
+          SELECT 'http://m.ex/' || k::VARCHAR,
+                 'http://p.ex/' || k::VARCHAR
+          FROM base WHERE doc_id % 5 = 2
+          UNION ALL
+          SELECT 'http://loop.ex/' || doc_id::VARCHAR,
+                 'http://loopb.ex/' || doc_id::VARCHAR
+          FROM base WHERE doc_id % 5 = 3
+          UNION ALL
+          SELECT 'http://loopb.ex/' || doc_id::VARCHAR,
+                 'http://loop.ex/' || doc_id::VARCHAR
+          FROM base WHERE doc_id % 5 = 3
+        ),
+        walk(src, cur, hops) AS (
+          SELECT src, dst, 1 FROM edges
+          UNION ALL
+          SELECT w.src, e.dst, w.hops + 1
+          FROM walk w JOIN edges e ON w.cur = e.src
+          WHERE w.hops < 8
+        ),
+        term AS (SELECT DISTINCT src FROM edges),
+        resolved AS (
+          SELECT w.src AS url,
+                 MAX(CASE WHEN t.src IS NULL THEN w.cur END) AS final_url
+          FROM walk w LEFT JOIN term t ON w.cur = t.src
+          GROUP BY w.src
+          HAVING COUNT(CASE WHEN t.src IS NULL THEN 1 END) > 0
+        ),
+        m AS (
+          SELECT coalesce(r.final_url, c.url) AS canonical_url, c.url
+          FROM caps c LEFT JOIN resolved r ON r.url = c.url
+        )
+        SELECT canonical_url,
+               count(DISTINCT url)::INT AS n_alias_urls,
+               count(*)::BIGINT AS n_captures
+        FROM m GROUP BY canonical_url
     """
     return out

@@ -103,6 +103,9 @@ BENCH_QUERIES = [
     "bitext_candidates",  # two url equi joins + one pair agg
     "ip_queues",  # broadcast resolution join + one host-queue agg
     "truncation_audit",  # header HOF filters + CASE ladder, zero shuffles
+    "compression_ratio",  # one Arrow hop (zlib len); rest codegen, no shuffle
+    "fetch_fairness",  # host agg + two-phase prefix rank, no 1-partition stage
+    "alias_collapse",  # alias-sources-only doubling + 2-stage capture fold
 ]
 
 

@@ -80,6 +80,9 @@ PICKS = [
     "bitext_candidates",  # two url equi joins + one pair groupBy
     "ip_queues",  # broadcast resolution + map-combinable queue agg
     "truncation_audit",  # header HOF filters + CASE ladder: zero shuffles
+    "compression_ratio",  # ONE ArrowEvalPython node, map-only
+    "fetch_fairness",  # prefix-scan rank: bucketed window, no SinglePartition data stage
+    "alias_collapse",  # chain doubling on alias sources + two-stage rollup
 ]
 
 

@@ -44,6 +44,7 @@ GOLDEN_QUERIES = [
     "warc_parse_corpus",
     "wet_extract",
     "multimodal_features",
+    "compression_ratio",
 ]
 
 _DUCK_TYPES = {

@@ -567,3 +567,62 @@ def extract_main_content(df: DataFrame, markup_col: str = "text",
         tsum(stats).alias("total_chars"),
         tsum(kcol).alias("kept_chars"),
     ).drop("__mc_stats", "__mc_kept")
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.LongType())
+def zlib_compressed_len(text: pd.Series) -> pd.Series:
+    """zlib-compressed byte length of the UTF-8 text (level 6) — the raw
+    ingredient of the compression-ratio quality heuristic.  Deterministic
+    for a fixed zlib level, so the derived query pins as a golden.  One
+    Arrow hop returning a long; everything else stays JVM-side."""
+    import zlib
+
+    def clen(s):
+        if s is None:
+            return None
+        return len(zlib.compress(s.encode("utf-8"), 6))
+
+    return text.map(clen)
+
+
+def compression_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    repetitive_below: float = 0.35,
+) -> DataFrame:
+    """(doc_id, raw_len, zlib_len, compress_ratio, repetitive) — the
+    compressibility quality gate web-text pipelines use alongside the
+    Gopher repetition signals: machine-generated or template-spun pages
+    compress far better than natural prose, so a LOW compressed/raw
+    ratio flags boilerplate and keyword-stuffed spam that per-line
+    duplicate counts miss (the signals are complementary: repetition_
+    stats sees exact recurrence, the ratio sees ANY regularity zlib's
+    LZ77 window catches).
+
+    ``compress_ratio`` is zlib_len / raw_len (UTF-8 byte counts, 6
+    decimals; NULL for empty/NULL text — an empty page has no
+    compressibility evidence either way), ``repetitive`` flags ratios
+    under ``repetitive_below``.  Natural English prose lands around
+    0.4-0.6; pathological repetition goes under 0.1.
+
+    Map-only: raw_len is a JVM octet_length, the single Arrow hop
+    carries only the compressed length back, the division and the flag
+    are codegen.  At 100 TB the cost is the zlib pass itself —
+    embarrassingly parallel, no shuffle anywhere."""
+    raw_len = F.octet_length(F.col(text_col)).cast("long")
+    zl = zlib_compressed_len(F.col(text_col))
+    ratio = F.when(
+        raw_len > 0, F.round(zl.cast("double") / raw_len, 6)
+    )
+    return docs.select(
+        "doc_id",
+        raw_len.alias("raw_len"),
+        zl.alias("zlib_len"),
+        ratio.alias("compress_ratio"),
+        (ratio < repetitive_below).alias("repetitive"),
+    )

@@ -531,3 +531,48 @@ def link_reciprocity(edges: DataFrame, src_col: str = "src_host",
          & F.coalesce(reciprocity >= float(farm_threshold), F.lit(False))
          ).alias("farm"),
     )
+
+
+def collapse_aliases(
+    captures: DataFrame,
+    edges: DataFrame,
+    url_col: str = "url",
+    max_hops: int = 32,
+) -> DataFrame:
+    """(canonical_url, n_alias_urls, n_captures) — capture dedup through
+    the ALIAS GRAPH: redirect targets and ``rel=canonical`` declarations
+    both say "this url is really that one"; union them into one pointer
+    table (``links.redirect_candidates`` rows + ``canonical_link`` rows
+    — same (src, dst) shape), resolve every chain to its terminal with
+    ``resolve_chains``, and fold the capture index onto the finals.
+    This is the canonicalization stage large index pipelines run before
+    content dedup: a utm-tagged url whose page declares a canonical,
+    which 301s to the https host, collapses three aliases into one row
+    here instead of three near-duplicates downstream.
+
+    Semantics ride on ``resolve_chains``: loops, self-pointers and
+    over-``max_hops`` chains come back unresolved and KEEP THEIR OWN
+    URL (a capture is never dropped — an unresolvable alias chain just
+    fails to merge); urls with no alias edge map to themselves.  A url
+    with both a redirect and a canonical edge collapses
+    deterministically (lexicographic max target, resolve_chains'
+    multi-target rule).
+
+    Scale shape: the alias resolution works on |alias sources| rows
+    (a few percent of the corpus); the capture fold is one equi join
+    against that table plus a two-stage aggregation — (canonical, url)
+    partial counts, then the canonical rollup — so no count_distinct
+    expand and nothing page-cardinality shuffles twice."""
+    aliases = resolve_chains(edges, max_hops=max_hops).filter(
+        ~F.col("unresolved")
+    ).select(F.col("url").alias(url_col), "final_url")
+    canon = F.coalesce(F.col("final_url"), F.col(url_col))
+    per_url = (
+        captures.join(aliases, url_col, "left")
+        .groupBy(canon.alias("canonical_url"), F.col(url_col).alias("u"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return per_url.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("int").alias("n_alias_urls"),
+        F.sum("_n").alias("n_captures"),
+    )
