@@ -1181,6 +1181,42 @@ def q_per_host_budget(spark, sf):
 # --- non-SQL-expressible ops: pinned-golden oracles (see PINNED_GOLDEN) -------
 
 
+def q_sitemap_coverage(spark, sf):
+    """Sitemap coverage gap (operators/links.sitemap_coverage): per
+    host, fetched vs sitemap-listed urls — listed-unfetched is the
+    crawl-budget gap, fetched-unlisted is discovery the sitemap missed.
+    Universe over 19 hosts: every doc is fetched, 2/3 of those urls are
+    listed (doc_id%3), extra fetched-only paths on doc_id%7,
+    listed-never-fetched on doc_id%11, plus a ghost host that only
+    appears in sitemaps (doc_id%13).  The DuckDB oracle replays the
+    distinct sides, the full-outer url join and the host rollup, with
+    the SAME host regex (RE2/Java common subset) doing the extraction
+    in both engines."""
+    from warcio_spark.operators.links import sitemap_coverage
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+
+    def base(x):
+        return F.concat(F.lit("http://s"), s(x % 19), F.lit(".ex/p"), s(x))
+
+    fetched = docs.select(base(d).alias("url")).unionByName(
+        docs.filter(d % 7 == 0).select(
+            F.concat(F.lit("http://s"), s(d % 19), F.lit(".ex/x"),
+                     s(d)).alias("url"))
+    )
+    listed = (
+        docs.filter(d % 3 != 0).select(base(d).alias("url"))
+        .unionByName(docs.filter(d % 11 == 0).select(
+            F.concat(F.lit("http://s"), s(d % 19), F.lit(".ex/never"),
+                     s(d)).alias("url")))
+        .unionByName(docs.filter(d % 13 == 0).select(
+            F.concat(F.lit("http://ghost.ex/g"), s(d)).alias("url")))
+    )
+    return sitemap_coverage(fetched, listed)
+
+
 def q_alias_collapse(spark, sf):
     """Canonical-alias capture collapse (plans/graph.collapse_aliases):
     redirect targets and rel=canonical declarations union into one
@@ -3473,6 +3509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         "fetch_fairness": q_fetch_fairness,
         "alias_collapse": q_alias_collapse,
+        "sitemap_coverage": q_sitemap_coverage,
     }
 
 
@@ -6862,5 +6899,58 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT url)::INT AS n_alias_urls,
                count(*)::BIGINT AS n_captures
         FROM m GROUP BY canonical_url
+    """
+
+    # sitemap_coverage: distinct sides, full-outer url join, host rollup;
+    # the host comes from the SAME regex the Spark expression uses.
+    out["sitemap_coverage"] = """
+        WITH f0 AS (
+          SELECT 'http://s' || (doc_id % 19)::VARCHAR || '.ex/p'
+                 || doc_id::VARCHAR AS url
+          FROM documents
+          UNION ALL
+          SELECT 'http://s' || (doc_id % 19)::VARCHAR || '.ex/x'
+                 || doc_id::VARCHAR
+          FROM documents WHERE doc_id % 7 = 0
+        ),
+        l0 AS (
+          SELECT 'http://s' || (doc_id % 19)::VARCHAR || '.ex/p'
+                 || doc_id::VARCHAR AS url
+          FROM documents WHERE doc_id % 3 <> 0
+          UNION ALL
+          SELECT 'http://s' || (doc_id % 19)::VARCHAR || '.ex/never'
+                 || doc_id::VARCHAR
+          FROM documents WHERE doc_id % 11 = 0
+          UNION ALL
+          SELECT 'http://ghost.ex/g' || doc_id::VARCHAR
+          FROM documents WHERE doc_id % 13 = 0
+        ),
+        f AS (SELECT DISTINCT url, 1 AS _f FROM f0),
+        l AS (SELECT DISTINCT url, 1 AS _l FROM l0),
+        j AS (
+          SELECT url, coalesce(_f, 0) AS _f, coalesce(_l, 0) AS _l
+          FROM f FULL OUTER JOIN l USING (url)
+        ),
+        h AS (
+          SELECT nullif(lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)',
+                   1)), '') AS host,
+                 _f, _l
+          FROM j
+        ),
+        agg AS (
+          SELECT host,
+                 sum(_f)::BIGINT AS n_fetched,
+                 sum(_l)::BIGINT AS n_listed,
+                 sum(_f * _l)::BIGINT AS n_both
+          FROM h GROUP BY host
+        )
+        SELECT host, n_fetched, n_listed, n_both,
+               n_fetched - n_both AS fetched_unlisted,
+               n_listed - n_both AS listed_unfetched,
+               CASE WHEN n_listed > 0
+                    THEN round(n_both::DOUBLE / n_listed, 6)
+               END AS coverage
+        FROM agg
     """
     return out

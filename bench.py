@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "compression_ratio",  # one Arrow hop (zlib len); rest codegen, no shuffle
     "fetch_fairness",  # host agg + two-phase prefix rank, no 1-partition stage
     "alias_collapse",  # alias-sources-only doubling + 2-stage capture fold
+    "sitemap_coverage",  # two distinct sides + full-outer url join + host agg
 ]
 
 

@@ -83,6 +83,7 @@ PICKS = [
     "compression_ratio",  # ONE ArrowEvalPython node, map-only
     "fetch_fairness",  # prefix-scan rank: bucketed window, no SinglePartition data stage
     "alias_collapse",  # chain doubling on alias sources + two-stage rollup
+    "sitemap_coverage",  # distinct sides share the url shuffle with the outer join
 ]
 
 

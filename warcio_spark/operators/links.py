@@ -1522,3 +1522,63 @@ def seeds_from_feeds(feeds: DataFrame, url_col: str = "url",
             + F.col("pos")
         ).alias("seq"),
     )
+
+
+def sitemap_coverage(
+    fetched: DataFrame,
+    listed: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-host sitemap coverage gap: what the crawl fetched vs what the
+    site's sitemaps advertise.
+
+    The two sets disagree in both directions and each direction is a
+    different ops signal: urls LISTED but never fetched are crawl-budget
+    gaps (or scope exclusions worth knowing about); urls FETCHED but not
+    listed are discovery the sitemap missed (or crawl drift into
+    low-value space).  Per host:
+
+    - ``n_fetched``, ``n_listed`` — distinct urls on each side;
+    - ``n_both`` — the overlap;
+    - ``fetched_unlisted``, ``listed_unfetched`` — the two gaps;
+    - ``coverage`` — n_both / n_listed (NULL when the host lists
+      nothing: no sitemap, no coverage claim).
+
+    Hosts appearing on either side get a row.  Scale shape: both sides
+    reduce to distinct urls first (map-combinable partial distinct
+    before ONE url-keyed shuffle each), the full-outer join runs on the
+    distinct url key, and the host rollup is one map-combinable
+    aggregation — nothing page-cardinality shuffles twice, no
+    count_distinct expand (flags aggregate as sums)."""
+    from warcio_spark.plans.graph import url_host
+
+    f = (
+        fetched.select(F.col(url_col).alias("url")).distinct()
+        .withColumn("_f", F.lit(1))
+    )
+    ls = (
+        listed.select(F.col(url_col).alias("url")).distinct()
+        .withColumn("_l", F.lit(1))
+    )
+    j = f.join(ls, "url", "full_outer").select(
+        url_host(F.col("url")).alias("host"),
+        F.coalesce("_f", F.lit(0)).alias("_f"),
+        F.coalesce("_l", F.lit(0)).alias("_l"),
+    )
+    agg = j.groupBy("host").agg(
+        F.sum("_f").cast("long").alias("n_fetched"),
+        F.sum("_l").cast("long").alias("n_listed"),
+        F.sum(F.col("_f") * F.col("_l")).cast("long").alias("n_both"),
+    )
+    return agg.select(
+        "host",
+        "n_fetched",
+        "n_listed",
+        "n_both",
+        (F.col("n_fetched") - F.col("n_both")).alias("fetched_unlisted"),
+        (F.col("n_listed") - F.col("n_both")).alias("listed_unfetched"),
+        F.when(
+            F.col("n_listed") > 0,
+            F.round(F.col("n_both").cast("double") / F.col("n_listed"), 6),
+        ).alias("coverage"),
+    )
