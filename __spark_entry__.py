@@ -3390,6 +3390,55 @@ def q_ip_queues(spark, sf):
     )
 
 
+def q_centroid_outliers(spark, sf):
+    """Embedding outlier mining (similarity.centroid_outliers): bottom-10
+    cosine-to-own-label-centroid per label — the mislabeled/off-topic row
+    screen of a curation pipeline. Centroid = posexplode + partial-agg
+    (label, pos) means rebuilt into a broadcastable |labels|-row table;
+    ranking is the two-phase skew-safe window. Oracle recomputes the
+    centroid in DuckDB via unnest/generate_subscripts."""
+    from warcio_spark.operators.similarity import centroid_outliers
+
+    return centroid_outliers(_t(spark, sf, "embeddings"), k=10)
+
+
+def q_stratified_quota(spark, sf):
+    """Exact-quota stratified sampling (pipeline.stratified_quota): exactly
+    30 documents per language, deterministic salted-md5 order — the
+    balanced-eval-set / per-language-cap builder. Two-phase window keeps
+    mega-strata off a single reducer; oracle is the equivalent single
+    QUALIFY row_number in DuckDB (two-phase == global by construction)."""
+    from warcio_spark.operators.pipeline import stratified_quota
+
+    return stratified_quota(
+        _t(spark, sf, "documents"), quota=30, strata=("lang",)
+    ).select("doc_id", "lang", "sample_rank")
+
+
+def _mirror_universe(spark, sf):
+    """Deterministic mirrored-corpus universe for q_mirror_hosts (the sf
+    documents are fully distinct across sources, so the mirror signal is
+    synthesized the same way the outlinks universe synthesizes markup):
+    every source keeps its docs under host=source, and docs with
+    doc_id%3==0 are re-served by a 'mirror-'||source host."""
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    mirrored = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("mirror-"), F.col("source")).alias("host"), "text"
+    )
+    return docs.select(F.col("source").alias("host"), "text").unionByName(mirrored)
+
+
+def q_mirror_hosts(spark, sf):
+    """Mirror/white-label host detection (domains.mirror_hosts): host pairs
+    sharing >= 3 exact content digests, with overlap Jaccard — collapse
+    crawl budget and de-double training counts for CDN aliases and scraped
+    re-publishers. Digest-keyed joins only; ubiquitous digests capped
+    (max_hosts) so boilerplate can't go quadratic."""
+    from warcio_spark.operators.domains import mirror_hosts
+
+    return mirror_hosts(_mirror_universe(spark, sf), min_shared=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -3413,6 +3462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "embedding_topk": q_embedding_topk,
+        "centroid_outliers": q_centroid_outliers,
+        "stratified_quota": q_stratified_quota,
+        "mirror_hosts": q_mirror_hosts,
         "tumbling_window": q_tumbling_window,
         "sessionize": q_sessionize,
         "set_except": q_set_except,
@@ -5632,6 +5684,60 @@ def oracle_sql() -> dict[str, str]:
                          / GREATEST(len(list_distinct(list_concat(a.tokset, b.tokset))), 1), 4)
                    AS jaccard
             FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        """,
+        "centroid_outliers": """
+            WITH e AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings),
+            x AS (
+              SELECT label, unnest(emb) AS val,
+                     generate_subscripts(emb, 1) AS ord
+              FROM e),
+            pos AS (SELECT label, ord, AVG(val) AS m FROM x GROUP BY 1, 2),
+            cent AS (
+              SELECT label, list(m ORDER BY ord) AS c FROM pos GROUP BY label),
+            scored AS (
+              SELECT e.vec_id, e.label,
+                     ROUND(list_cosine_similarity(emb, c), 6) AS centroid_cosine
+              FROM e JOIN cent USING (label))
+            SELECT vec_id, label, centroid_cosine,
+                   CAST(row_number() OVER (
+                     PARTITION BY label ORDER BY centroid_cosine, vec_id
+                   ) AS INT) AS outlier_rank
+            FROM scored
+            QUALIFY outlier_rank <= 10
+        """,
+        "stratified_quota": """
+            SELECT doc_id, lang,
+                   CAST(row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY md5('q1' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS INT) AS sample_rank
+            FROM documents
+            QUALIFY sample_rank <= 30
+        """,
+        "mirror_hosts": """
+            WITH u AS (
+              SELECT source AS host, text FROM documents
+              UNION ALL
+              SELECT 'mirror-' || source AS host, text
+              FROM documents WHERE doc_id % 3 = 0),
+            hs AS (SELECT DISTINCT host AS h, md5(text) AS sig FROM u),
+            freq AS (
+              SELECT sig FROM hs GROUP BY sig
+              HAVING COUNT(*) BETWEEN 2 AND 64),
+            cand AS (SELECT h, hs.sig FROM hs JOIN freq USING (sig)),
+            pairs AS (
+              SELECT a.h AS host_a, b.h AS host_b, COUNT(*) AS shared_docs
+              FROM cand a JOIN cand b ON a.sig = b.sig AND a.h < b.h
+              GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+            tot AS (SELECT h, COUNT(*) AS n FROM hs GROUP BY h)
+            SELECT host_a, host_b, shared_docs,
+                   ROUND(shared_docs / (ta.n + tb.n - shared_docs), 4)
+                     AS overlap_jaccard
+            FROM pairs
+            JOIN tot ta ON ta.h = host_a
+            JOIN tot tb ON tb.h = host_b
         """,
         "embedding_topk": """
             SELECT vec_id,

@@ -107,6 +107,10 @@ BENCH_QUERIES = [
     "fetch_fairness",  # host agg + two-phase prefix rank, no 1-partition stage
     "alias_collapse",  # alias-sources-only doubling + 2-stage capture fold
     "sitemap_coverage",  # two distinct sides + full-outer url join + host agg
+    # round-5g additions
+    "centroid_outliers",  # posexplode partial-agg centroid, broadcast join, 2-phase window
+    "stratified_quota",  # two-phase per-stratum bottom-quota, salted-md5 order
+    "mirror_hosts",  # digest-keyed host-pair join, ubiquity cap bounds fanout
 ]
 
 

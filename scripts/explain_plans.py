@@ -84,6 +84,9 @@ PICKS = [
     "fetch_fairness",  # prefix-scan rank: bucketed window, no SinglePartition data stage
     "alias_collapse",  # chain doubling on alias sources + two-stage rollup
     "sitemap_coverage",  # distinct sides share the url shuffle with the outer join
+    "centroid_outliers",  # partial-agg centroid + BroadcastHashJoin + 2-phase window
+    "stratified_quota",  # two windows, second over <= buckets*quota rows/stratum
+    "mirror_hosts",  # digest-keyed joins; totals broadcast onto pair agg
 ]
 
 

@@ -1,0 +1,178 @@
+"""Round-5 curation operators: centroid outliers (planted off-cluster
+vector + two-phase == global-window parity), exact-quota stratified
+sampling (exact counts, determinism across partitionings, two-phase ==
+single window), and mirror-host detection (planted mirrors, ubiquity cap,
+threshold)."""
+
+import numpy as np
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _clustered_embeddings(spark, per_label=40, dim=16, seed=3):
+    """Tight per-label clusters + ONE planted flipped vector per label."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    vid = 0
+    planted = {}
+    for label in range(3):
+        center = rng.randn(dim)
+        center /= np.linalg.norm(center)
+        for i in range(per_label):
+            v = center + rng.randn(dim) * 0.05
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v], label))
+            vid += 1
+        # the planted outlier points AWAY from the cluster
+        rows.append((vid, [float(-x) for x in center], label))
+        planted[label] = vid
+        vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    return df, planted
+
+
+def test_centroid_outliers_planted(spark):
+    from warcio_spark.operators.similarity import centroid_outliers
+
+    df, planted = _clustered_embeddings(spark)
+    out = centroid_outliers(df, k=3).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r.label, []).append(r)
+    for label, vid in planted.items():
+        got = sorted(by_label[label], key=lambda r: r.outlier_rank)
+        assert got[0].vec_id == vid, (label, got)
+        # cosine to own centroid for a flipped vector is strongly negative
+        assert got[0].centroid_cosine < -0.5
+    # exactly k rows per label
+    assert all(len(v) == 3 for v in by_label.values())
+
+
+def test_centroid_outliers_two_phase_equals_global(spark):
+    """The (group, bucket)->group two-phase bottom-k must equal the naive
+    single global window for any bucket count."""
+    from warcio_spark.operators.dedup import cosine_similarity
+    from warcio_spark.operators.similarity import centroid_outliers
+
+    df, _ = _clustered_embeddings(spark, per_label=25, seed=11)
+    for buckets in (1, 4, 16):
+        got = {
+            (r.label, r.vec_id, r.outlier_rank)
+            for r in centroid_outliers(df, k=5, buckets=buckets).collect()
+        }
+        # naive single-window reference
+        means = (
+            df.select("label", F.posexplode("embedding"))
+            .groupBy("label", "pos")
+            .agg(F.avg(F.col("col").cast("double")).alias("m"))
+        )
+        cents = means.groupBy("label").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+        scored = df.join(cents, "label").select(
+            "vec_id", "label",
+            cosine_similarity(F.col("embedding"), F.col("c")).alias("cc"),
+        )
+        w = Window.partitionBy("label").orderBy(F.asc("cc"), F.asc("vec_id"))
+        want = {
+            (r.label, r.vec_id, r.rk)
+            for r in scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .collect()
+        }
+        assert got == want
+
+
+def _docs(spark, n=200):
+    rows = [(i, f"text body {i}", ["en", "de", "fr"][i % 3], f"src{i % 7}")
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+def test_stratified_quota_exact_counts_and_determinism(spark):
+    from warcio_spark.operators.pipeline import stratified_quota
+
+    docs = _docs(spark)
+    out = stratified_quota(docs, quota=10, strata=("lang",))
+    counts = {r.lang: r.n for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 10, "de": 10, "fr": 10}
+    # quota above stratum size keeps the whole stratum
+    small = stratified_quota(docs.filter("doc_id < 5"), quota=10,
+                             strata=("lang",))
+    assert small.count() == 5
+    # deterministic across reruns and input partitioning
+    a = sorted((r.lang, r.doc_id, r.sample_rank) for r in out.collect())
+    b = sorted(
+        (r.lang, r.doc_id, r.sample_rank)
+        for r in stratified_quota(
+            docs.repartition(13), quota=10, strata=("lang",)).collect()
+    )
+    assert a == b
+
+
+def test_stratified_quota_two_phase_equals_single_window(spark):
+    from warcio_spark.operators.pipeline import stratified_quota
+
+    docs = _docs(spark, n=150)
+    for buckets in (1, 4, 32):
+        got = sorted(
+            (r.lang, r.doc_id, r.sample_rank)
+            for r in stratified_quota(
+                docs, quota=7, strata=("lang",), buckets=buckets).collect()
+        )
+        key = F.md5(F.concat(F.lit("q1"), F.col("doc_id").cast("string")))
+        w = Window.partitionBy("lang").orderBy(F.asc("_k"), F.asc("doc_id"))
+        want = sorted(
+            (r.lang, r.doc_id, r.sample_rank)
+            for r in docs.withColumn("_k", key)
+            .withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= 7)
+            .collect()
+        )
+        assert got == want
+
+
+def _mirror_docs(spark):
+    """hostA/hostB mirror 5 docs; hostC shares 2 with hostA (below
+    threshold); one boilerplate page lives on EVERY host."""
+    rows = []
+    for i in range(5):
+        rows.append((f"hostA", f"shared page {i}"))
+        rows.append((f"hostB", f"shared page {i}"))
+    rows += [("hostA", "ac page 0"), ("hostC", "ac page 0"),
+             ("hostA", "ac page 1"), ("hostC", "ac page 1")]
+    for h in ("hostA", "hostB", "hostC", "hostD"):
+        rows.append((h, "cookie banner boilerplate"))
+        rows.append((h, f"unique to {h}"))
+    return spark.createDataFrame(rows, "host string, text string")
+
+
+def test_mirror_hosts_planted(spark):
+    from warcio_spark.operators.domains import mirror_hosts
+
+    out = {(r.host_a, r.host_b): r for r in
+           mirror_hosts(_mirror_docs(spark), min_shared=3,
+                        max_hosts=3).collect()}
+    # only the A-B mirror clears min_shared=3; the ubiquitous boilerplate
+    # (4 hosts > max_hosts=3) must NOT count toward any pair
+    assert set(out) == {("hostA", "hostB")}
+    r = out[("hostA", "hostB")]
+    assert r.shared_docs == 5
+    # |A|=9 distinct digests, |B|=7 -> jaccard = 5/(9+7-5)
+    assert abs(r.overlap_jaccard - round(5 / 11, 4)) < 1e-9
+
+
+def test_mirror_hosts_ubiquity_cap_off(spark):
+    """Raising max_hosts lets the boilerplate digest pair everyone — the
+    cap is what keeps template noise from going quadratic."""
+    from warcio_spark.operators.domains import mirror_hosts
+
+    out = mirror_hosts(_mirror_docs(spark), min_shared=1, max_hosts=64)
+    # all C(4,2)=6 host pairs now share at least the boilerplate digest
+    assert out.count() == 6

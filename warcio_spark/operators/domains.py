@@ -163,3 +163,52 @@ def host_content_census(docs: DataFrame, host_col: str = "host",
         (F.col("n_pages") >= int(min_pages))
         & (F.col("top_share") >= float(top_share_threshold)),
     )
+
+
+def mirror_hosts(docs: DataFrame, min_shared: int = 3, max_hosts: int = 64,
+                 host_col: str = "host", text_col: str = "text") -> DataFrame:
+    """Mirror / white-label detection: host pairs that serve the same
+    content. Two hosts sharing many exact content digests are mirrors of
+    one another (CDN aliases, scraped re-publishers, parked white-labels) —
+    a crawler should collapse the pair to one budget and a training-data
+    pipeline should count the content once. Emits one row per unordered
+    host pair with ``shared_docs`` (distinct shared digests) and
+    ``overlap_jaccard`` = shared / (|A| + |B| - shared).
+
+    Scale shape (100 TB): everything keys on the content digest —
+    (host, digest) is distinct'd first (one shuffle), then a digest-frequency
+    pass drops singletons AND ubiquitous digests (``max_hosts`` caps the
+    quadratic blowup a boilerplate page shared by 10^5 hosts would cause:
+    pairs-per-digest is bounded by max_hosts^2, and a digest on that many
+    hosts is template noise, not a mirror signal). The self-join then runs
+    on the surviving (host, digest) table keyed by digest — co-partitioned,
+    no broadcast of anything corpus-sized — and the per-host totals joined
+    for the Jaccard are a #hosts-sized broadcast.
+    """
+    host, sig = F.col(host_col), F.md5(F.col(text_col)).alias("sig")
+    hs = docs.select(host.alias("h"), sig).distinct()
+    freq = hs.groupBy("sig").agg(F.count("*").alias("_nh")).filter(
+        (F.col("_nh") >= 2) & (F.col("_nh") <= max_hosts))
+    cand = hs.join(freq.select("sig"), "sig")
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.h") < F.col("b.h")))
+        .groupBy(F.col("a.h").alias("host_a"), F.col("b.h").alias("host_b"))
+        .agg(F.count("*").alias("shared_docs"))
+        .filter(F.col("shared_docs") >= min_shared)
+    )
+    totals = hs.groupBy("h").agg(F.count("*").alias("n"))
+    return (
+        pairs.join(F.broadcast(totals.withColumnRenamed("h", "host_a")
+                               .withColumnRenamed("n", "_na")), "host_a")
+        .join(F.broadcast(totals.withColumnRenamed("h", "host_b")
+                          .withColumnRenamed("n", "_nb")), "host_b")
+        .select(
+            "host_a", "host_b", "shared_docs",
+            F.round(
+                F.col("shared_docs")
+                / (F.col("_na") + F.col("_nb") - F.col("shared_docs")), 4
+            ).alias("overlap_jaccard"),
+        )
+    )

@@ -492,3 +492,41 @@ def read_jsonl_shards(spark, out_dir: str) -> DataFrame:
     import os as _os
 
     return spark.read.json(_os.path.join(out_dir, "shard-*.jsonl.gz"))
+
+
+def stratified_quota(docs: DataFrame, quota: int, strata: tuple = ("lang",),
+                     buckets: int = 32, salt: str = "q1",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact-quota stratified sampling: keep exactly ``min(quota, |stratum|)``
+    rows per stratum, chosen deterministically by salted-md5 order over the
+    id. Complements the funnel's rate-based md5-threshold sample
+    (``token_budget_sample`` / ``clean_corpus``): a threshold gives an
+    EXPECTED rate per stratum, this gives an exact count — the shape a
+    balanced eval set or a per-language training-mix cap needs. Reruns,
+    resumes, and the DuckDB oracle agree row-for-row (no RNG state).
+
+    Scale shape (100 TB): a naive per-stratum row_number serializes each
+    stratum through one reducer — a 10-language corpus would ride on 10
+    tasks. This is the two-phase exact top-k instead: phase 1 ranks inside
+    (stratum, id-hash bucket) sub-partitions and prunes to ``quota`` each
+    (any partition holds ~1/buckets of a stratum), phase 2 ranks the
+    <= buckets*quota survivors per stratum. Both phases use the SAME total
+    order (md5(salt||id), id), so the composition is exactly the global
+    per-stratum bottom-quota. Output adds ``sample_rank`` (1-based within
+    stratum).
+    """
+    from pyspark.sql import Window
+
+    vid = F.col(id_col)
+    key = F.md5(F.concat(F.lit(salt), vid.cast("string")))
+    w1 = Window.partitionBy(*strata, "_b").orderBy(F.asc("_k"), F.asc(id_col))
+    w2 = Window.partitionBy(*strata).orderBy(F.asc("_k"), F.asc(id_col))
+    return (
+        docs.withColumn("_k", key)
+        .withColumn("_b", F.pmod(F.xxhash64(vid), F.lit(buckets)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= quota)
+        .withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= quota)
+        .drop("_k", "_b", "_r1")
+    )

@@ -266,3 +266,52 @@ def knn_join(left: DataFrame, right: DataFrame, k: int = 5, planes: int = 6,
     )
     w = Window.partitionBy("lid").orderBy(F.desc("cosine"), F.asc("rid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def centroid_outliers(emb: DataFrame, k: int = 10, buckets: int = 16,
+                      group_col: str = "label", id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Per-group embedding outliers: rank every vector by cosine to its own
+    group's centroid (ascending — most dissimilar first) and keep the bottom
+    ``k`` per group. The corpus-curation use: mislabeled / off-topic /
+    poisoned rows sit far from their cluster's mean and surface here before
+    they pollute a training mix.
+
+    Scale shape (100 TB): the centroid is ONE posexplode into a
+    partial-aggregated groupBy on (group, position) — n×dim rows map-side
+    combined down to |groups|×dim — then rebuilt per group with
+    array_sort(collect_list(struct)) into a |groups|-row table that
+    BROADCASTS back onto the scan; the cosine is the JVM zip_with/aggregate
+    kernel (no Python in the loop). The bottom-k is the two-phase window
+    (per-(group, bucket) prune to k, then final k over <= buckets*k
+    survivors) so a handful of giant groups never serialize through one
+    reducer — same skew discipline as the frontier's windowed top-k.
+    """
+    from pyspark.sql import Window
+
+    grp, vid, vec = F.col(group_col), F.col(id_col), F.col(vec_col)
+    means = (
+        emb.select(grp, F.posexplode(vec))
+        .groupBy(group_col, "pos")
+        .agg(F.avg(F.col("col").cast("double")).alias("m"))
+    )
+    cents = means.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("_centroid")
+    )
+    scored = emb.join(F.broadcast(cents), group_col).select(
+        vid, grp, cosine_similarity(vec, F.col("_centroid")).alias("centroid_cosine")
+    )
+    w1 = Window.partitionBy(group_col, "_b").orderBy(
+        F.asc("centroid_cosine"), F.asc(id_col))
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.asc("centroid_cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("_b", F.pmod(F.xxhash64(vid), F.lit(buckets)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("outlier_rank", F.row_number().over(w2))
+        .filter(F.col("outlier_rank") <= k)
+        .drop("_b", "_r1")
+    )
