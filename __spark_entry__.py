@@ -3428,6 +3428,71 @@ def _mirror_universe(spark, sf):
     return docs.select(F.col("source").alias("host"), "text").unionByName(mirrored)
 
 
+TRUST_SEEDS = ("h0.ex.com", "h7.ex.com", "h14.ex.com", "h21.ex.com",
+               "h28.ex.com")
+
+
+def q_trust_rank(spark, sf):
+    """Seeded TrustRank (plans/graph.trust_rank) over the SAME
+    deterministic 29-host universe as q_host_rank, teleporting only to 5
+    literal seed hosts. The oracle unrolls the same three seeded
+    iterations in SQL — trust' = 1[seed]*(1-a)/|S| + a*sum(trust*w/outw)
+    from the uniform-over-seeds start — matching to 8 decimals."""
+    from warcio_spark.plans.graph import host_graph, trust_rank
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    src = F.concat(
+        F.lit("http://H"), s(d % 29), F.lit(".ex.com"),
+        F.when(d % 4 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"), s(d),
+    )
+    dst = F.concat(
+        F.lit("http://h"),
+        s((d * 7 + F.expr("doc_id div 29") + 3) % 29),
+        F.lit(".ex.com/q/"), s(d % 5),
+    )
+    edges = host_graph(
+        docs.select(src.alias("page_url"), dst.alias("outlink"))
+    )
+    seeds = spark.createDataFrame([(h,) for h in TRUST_SEEDS], "host string")
+    trust = trust_rank(edges, seeds, iterations=3)
+    return trust.select("host", F.round("trust", 8).alias("trust"))
+
+
+def q_dedup_keep_best(spark, sf):
+    """Quality-aware near-dup collapse (dedup.dedup_keep_best): token-set
+    Jaccard >= 0.5 on adjacent-id candidate pairs (the ngram_jaccard_adjacent
+    relation) -> connected components -> keep the LONGEST doc per cluster
+    (tie -> min id). Because the pair relation only links consecutive ids,
+    its transitive closure is computable in pure SQL as gaps-and-islands —
+    so the distributed pointer-doubling components run against an
+    independently-derived closure, not a re-implementation of themselves."""
+    from warcio_spark.operators.dedup import dedup_keep_best
+
+    docs = _t(spark, sf, "documents")
+    toks = F.array_distinct(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    )
+    d = docs.select("doc_id", toks.alias("tokset"))
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
+    union = F.size(F.array_union(F.col("a.tokset"), F.col("b.tokset")))
+    pairs = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return dedup_keep_best(docs, pairs, score_col="n_chars").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_mirror_hosts(spark, sf):
     """Mirror/white-label host detection (domains.mirror_hosts): host pairs
     sharing >= 3 exact content digests, with overlap Jaccard — collapse
@@ -3465,6 +3530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_outliers": q_centroid_outliers,
         "stratified_quota": q_stratified_quota,
         "mirror_hosts": q_mirror_hosts,
+        "dedup_keep_best": q_dedup_keep_best,
+        "trust_rank": q_trust_rank,
         "tumbling_window": q_tumbling_window,
         "sessionize": q_sessionize,
         "set_except": q_set_except,
@@ -5739,6 +5806,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN tot ta ON ta.h = host_a
             JOIN tot tb ON tb.h = host_b
         """,
+        "dedup_keep_best": """
+            WITH t AS (
+              SELECT doc_id, lang, n_chars,
+                     list_distinct(list_filter(
+                       string_split_regex(trim(text), '\\s+'),
+                       x -> x <> '')) AS tokset
+              FROM documents),
+            pj AS (
+              SELECT b.doc_id AS ib,
+                     ROUND(len(list_intersect(a.tokset, b.tokset))::DOUBLE
+                       / GREATEST(len(list_distinct(
+                           list_concat(a.tokset, b.tokset))), 1), 4) AS j
+              FROM t a JOIN t b ON b.doc_id = a.doc_id + 1),
+            flag AS (
+              SELECT t.doc_id, t.lang, t.n_chars,
+                     CASE WHEN pj.j >= 0.5 THEN 0 ELSE 1 END AS brk
+              FROM t LEFT JOIN pj ON pj.ib = t.doc_id),
+            isl AS (
+              SELECT doc_id, lang, n_chars,
+                     SUM(brk) OVER (ORDER BY doc_id) AS grp
+              FROM flag)
+            SELECT doc_id, lang, n_chars
+            FROM isl
+            QUALIFY row_number() OVER (
+              PARTITION BY grp ORDER BY n_chars DESC, doc_id) = 1
+        """,
         "embedding_topk": """
             SELECT vec_id,
                    ROUND(list_cosine_similarity(
@@ -6144,6 +6237,50 @@ def oracle_sql() -> dict[str, str]:
         + rank_step.format(k=3, j=2)
         + """
         SELECT host, ROUND(rank, 8) AS "rank" FROM r3
+    """)
+    # trust_rank: the same edge universe and unrolled power iteration,
+    # but teleport mass lands only on the 5 literal seed hosts and the
+    # start distribution is uniform over seeds (classic TrustRank)
+    seeds_in = "('" + "', '".join(TRUST_SEEDS) + "')"
+    trust_step = """,
+        t{k} AS (
+          SELECT nodes.host,
+                 CASE WHEN nodes.host IN """ + seeds_in + """
+                      THEN (1.0 - 0.85) / (SELECT sn FROM sp)
+                      ELSE 0.0 END
+                 + 0.85 * COALESCE(SUM(t{j}.trust * frac.f), 0.0) AS trust
+          FROM nodes
+          LEFT JOIN frac ON frac.dst_host = nodes.host
+          LEFT JOIN t{j} ON t{j}.host = frac.src_host
+          GROUP BY nodes.host)"""
+    out["trust_rank"] = ("""
+        WITH e0 AS (
+          SELECT 'h' || (doc_id % 29)::VARCHAR || '.ex.com' AS src_host,
+                 'h' || ((doc_id * 7 + doc_id // 29 + 3) % 29)::VARCHAR
+                   || '.ex.com' AS dst_host,
+                 COUNT(*) AS n_links
+          FROM documents GROUP BY 1, 2),
+        e AS (SELECT * FROM e0 WHERE src_host <> dst_host),
+        nodes AS (SELECT DISTINCT host FROM (
+          SELECT src_host AS host FROM e
+          UNION SELECT dst_host AS host FROM e)),
+        sp AS (SELECT COUNT(*)::DOUBLE AS sn FROM nodes
+               WHERE host IN """ + seeds_in + """),
+        outw AS (SELECT src_host, SUM(n_links)::DOUBLE AS ow
+                 FROM e GROUP BY 1),
+        frac AS (SELECT e.src_host, e.dst_host, e.n_links::DOUBLE / outw.ow
+                   AS f
+                 FROM e JOIN outw USING (src_host)),
+        t0 AS (SELECT host,
+                      CASE WHEN host IN """ + seeds_in + """
+                           THEN 1.0 / (SELECT sn FROM sp)
+                           ELSE 0.0 END AS trust
+               FROM nodes)"""
+        + trust_step.format(k=1, j=0)
+        + trust_step.format(k=2, j=1)
+        + trust_step.format(k=3, j=2)
+        + """
+        SELECT host, ROUND(trust, 8) AS trust FROM t3
     """)
     hits_step = """,
         a{k} AS (

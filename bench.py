@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "centroid_outliers",  # posexplode partial-agg centroid, broadcast join, 2-phase window
     "stratified_quota",  # two-phase per-stratum bottom-quota, salted-md5 order
     "mirror_hosts",  # digest-keyed host-pair join, ubiquity cap bounds fanout
+    "dedup_keep_best",  # CC rounds on pair participants + max_by agg + anti-join
+    "trust_rank",  # seeded power iteration, one contribution shuffle per round
 ]
 
 

@@ -87,6 +87,8 @@ PICKS = [
     "centroid_outliers",  # partial-agg centroid + BroadcastHashJoin + 2-phase window
     "stratified_quota",  # two windows, second over <= buckets*quota rows/stratum
     "mirror_hosts",  # digest-keyed joins; totals broadcast onto pair agg
+    "dedup_keep_best",  # winner = ONE max_by agg (no per-cluster window); corpus touched once
+    "trust_rank",  # broadcast seed flag; per-iteration contribution shuffle only
 ]
 
 

@@ -176,3 +176,86 @@ def test_mirror_hosts_ubiquity_cap_off(spark):
     out = mirror_hosts(_mirror_docs(spark), min_shared=1, max_hosts=64)
     # all C(4,2)=6 host pairs now share at least the boilerplate digest
     assert out.count() == 6
+
+
+def test_dedup_keep_best_planted(spark):
+    """Keep-best policy: argmax score per transitive cluster, tie -> min
+    id, singletons untouched."""
+    from warcio_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (3, "c", 50),   # cluster {1,2,3}: keep 2
+         (5, "d", 1),                                 # no pair: kept
+         (7, "e", 40), (8, "f", 40)],                 # tie on score: keep 7
+        "doc_id long, text string, score long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in
+                  dedup_keep_best(docs, pairs, score_col="score").collect())
+    assert kept == [2, 5, 7]
+
+
+def test_dedup_keep_best_matches_by_pairs_when_score_is_neg_id(spark):
+    """With score = -id, keep-best degenerates to dedup_by_pairs' min-id
+    policy — the two paths must agree exactly."""
+    from warcio_spark.operators.dedup import dedup_by_pairs, dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", -i) for i in range(30)],
+        "doc_id long, text string, score long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 28, 3)] + [(4, 10), (20, 25)],
+        "id_a long, id_b long")
+    a = sorted(r.doc_id for r in
+               dedup_keep_best(docs, pairs, score_col="score").collect())
+    b = sorted(r.doc_id for r in dedup_by_pairs(docs, pairs).collect())
+    assert a == b
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        rows, "src_host string, dst_host string, n_links long")
+
+
+def test_trust_rank_spam_gets_no_trust(spark):
+    """Hosts unreachable from the seed set end with trust 0 no matter how
+    many in-links they exchange; hosts downstream of the seed inherit."""
+    from warcio_spark.plans.graph import trust_rank
+
+    edges = _edges(spark, [
+        ("good", "shop", 5), ("shop", "blog", 2),
+        # spam farm: heavily interlinked, links INTO good, none back
+        ("spam1", "spam2", 50), ("spam2", "spam1", 50), ("spam1", "good", 9),
+    ])
+    seeds = spark.createDataFrame([("good",)], "host string")
+    t = {r.host: r.trust for r in trust_rank(edges, seeds, iterations=4).collect()}
+    assert t["spam1"] == 0.0 and t["spam2"] == 0.0
+    assert t["good"] > t["shop"] > t["blog"] > 0.0
+
+
+def test_trust_rank_all_seeds_equals_pagerank(spark):
+    """With every host seeded, TrustRank's teleport vector is uniform —
+    it must reproduce host_rank exactly."""
+    from warcio_spark.plans.graph import host_rank, trust_rank
+
+    edges = _edges(spark, [
+        ("a", "b", 3), ("b", "c", 1), ("c", "a", 2), ("a", "c", 1),
+        ("d", "a", 4), ("b", "d", 2),
+    ])
+    all_hosts = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "host string")
+    pr = {r.host: r.rank for r in host_rank(edges, iterations=3).collect()}
+    tr = {r.host: r.trust
+          for r in trust_rank(edges, all_hosts, iterations=3).collect()}
+    assert set(pr) == set(tr)
+    for h in pr:
+        assert abs(pr[h] - tr[h]) < 1e-12, h
+
+
+def test_trust_rank_no_seeds_in_graph(spark):
+    from warcio_spark.plans.graph import trust_rank
+
+    edges = _edges(spark, [("a", "b", 1)])
+    seeds = spark.createDataFrame([("zz",)], "host string")
+    t = trust_rank(edges, seeds, iterations=2).collect()
+    assert {r.trust for r in t} == {0.0}

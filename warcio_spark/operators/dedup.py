@@ -641,6 +641,43 @@ def dedup_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     return df.join(losers, id_col, "left_anti")
 
 
+def dedup_keep_best(df: DataFrame, pairs: DataFrame, score_col: str,
+                    id_col: str = "doc_id", left_col: str = "id_a",
+                    right_col: str = "id_b",
+                    checkpoint_dir: str | None = None) -> DataFrame:
+    """Keep the HIGHEST-``score_col`` doc per duplicate cluster (tie ->
+    minimum id) instead of ``dedup_by_pairs``'s blind minimum-id policy —
+    the production choice when duplicates differ in quality (keep the
+    longest / best-scored capture of a mirrored page, drop the truncated
+    ones).
+
+    Scale shape: clusters come from the same O(log n) connected-components
+    rounds; the score join and the winner pick run on the PAIR-PARTICIPANT
+    table (tiny relative to the corpus), the winner per cluster is one
+    map-combinable max_by aggregation (no per-cluster window, so a
+    boilerplate mega-cluster costs one combiner chain, not one reducer),
+    and the corpus-sized side is touched exactly once by the final
+    anti-join of losers."""
+    members = dup_clusters(pairs, left_col, right_col,
+                           checkpoint_dir=checkpoint_dir)
+    scored = members.join(
+        df.select(F.col(id_col).alias("__id"), F.col(score_col).alias("__score")),
+        F.col("doc_id") == F.col("__id"),
+    )
+    winners = scored.groupBy("cluster").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("__score"), (-F.col("doc_id")).alias("__nid")),
+        ).alias("__keep")
+    )
+    losers = (
+        scored.join(winners, "cluster")
+        .filter(F.col("doc_id") != F.col("__keep"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def minhash_dedup_corpus(df: DataFrame, threshold: float = 0.8,
                          id_col: str = "doc_id", text_col: str = "text",
                          num_perm: int = 64, bands: int = 16,

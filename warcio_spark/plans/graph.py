@@ -101,6 +101,68 @@ def host_rank(edges: DataFrame, iterations: int = 3,
     return ranks
 
 
+def trust_rank(edges: DataFrame, seeds: DataFrame, iterations: int = 3,
+               alpha: float = 0.85, self_edges: bool = False) -> DataFrame:
+    """Seeded TrustRank over host_graph edges (Gyongyi et al.'s spam
+    containment): identical power iteration to ``host_rank`` except the
+    teleport mass lands ONLY on a curated seed set of trusted hosts —
+    ``trust' = 1[host in seeds]*(1-alpha)/|S| + alpha*sum(trust*w/outw)``,
+    starting from the uniform-over-seeds distribution. Hosts reachable
+    only through spam neighborhoods get ~0 trust however many in-links
+    they buy; the frontier can divide budget by trust where PageRank
+    alone is gameable.
+
+    Same stated simplifications as host_rank (no dangling redistribution,
+    fixed iteration count = bounded shuffles). ``seeds``: a DataFrame with
+    a ``host`` column; hosts absent from the graph are ignored. Scale
+    shape: the seed table is curated (thousands), broadcast onto the
+    #hosts-sized node table; each iteration is the same one
+    contribution-shuffle as host_rank.
+    """
+    if not self_edges:
+        edges = edges.filter(F.col("src_host") != F.col("dst_host"))
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    seed_hosts = seeds.select(F.col("host")).distinct()
+    flagged = nodes.join(
+        F.broadcast(seed_hosts.withColumn("_seed", F.lit(True))), "host", "left"
+    ).select("host", F.coalesce(F.col("_seed"), F.lit(False)).alias("_seed"))
+    s = flagged.filter(F.col("_seed")).count()
+    if s == 0:
+        return nodes.withColumn("trust", F.lit(0.0))
+    outw = edges.groupBy("src_host").agg(F.sum("n_links").alias("_outw"))
+    frac = edges.join(outw, "src_host").select(
+        F.col("src_host"),
+        F.col("dst_host"),
+        (F.col("n_links").cast("double") / F.col("_outw")).alias("_frac"),
+    )
+    base = F.when(F.col("_seed"), F.lit((1.0 - alpha) / s)).otherwise(F.lit(0.0))
+    trust = flagged.select(
+        "host", "_seed",
+        F.when(F.col("_seed"), F.lit(1.0 / s)).otherwise(F.lit(0.0)).alias("trust"),
+    )
+    for _ in range(max(0, iterations)):
+        contrib = (
+            frac.join(trust.select("host", "trust"),
+                      frac.src_host == F.col("host"))
+            .groupBy("dst_host")
+            .agg(F.sum(F.col("trust") * F.col("_frac")).alias("_in"))
+        )
+        trust = (
+            flagged.join(contrib, flagged.host == contrib.dst_host, "left")
+            .select(
+                "host", "_seed",
+                (base
+                 + F.lit(alpha) * F.coalesce(F.col("_in"), F.lit(0.0))
+                 ).alias("trust"),
+            )
+        )
+    return trust.select("host", "trust")
+
+
 def host_hits(edges: DataFrame, iterations: int = 3,
               self_edges: bool = False,
               decimals: int | None = None) -> DataFrame:
