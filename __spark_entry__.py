@@ -3461,6 +3461,66 @@ def q_trust_rank(spark, sf):
     return trust.select("host", F.round("trust", 8).alias("trust"))
 
 
+def _tables_universe(spark, sf):
+    """Deterministic table-bearing page universe for q_html_tables
+    (mirrored verbatim by the DuckDB oracle): every doc gets a 2-row
+    attribute-ed table with a nested-markup cell; doc_id%4==0 adds a
+    second table with an empty cell; doc_id%3==0 adds a <tablex> decoy
+    that must NOT match; headers are uppercase TH on doc_id%5==0."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    th = F.when(d % 5 == 0, F.lit("TH")).otherwise(F.lit("th"))
+    markup = F.concat(
+        F.lit('<p>pre</p><table class="t'), s(d % 3), F.lit('"><tr><td>h'),
+        s(d % 7), F.lit("</td><"), th, F.lit(">v"), s(d), F.lit("</"), th,
+        F.lit('></tr><TR id=r><td> <b>n'), s(d % 3),
+        F.lit("</b> </td></TR></table>"),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit("<table><tr><td>z"), s(d % 5),
+                     F.lit("</td><td></td></tr></table>")),
+        ).otherwise(F.lit("")),
+        F.when(d % 3 == 0,
+               F.lit("<tablex><tr><td>no</td></tr></tablex>")
+               ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        F.concat(F.lit("http://t"), s(d % 11), F.lit(".example.com/p"),
+                 s(d)).alias("page_url"),
+        markup.alias("text"),
+    )
+
+
+def q_html_tables(spark, sf):
+    """HTML table extraction (operators/tables.extract_tables): one row per
+    <tr> with tag-stripped trimmed cell texts — staged regexp + slice caps
+    + posexplode, zero shuffles. The oracle replays the same three regexes
+    and the tag-strip/trim in DuckDB over the same synthesized universe."""
+    from warcio_spark.operators.tables import extract_tables
+
+    t = extract_tables(_tables_universe(spark, sf))
+    return t.select(
+        "url", "table_idx", "row_idx", "n_cells",
+        F.concat_ws("|", F.col("cells")).alias("cells_joined"),
+    )
+
+
+def q_minhash_incremental(spark, sf):
+    """Incremental near-dup ingest (dedup.minhash_dedup_incremental): docs
+    with doc_id >= 400 arrive as a new batch and are probed against the
+    banded LSH index of the first 400 — only the batch is shingled/banded,
+    the corpus index is an equi-join target. Deterministic (JVM xxhash64
+    banding + exact Jaccard verify); incremental == batch-at-once parity
+    is pinned in tests/test_curation_ops.py, output frozen as a golden."""
+    from warcio_spark.operators.dedup import minhash_dedup_incremental
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    return minhash_dedup_incremental(batch, corpus, threshold=0.5)
+
+
 def q_dedup_keep_best(spark, sf):
     """Quality-aware near-dup collapse (dedup.dedup_keep_best): token-set
     Jaccard >= 0.5 on adjacent-id candidate pairs (the ngram_jaccard_adjacent
@@ -3532,6 +3592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "dedup_keep_best": q_dedup_keep_best,
         "trust_rank": q_trust_rank,
+        "html_tables": q_html_tables,
+        "minhash_incremental": q_minhash_incremental,
         "tumbling_window": q_tumbling_window,
         "sessionize": q_sessionize,
         "set_except": q_set_except,
@@ -3644,6 +3706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (test_kernel_parse_oracle).
 PINNED_GOLDEN_SF = "/root/testdata/sf0.01"
 PINNED_GOLDEN = {
+    "minhash_incremental",
     "near_dup_clusters",
     "simhash",
     "minhash_dedup",
@@ -5805,6 +5868,58 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             JOIN tot ta ON ta.h = host_a
             JOIN tot tb ON tb.h = host_b
+        """,
+        "html_tables": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN 'TH' ELSE 'th' END AS th
+              FROM documents),
+            pages AS (
+              SELECT 'http://t' || (doc_id % 11)::VARCHAR
+                       || '.example.com/p' || doc_id::VARCHAR AS url,
+                     '<p>pre</p><table class="t' || (doc_id % 3)::VARCHAR
+                       || '"><tr><td>h' || (doc_id % 7)::VARCHAR
+                       || '</td><' || th || '>v' || doc_id::VARCHAR
+                       || '</' || th || '></tr><TR id=r><td> <b>n'
+                       || (doc_id % 3)::VARCHAR
+                       || '</b> </td></TR></table>'
+                     || CASE WHEN doc_id % 4 = 0
+                          THEN '<table><tr><td>z' || (doc_id % 5)::VARCHAR
+                               || '</td><td></td></tr></table>'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0
+                          THEN '<tablex><tr><td>no</td></tr></tablex>'
+                          ELSE '' END AS text
+              FROM d),
+            t AS (
+              SELECT url, regexp_extract_all(text,
+                '(?is)<table(?:\\s[^>]*)?>(.*?)</table>', 1) AS tbls
+              FROM pages),
+            tt AS (
+              SELECT url, CAST(generate_subscripts(tbls, 1) - 1 AS INT)
+                       AS table_idx,
+                     unnest(tbls) AS tbl
+              FROM t),
+            r AS (
+              SELECT url, table_idx, regexp_extract_all(tbl,
+                '(?is)<tr(?:\\s[^>]*)?>(.*?)</tr>', 1) AS rws
+              FROM tt),
+            rr AS (
+              SELECT url, table_idx,
+                     CAST(generate_subscripts(rws, 1) - 1 AS INT) AS row_idx,
+                     unnest(rws) AS rw
+              FROM r),
+            c AS (
+              SELECT url, table_idx, row_idx,
+                     list_transform(regexp_extract_all(rw,
+                       '(?is)<t[dh](?:\\s[^>]*)?>(.*?)</t[dh]>', 1),
+                       x -> trim(regexp_replace(x, '<[^>]*>', '', 'gs')))
+                       AS cells
+              FROM rr)
+            SELECT url, table_idx, row_idx,
+                   CAST(len(cells) AS INT) AS n_cells,
+                   array_to_string(cells, '|') AS cells_joined
+            FROM c
         """,
         "dedup_keep_best": """
             WITH t AS (

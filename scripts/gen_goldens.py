@@ -34,6 +34,7 @@ OUT_DIR = os.path.join(REPO, "goldens")
 
 # queries to pin, with the DuckDB type per column kind
 GOLDEN_QUERIES = [
+    "minhash_incremental",
     "near_dup_clusters",
     "simhash",
     "minhash_dedup",

@@ -259,3 +259,112 @@ def test_trust_rank_no_seeds_in_graph(spark):
     seeds = spark.createDataFrame([("zz",)], "host string")
     t = trust_rank(edges, seeds, iterations=2).collect()
     assert {r.trust for r in t} == {0.0}
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash dedup (batch probes a persistent band index)
+
+
+def _dup_corpus(spark, n_corpus=30, n_batch=12):
+    """Deterministic word-soup docs; every 3rd batch doc is a near-copy of
+    a corpus doc (one word swapped at the tail), the rest are fresh."""
+    def words(seed, n=40):
+        # seed baked into every token: distinct seeds share NO shingles
+        return " ".join(f"w{seed}x{i}" for i in range(n))
+
+    rows = [(i, words(i)) for i in range(n_corpus)]
+    # an in-corpus twin of doc 0: new copies of doc 0 match BOTH, and the
+    # best-pick must choose doc 0 (higher jaccard, lower id)
+    rows.append((n_corpus, words(0) + " corpdup"))
+    planted = {}
+    for j in range(n_batch):
+        did = 1000 + j
+        if j % 3 == 0:
+            src = j % n_corpus
+            rows.append((did, words(src) + " tailword"))
+            planted[did] = src
+        elif j % 3 == 1:
+            # half-copy: LSH may candidate it, exact jaccard ~0.3 rejects
+            src = j % n_corpus
+            half = " ".join(words(src).split()[:20])
+            rows.append((did, half + " " + words(700 + j, n=20)))
+        else:
+            rows.append((did, words(500 + j)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return df, planted
+
+
+def test_minhash_incremental_planted_dups(spark):
+    from warcio_spark.operators.dedup import minhash_dedup_incremental
+
+    df, planted = _dup_corpus(spark)
+    corpus = df.filter(F.col("doc_id") < 1000)
+    batch = df.filter(F.col("doc_id") >= 1000)
+    got = {r.new_id: (r.dup_of, r.jaccard)
+           for r in minhash_dedup_incremental(batch, corpus,
+                                              threshold=0.5).collect()}
+    assert set(got) == set(planted)
+    for new_id, src in planted.items():
+        assert got[new_id][0] == src
+        assert got[new_id][1] >= 0.5
+
+
+def test_minhash_incremental_equals_batch_at_once(spark):
+    """Incremental flags exactly the cross-boundary subset of the full
+    minhash_dedup run over corpus+batch, with the same best (jaccard,
+    dup_of) per new doc."""
+    from pyspark.sql import Window
+
+    from warcio_spark.operators.dedup import (minhash_dedup,
+                                              minhash_dedup_incremental)
+
+    df, _ = _dup_corpus(spark, n_corpus=25, n_batch=15)
+    corpus = df.filter(F.col("doc_id") < 1000)
+    batch = df.filter(F.col("doc_id") >= 1000)
+    thr = 0.4
+    inc = {(r.new_id, r.dup_of, r.jaccard)
+           for r in minhash_dedup_incremental(batch, corpus,
+                                              threshold=thr).collect()}
+
+    full = minhash_dedup(df, threshold=thr)
+    cross = (
+        full.filter((F.col("id_a") < 1000) & (F.col("id_b") >= 1000))
+        .select(F.col("id_b").alias("new_id"), F.col("id_a").alias("dup_of"),
+                "jaccard")
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("dup_of"))
+    best = {(r.new_id, r.dup_of, r.jaccard)
+            for r in cross.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn").collect()}
+    assert inc == best and inc
+
+
+def test_minhash_band_index_appends_equal_rebuild(spark):
+    """Index rows built batch-by-batch (union of per-batch calls) must
+    equal one corpus-at-once build — the property that makes the stored
+    index appendable without global rebuilds."""
+    from warcio_spark.operators.dedup import minhash_band_index
+
+    df, _ = _dup_corpus(spark, n_corpus=20, n_batch=10)
+    a = df.filter(F.col("doc_id") % 2 == 0)
+    b = df.filter(F.col("doc_id") % 2 == 1)
+    unioned = sorted(
+        map(tuple, minhash_band_index(a).unionByName(
+            minhash_band_index(b)).collect()))
+    whole = sorted(map(tuple, minhash_band_index(df).collect()))
+    assert unioned == whole
+
+
+def test_minhash_incremental_supplied_index_equals_built(spark):
+    from warcio_spark.operators.dedup import (minhash_band_index,
+                                              minhash_dedup_incremental)
+
+    df, _ = _dup_corpus(spark)
+    corpus = df.filter(F.col("doc_id") < 1000)
+    batch = df.filter(F.col("doc_id") >= 1000)
+    idx = minhash_band_index(corpus)
+    with_idx = sorted(map(tuple, minhash_dedup_incremental(
+        batch, corpus, index=idx, threshold=0.5).collect()))
+    built = sorted(map(tuple, minhash_dedup_incremental(
+        batch, corpus, threshold=0.5).collect()))
+    assert with_idx == built

@@ -367,27 +367,16 @@ def minhash_signature(shingles_col, num_perm: int = 64) -> Column:
     return F.array(*[perm_min(p) for p in range(num_perm)])
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", num_perm: int = 64,
-                      bands: int = 16, shingle_n: int = 3,
-                      shingled: DataFrame | None = None) -> DataFrame:
-    """Near-duplicate candidate pairs via banded MinHash-LSH.
-
-    Scale shape: one narrow map producing (band, band_hash, id), one
-    shuffle per groupBy on (band, band_hash) — skew-safe because identical
-    band hashes ARE the candidates; self-join within buckets only. At
-    10^10 docs the bucket join replaces an impossible O(n^2) cross join.
-    """
+def _banded_buckets(shingled: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(_id, band, bucket) LSH rows for shingled docs — the shared banding
+    kernel of minhash_lsh_pairs and the incremental index path (bucket =
+    xxhash64 of the band's signature slice; deterministic per doc, so
+    index rows built batch-by-batch equal rows built corpus-at-once)."""
     rows = num_perm // bands
-    if shingled is None:
-        shingled = df.select(
-            F.col(id_col).alias("_id"),
-            word_ngrams(text_col, shingle_n).alias("_sh"),
-        )
     sig = shingled.select(
         "_id", minhash_signature("_sh", num_perm).alias("_sig")
     )
-    banded = sig.select(
+    return sig.select(
         "_id",
         F.explode(
             F.array(
@@ -406,6 +395,25 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_perm: int = 64,
+                      bands: int = 16, shingle_n: int = 3,
+                      shingled: DataFrame | None = None) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    Scale shape: one narrow map producing (band, band_hash, id), one
+    shuffle per groupBy on (band, band_hash) — skew-safe because identical
+    band hashes ARE the candidates; self-join within buckets only. At
+    10^10 docs the bucket join replaces an impossible O(n^2) cross join.
+    """
+    if shingled is None:
+        shingled = df.select(
+            F.col(id_col).alias("_id"),
+            word_ngrams(text_col, shingle_n).alias("_sh"),
+        )
+    banded = _banded_buckets(shingled, num_perm, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -764,3 +772,89 @@ def boilerplate_strip(df: DataFrame, min_docs: int = 3,
             ),
         ).alias("text_clean"),
     ).select(id_col, "text_clean", "n_lines_in", "n_lines_kept")
+
+
+def minhash_band_index(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_perm: int = 64,
+                       bands: int = 16, shingle_n: int = 3) -> DataFrame:
+    """The persistent LSH index of a corpus: one (id, band, bucket) row per
+    band per doc, built with the SAME banding kernel as minhash_lsh_pairs —
+    bucket hashes are deterministic per doc, so index rows appended batch
+    by batch equal rows built corpus-at-once.
+
+    At 10^10 docs this table is what makes dedup INCREMENTAL: write it once
+    (bucketed/partitioned by (band, bucket % K) so probes prune), then each
+    new ingest batch runs minhash_dedup_incremental against it instead of
+    re-shingling the whole corpus. Appending the new batch's rows (this
+    function on the batch) keeps the index current — no global rebuild."""
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        word_ngrams(text_col, shingle_n).alias("_sh"),
+    )
+    return _banded_buckets(shingled, num_perm, bands).select(
+        F.col("_id").alias(id_col), "band", "bucket"
+    )
+
+
+def minhash_dedup_incremental(new_docs: DataFrame, corpus_docs: DataFrame,
+                              index: DataFrame | None = None,
+                              threshold: float = 0.8,
+                              id_col: str = "doc_id", text_col: str = "text",
+                              num_perm: int = 64, bands: int = 16,
+                              shingle_n: int = 3) -> DataFrame:
+    """Near-dup detection of a NEW batch against an EXISTING corpus — the
+    incremental-ingest path: band only the batch (O(batch), the corpus is
+    never re-shingled), probe the corpus ``index`` (minhash_band_index
+    output; built here from corpus_docs when not supplied) with one
+    (band, bucket) equi-join, then exact-verify candidates by n-gram
+    Jaccard against just the matched corpus docs. Returns one row per
+    flagged new doc: (new_id, dup_of, jaccard) with ``dup_of`` the
+    smallest matching corpus id at the best (highest) Jaccard.
+
+    Scale shape: the join is keyed on (band, bucket) — against a stored
+    index bucketed on that key the batch side shuffles O(batch*bands) rows
+    and the corpus side prunes to touched buckets; the verify join ships
+    shingles only for candidate pairs. Candidates equal the cross-boundary
+    subset of minhash_lsh_pairs(corpus ∪ batch) exactly (pinned in
+    pytest), so incremental == batch-at-once for new-vs-corpus pairs."""
+    new_sh = new_docs.select(
+        F.col(id_col).alias("_id"),
+        word_ngrams(text_col, shingle_n).alias("_sh"),
+    )
+    new_banded = _banded_buckets(new_sh, num_perm, bands)
+    if index is None:
+        index = minhash_band_index(corpus_docs, id_col, text_col,
+                                   num_perm, bands, shingle_n)
+    cand = (
+        new_banded.alias("n")
+        .join(
+            index.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .select(F.col("n._id").alias("new_id"),
+                F.col("c." + id_col).alias("corpus_id"))
+        .distinct()
+    )
+    corpus_sh = corpus_docs.select(
+        F.col(id_col).alias("corpus_id"),
+        word_ngrams(text_col, shingle_n).alias("_csh"),
+    )
+    verified = (
+        cand.join(new_sh.withColumnRenamed("_id", "new_id"), "new_id")
+        .join(corpus_sh, "corpus_id")
+        .select(
+            "new_id", "corpus_id",
+            jaccard(F.col("_sh"), F.col("_csh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("jaccard"), F.asc("corpus_id"))
+    return (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("new_id"), F.col("corpus_id").alias("dup_of"), "jaccard")
+    )
