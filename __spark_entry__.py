@@ -3553,6 +3553,63 @@ def q_dedup_keep_best(spark, sf):
     )
 
 
+def _adjacent_jaccard_pairs(docs, threshold=0.5):
+    """Adjacent-id token-set Jaccard pairs — the SQL-closable candidate
+    relation (consecutive ids only, so the transitive closure is
+    gaps-and-islands) shared by q_dedup_keep_best, q_holdout_split and
+    q_split_leakage's oracles."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    )
+    d = docs.select("doc_id", toks.alias("tokset"))
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
+    union = F.size(F.array_union(F.col("a.tokset"), F.col("b.tokset")))
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def q_holdout_split(spark, sf):
+    """Leakage-safe train/val/test split (pipeline.leakage_safe_split):
+    near-dup pairs -> connected components -> hash the CLUSTER rep into
+    0.9/0.05/0.05 buckets, so near-duplicates can never straddle train
+    and test. The oracle replays the closure as gaps-and-islands (the
+    pair relation links consecutive ids only) and the same salted-md5
+    7-hex-digit cumulative thresholds in DuckDB."""
+    from warcio_spark.operators.pipeline import leakage_safe_split
+
+    docs = _t(spark, sf, "documents")
+    pairs = _adjacent_jaccard_pairs(docs)
+    return leakage_safe_split(
+        docs, pairs, {"train": 0.9, "val": 0.05, "test": 0.05})
+
+
+def q_split_leakage(spark, sf):
+    """Split-leakage audit (pipeline.split_leakage): a naive per-doc
+    modulo split is checked against the near-dup pair relation; every
+    edge whose endpoints land in different splits is a contamination
+    finding. Non-empty here BY DESIGN (the naive split leaks — the
+    failure mode leakage_safe_split exists to prevent)."""
+    from warcio_spark.operators.pipeline import split_leakage
+
+    docs = _t(spark, sf, "documents")
+    pairs = _adjacent_jaccard_pairs(docs)
+    naive = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 8, "train")
+        .when(F.col("doc_id") % 10 < 9, "val")
+        .otherwise("test").alias("split"),
+    )
+    return split_leakage(naive, pairs)
+
+
 def q_mirror_hosts(spark, sf):
     """Mirror/white-label host detection (domains.mirror_hosts): host pairs
     sharing >= 3 exact content digests, with overlap Jaccard — collapse
@@ -3594,6 +3651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trust_rank": q_trust_rank,
         "html_tables": q_html_tables,
         "minhash_incremental": q_minhash_incremental,
+        "holdout_split": q_holdout_split,
+        "split_leakage": q_split_leakage,
         "tumbling_window": q_tumbling_window,
         "sessionize": q_sessionize,
         "set_except": q_set_except,
@@ -5946,6 +6005,64 @@ def oracle_sql() -> dict[str, str]:
             FROM isl
             QUALIFY row_number() OVER (
               PARTITION BY grp ORDER BY n_chars DESC, doc_id) = 1
+        """,
+        "holdout_split": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(trim(text), '\\s+'),
+                       x -> x <> '')) AS tokset
+              FROM documents),
+            pj AS (
+              SELECT b.doc_id AS ib,
+                     ROUND(len(list_intersect(a.tokset, b.tokset))::DOUBLE
+                       / GREATEST(len(list_distinct(
+                           list_concat(a.tokset, b.tokset))), 1), 4) AS j
+              FROM t a JOIN t b ON b.doc_id = a.doc_id + 1),
+            flag AS (
+              SELECT t.doc_id,
+                     CASE WHEN pj.j >= 0.5 THEN 0 ELSE 1 END AS brk
+              FROM t LEFT JOIN pj ON pj.ib = t.doc_id),
+            isl AS (
+              SELECT doc_id, SUM(brk) OVER (ORDER BY doc_id) AS grp
+              FROM flag),
+            cl AS (
+              SELECT doc_id,
+                     MIN(doc_id) OVER (PARTITION BY grp) AS cluster
+              FROM isl)
+            SELECT doc_id, cluster,
+                   CASE WHEN h < '0e66666' THEN 'train'
+                        WHEN h < '0f33333' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, cluster,
+                         '0' || substr(md5('split' || cluster::VARCHAR), 1, 6)
+                           AS h
+                  FROM cl)
+        """,
+        "split_leakage": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(trim(text), '\\s+'),
+                       x -> x <> '')) AS tokset
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+              WHERE ROUND(len(list_intersect(a.tokset, b.tokset))::DOUBLE
+                      / GREATEST(len(list_distinct(
+                          list_concat(a.tokset, b.tokset))), 1), 4) >= 0.5),
+            naive AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 < 8 THEN 'train'
+                          WHEN doc_id % 10 < 9 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents)
+            SELECT id_a, id_b, sa.split AS split_a, sb.split AS split_b
+            FROM pairs
+            JOIN naive sa ON sa.doc_id = id_a
+            JOIN naive sb ON sb.doc_id = id_b
+            WHERE sa.split <> sb.split
         """,
         "embedding_topk": """
             SELECT vec_id,

@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     "mirror_hosts",  # digest-keyed host-pair join, ubiquity cap bounds fanout
     "dedup_keep_best",  # CC rounds on pair participants + max_by agg + anti-join
     "trust_rank",  # seeded power iteration, one contribution shuffle per round
+    "html_tables",  # staged regex Generates, slice caps, zero shuffles
+    "minhash_incremental",  # batch-only banding, one (band,bucket) probe join
+    "holdout_split",  # components on pair participants + one corpus join + codegen CASE
 ]
 
 

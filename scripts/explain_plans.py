@@ -89,6 +89,9 @@ PICKS = [
     "mirror_hosts",  # digest-keyed joins; totals broadcast onto pair agg
     "dedup_keep_best",  # winner = ONE max_by agg (no per-cluster window); corpus touched once
     "trust_rank",  # broadcast seed flag; per-iteration contribution shuffle only
+    "html_tables",  # three capped Generates, no Exchange anywhere
+    "minhash_incremental",  # probe join keyed (band,bucket); corpus never re-shingled
+    "holdout_split",  # cluster-rep hash bucket; corpus joined once
 ]
 
 

@@ -253,3 +253,100 @@ def test_write_jsonl_shards_roundtrip_and_determinism(spark, tmp_path):
     back = read_jsonl_shards(spark, out)
     assert back.count() == 120
     assert {r.id for r in back.select("id").collect()} == set(range(120))
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe holdout split
+
+
+def _split_fixture(spark, n_docs=400, chain_len=4):
+    """Docs 0..n-1; every doc with id % 10 < chain_len-1 chains to its
+    successor, so ids [10k, 10k+chain_len-1] form one planted cluster."""
+    docs = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    pairs = (
+        spark.range(n_docs - 1)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        .filter(F.col("id_a") % 10 < chain_len - 1)
+    )
+    return docs, pairs
+
+
+def test_leakage_safe_split_no_straddle(spark):
+    from warcio_spark.operators.pipeline import leakage_safe_split, split_leakage
+
+    docs, pairs = _split_fixture(spark)
+    out = leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = out.collect()
+    assert len(rows) == 400 and all(r.split for r in rows)
+    by_id = {r.doc_id: r for r in rows}
+    # every planted chain shares one cluster AND one split
+    for k in range(40):
+        chain = [by_id[k * 10 + i] for i in range(4)]
+        assert len({r.cluster for r in chain}) == 1
+        assert chain[0].cluster == k * 10  # min id in closure
+        assert len({r.split for r in chain}) == 1
+    # singletons are their own cluster
+    assert by_id[7].cluster == 7
+    # the audit finds nothing to report
+    assert split_leakage(out, pairs).count() == 0
+
+
+def test_leakage_safe_split_ratios_and_determinism(spark):
+    from warcio_spark.operators.pipeline import leakage_safe_split
+
+    docs = spark.range(4000).select(F.col("id").alias("doc_id"))
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = leakage_safe_split(
+        docs, empty, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 4000
+    assert abs(counts["train"] / 4000 - 0.8) < 0.03
+    assert abs(counts["val"] / 4000 - 0.1) < 0.02
+    assert abs(counts["test"] / 4000 - 0.1) < 0.02
+    # deterministic across partitionings
+    again = leakage_safe_split(
+        docs.repartition(13), empty, {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_leakage_safe_split_validates_ratios(spark):
+    from warcio_spark.operators.pipeline import leakage_safe_split
+
+    docs = spark.range(5).select(F.col("id").alias("doc_id"))
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, empty, {"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, empty, {})
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, empty, {"train": 1.5, "val": -0.5})
+
+
+def test_split_leakage_planted(spark):
+    from warcio_spark.operators.pipeline import split_leakage
+
+    assignment = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "train")],
+        "doc_id long, split string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long")
+    got = split_leakage(assignment, pairs).collect()
+    assert [(r.id_a, r.id_b, r.split_a, r.split_b) for r in got] == [
+        (1, 2, "train", "test")]
+
+
+def test_leakage_straddle_probability_of_naive_split(spark):
+    """The motivating property: a naive per-doc hash split DOES straddle
+    planted clusters; leakage_safe_split on the same data does not."""
+    from warcio_spark.operators.pipeline import leakage_safe_split, split_leakage
+
+    docs, pairs = _split_fixture(spark, n_docs=1000)
+    naive = docs.select(
+        "doc_id",
+        F.when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+               < F.lit("d"), "train").otherwise("test").alias("split"))
+    assert split_leakage(naive, pairs).count() > 0
+    safe = leakage_safe_split(docs, pairs, {"train": 0.8, "test": 0.2})
+    assert split_leakage(safe, pairs).count() == 0

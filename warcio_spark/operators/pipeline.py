@@ -530,3 +530,91 @@ def stratified_quota(docs: DataFrame, quota: int, strata: tuple = ("lang",),
         .filter(F.col("sample_rank") <= quota)
         .drop("_k", "_b", "_r1")
     )
+
+
+def leakage_safe_split(docs: DataFrame, pairs: DataFrame, ratios: dict,
+                       *, id_col: str = "doc_id", left_col: str = "id_a",
+                       right_col: str = "id_b", salt: str = "split",
+                       checkpoint_dir: str | None = None) -> DataFrame:
+    """Contamination-safe holdout assignment: every doc lands in exactly
+    one named split, and docs linked (transitively) by the near-dup
+    ``pairs`` relation ALWAYS land in the same split — the property that
+    keeps a val/test document's near-duplicate out of train. A plain
+    per-doc hash split does NOT have it: with a 10%% holdout and d dups
+    per cluster, the chance a cluster straddles splits is ~1-(0.9^d+...),
+    i.e. most multi-doc clusters leak.
+
+    The split decision hashes the CLUSTER representative (min doc id in
+    the transitive closure via ``dedup.dup_clusters``; docs in no pair
+    are their own singleton cluster), then buckets by cumulative
+    ``ratios`` using the same salted-md5 7-hex-digit threshold trick as
+    ``weighted_mix`` — no RNG state, so reruns, resumes, and the DuckDB
+    oracle agree row-for-row. ``ratios`` maps split name -> fraction and
+    must sum to 1 (bucket boundaries follow the dict's insertion order).
+
+    Returns (id_col, cluster, split).
+
+    Scale shape: connected components run ONLY on pair participants
+    (pointer doubling, O(log n) rounds — at 10^10 docs the pair table is
+    the dedup layer's output, orders of magnitude smaller than the
+    corpus); the corpus is touched ONCE by a left equi-join against the
+    cluster table; the hash bucket is a pure codegen CASE — no extra
+    shuffle beyond the join."""
+    from warcio_spark.operators.dedup import dup_clusters
+
+    if not ratios:
+        raise ValueError("ratios must name at least one split")
+    total = sum(ratios.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"ratios must sum to 1, got {total}")
+    cl = dup_clusters(pairs, left_col, right_col,
+                      checkpoint_dir=checkpoint_dir).withColumnRenamed(
+                          "doc_id", id_col)
+    assigned = (
+        docs.select(id_col)
+        .join(cl, id_col, "left")
+        .withColumn("cluster", F.coalesce("cluster", F.col(id_col)))
+    )
+    hex7 = F.concat(
+        F.lit("0"),
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("cluster").cast("string"))),
+            1, 6),
+    )
+    split = None
+    cum = 0.0
+    for name, w in ratios.items():
+        if not (0.0 < w <= 1.0):
+            raise ValueError(f"ratio for {name!r} must be in (0, 1], got {w}")
+        cum += w
+        thr = F.lit(format(int(round(cum * 16 ** 6)), "07x"))
+        split = (F.when(hex7 < thr, name) if split is None
+                 else split.when(hex7 < thr, name))
+    return assigned.select(id_col, "cluster", split.alias("split"))
+
+
+def split_leakage(assignment: DataFrame, pairs: DataFrame,
+                  *, id_col: str = "doc_id", split_col: str = "split",
+                  left_col: str = "id_a", right_col: str = "id_b") -> DataFrame:
+    """Audit an EXISTING split for near-dup leakage: every ``pairs`` edge
+    whose endpoints sit in different splits, as (id_a, id_b, split_a,
+    split_b). Empty output == the split is leakage-free w.r.t. the pair
+    relation (leakage_safe_split's postcondition; the check is how you
+    validate a split you did NOT build, e.g. one inherited from an
+    upstream corpus release).
+
+    Scale shape: two broadcast-eligible equi-joins of the pair table
+    against the (id, split) projection — the corpus-sized assignment is
+    never shuffled against itself, and the pair table is the small side
+    at training-corpus scale."""
+    a = assignment.select(F.col(id_col).alias(left_col),
+                          F.col(split_col).alias("split_a"))
+    b = assignment.select(F.col(id_col).alias(right_col),
+                          F.col(split_col).alias("split_b"))
+    return (
+        pairs.select(left_col, right_col)
+        .join(a, left_col)
+        .join(b, right_col)
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(left_col, right_col, "split_a", "split_b")
+    )
