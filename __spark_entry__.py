@@ -3506,6 +3506,57 @@ def q_html_tables(spark, sf):
     )
 
 
+def _structure_universe(spark, sf):
+    """Deterministic heading/code-bearing pages for q_html_outline and
+    q_code_blocks (mirrored verbatim by the DuckDB oracles): every doc
+    gets an attribute-ed h1 with nested markup, an uppercase H2, and a
+    pre>code block with newlines + indentation; doc_id%3==0 adds an h3;
+    doc_id%4==0 adds a bare PRE; every doc carries an inline <code> and
+    an <h7>/<prex> decoy that must NOT match."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    markup = F.concat(
+        F.lit('<h1 class="t">Main <b>'), s(d % 7), F.lit("</b></h1><p>x</p>"),
+        F.lit("<H2>Sec "), s(d % 5), F.lit("</H2>"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("<h3 id=z> sub "), s(d % 4), F.lit(" </h3>"))
+               ).otherwise(F.lit("")),
+        F.lit("<h7>deco</h7>use <code>inline()</code> here"),
+        F.lit("<pre><code>def f"), s(d % 9),
+        F.lit("():\n    return "), s(d), F.lit("\n</code></pre>"),
+        F.when(d % 4 == 0,
+               F.concat(F.lit("<PRE class=x>raw  "), s(d % 6), F.lit("</PRE>"))
+               ).otherwise(F.lit("")),
+        F.lit("<prex>decoy</prex>"),
+    )
+    return docs.select(
+        F.concat(F.lit("http://s"), s(d % 13), F.lit(".example.com/p"),
+                 s(d)).alias("page_url"),
+        markup.alias("text"),
+    )
+
+
+def q_html_outline(spark, sf):
+    """Heading outline (operators/tables.extract_headings): one row per
+    h1–h6 in document order with (pos, level, tag-stripped trimmed text)
+    — one regexp pass + capped posexplode, zero shuffles. The oracle
+    replays the same regex and strip in DuckDB over the same universe."""
+    from warcio_spark.operators.tables import extract_headings
+
+    return extract_headings(_structure_universe(spark, sf))
+
+
+def q_code_blocks(spark, sf):
+    """Code-block mining (operators/tables.extract_code_blocks): one row
+    per <pre> block with markup stripped but whitespace preserved
+    verbatim (code is whitespace-significant); inline <code> spans are
+    not blocks. Pure codegen, zero shuffles."""
+    from warcio_spark.operators.tables import extract_code_blocks
+
+    return extract_code_blocks(_structure_universe(spark, sf))
+
+
 def q_minhash_incremental(spark, sf):
     """Incremental near-dup ingest (dedup.minhash_dedup_incremental): docs
     with doc_id >= 400 arrive as a new batch and are probed against the
@@ -3519,6 +3570,19 @@ def q_minhash_incremental(spark, sf):
     corpus = docs.filter(F.col("doc_id") < 400)
     batch = docs.filter(F.col("doc_id") >= 400)
     return minhash_dedup_incremental(batch, corpus, threshold=0.5)
+
+
+def q_temperature_mix(spark, sf):
+    """Temperature rebalancing (pipeline.temperature_sample, alpha=0.5):
+    per-language quotas proportional to share^alpha, budget-constrained
+    so nothing upsamples (N' = min |s|/t_s); rows kept in salted-md5
+    order via the two-phase exact bottom-quota. The oracle replays the
+    quota algebra (same 1e-9 floor epsilon) and rank in DuckDB."""
+    from warcio_spark.operators.pipeline import temperature_sample
+
+    return temperature_sample(_t(spark, sf, "documents"), alpha=0.5).select(
+        "doc_id", "lang", "quota", "sample_rank")
+
 
 
 def q_dedup_keep_best(spark, sf):
@@ -3651,8 +3715,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trust_rank": q_trust_rank,
         "html_tables": q_html_tables,
         "minhash_incremental": q_minhash_incremental,
+        "html_outline": q_html_outline,
+        "code_blocks": q_code_blocks,
         "holdout_split": q_holdout_split,
         "split_leakage": q_split_leakage,
+        "temperature_mix": q_temperature_mix,
         "tumbling_window": q_tumbling_window,
         "sessionize": q_sessionize,
         "set_except": q_set_except,
@@ -5980,6 +6047,74 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(cells, '|') AS cells_joined
             FROM c
         """,
+        "html_outline": """
+            WITH pages AS (
+              SELECT 'http://s' || (doc_id % 13)::VARCHAR
+                       || '.example.com/p' || doc_id::VARCHAR AS url,
+                     '<h1 class="t">Main <b>' || (doc_id % 7)::VARCHAR
+                       || '</b></h1><p>x</p>'
+                     || '<H2>Sec ' || (doc_id % 5)::VARCHAR || '</H2>'
+                     || CASE WHEN doc_id % 3 = 0
+                          THEN '<h3 id=z> sub ' || (doc_id % 4)::VARCHAR
+                               || ' </h3>' ELSE '' END
+                     || '<h7>deco</h7>use <code>inline()</code> here'
+                     || '<pre><code>def f' || (doc_id % 9)::VARCHAR
+                       || '():' || chr(10) || '    return '
+                       || doc_id::VARCHAR || chr(10) || '</code></pre>'
+                     || CASE WHEN doc_id % 4 = 0
+                          THEN '<PRE class=x>raw  ' || (doc_id % 6)::VARCHAR
+                               || '</PRE>' ELSE '' END
+                     || '<prex>decoy</prex>' AS text
+              FROM documents),
+            h AS (
+              SELECT url, regexp_extract_all(text,
+                '(?is)<h([1-6])(?:\\s[^>]*)?>(.*?)</h[1-6]>', 0) AS hs
+              FROM pages),
+            e AS (
+              SELECT url, CAST(generate_subscripts(hs, 1) - 1 AS INT) AS pos,
+                     unnest(hs) AS el
+              FROM h)
+            SELECT url, pos,
+                   regexp_extract(el,
+                     '(?is)<h([1-6])(?:\\s[^>]*)?>(.*?)</h[1-6]>', 1)::INT
+                     AS level,
+                   trim(regexp_replace(regexp_extract(el,
+                     '(?is)<h([1-6])(?:\\s[^>]*)?>(.*?)</h[1-6]>', 2),
+                     '<[^>]*>', '', 'gs')) AS heading
+            FROM e
+        """,
+        "code_blocks": """
+            WITH pages AS (
+              SELECT 'http://s' || (doc_id % 13)::VARCHAR
+                       || '.example.com/p' || doc_id::VARCHAR AS url,
+                     '<h1 class="t">Main <b>' || (doc_id % 7)::VARCHAR
+                       || '</b></h1><p>x</p>'
+                     || '<H2>Sec ' || (doc_id % 5)::VARCHAR || '</H2>'
+                     || CASE WHEN doc_id % 3 = 0
+                          THEN '<h3 id=z> sub ' || (doc_id % 4)::VARCHAR
+                               || ' </h3>' ELSE '' END
+                     || '<h7>deco</h7>use <code>inline()</code> here'
+                     || '<pre><code>def f' || (doc_id % 9)::VARCHAR
+                       || '():' || chr(10) || '    return '
+                       || doc_id::VARCHAR || chr(10) || '</code></pre>'
+                     || CASE WHEN doc_id % 4 = 0
+                          THEN '<PRE class=x>raw  ' || (doc_id % 6)::VARCHAR
+                               || '</PRE>' ELSE '' END
+                     || '<prex>decoy</prex>' AS text
+              FROM documents),
+            b AS (
+              SELECT url, regexp_extract_all(text,
+                '(?is)<pre(?:\\s[^>]*)?>(.*?)</pre>', 1) AS bs
+              FROM pages),
+            e AS (
+              SELECT url, CAST(generate_subscripts(bs, 1) - 1 AS INT) AS pos,
+                     regexp_replace(unnest(bs), '<[^>]*>', '', 'gs') AS code
+              FROM b)
+            SELECT url, pos, code,
+                   CAST(len(string_split(code, chr(10))) AS INT) AS n_lines,
+                   CAST(length(code) AS INT) AS n_chars
+            FROM e
+        """,
         "dedup_keep_best": """
             WITH t AS (
               SELECT doc_id, lang, n_chars,
@@ -6063,6 +6198,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN naive sa ON sa.doc_id = id_a
             JOIN naive sb ON sb.doc_id = id_b
             WHERE sa.split <> sb.split
+        """,
+        "temperature_mix": """
+            WITH c AS (
+              SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+            w AS (SELECT lang, cnt, pow(cnt, 0.5) AS w FROM c),
+            t AS (SELECT lang, cnt, w / SUM(w) OVER () AS t FROM w),
+            m AS (SELECT lang, cnt, t, MIN(cnt / t) OVER () AS m FROM t),
+            q AS (
+              SELECT lang,
+                     LEAST(cnt, CAST(FLOOR(t * m + 1e-9) AS BIGINT)) AS quota
+              FROM m),
+            r AS (
+              SELECT d.doc_id, d.lang, q.quota,
+                     row_number() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY md5('temp' || CAST(d.doc_id AS VARCHAR)),
+                                d.doc_id) AS rk
+              FROM documents d JOIN q USING (lang))
+            SELECT doc_id, lang, quota, CAST(rk AS INT) AS sample_rank
+            FROM r WHERE rk <= quota
         """,
         "embedding_topk": """
             SELECT vec_id,

@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "html_tables",  # staged regex Generates, slice caps, zero shuffles
     "minhash_incremental",  # batch-only banding, one (band,bucket) probe join
     "holdout_split",  # components on pair participants + one corpus join + codegen CASE
+    "code_blocks",  # one regex Generate, whitespace-verbatim, zero shuffles
+    "temperature_mix",  # tiny-count quota algebra + two-phase bottom-quota
 ]
 
 

@@ -92,6 +92,8 @@ PICKS = [
     "html_tables",  # three capped Generates, no Exchange anywhere
     "minhash_incremental",  # probe join keyed (band,bucket); corpus never re-shingled
     "holdout_split",  # cluster-rep hash bucket; corpus joined once
+    "html_outline",  # single capped Generate, no Exchange
+    "temperature_mix",  # broadcast quota join; two-phase window, no 1-partition data stage
 ]
 
 

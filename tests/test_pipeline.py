@@ -350,3 +350,66 @@ def test_leakage_straddle_probability_of_naive_split(spark):
     assert split_leakage(naive, pairs).count() > 0
     safe = leakage_safe_split(docs, pairs, {"train": 0.8, "test": 0.2})
     assert split_leakage(safe, pairs).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# temperature rebalancing
+
+
+def _lang_docs(spark, sizes):
+    rows = []
+    i = 0
+    for lang, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, lang))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_temperature_alpha1_keeps_everything(spark):
+    from warcio_spark.operators.pipeline import temperature_sample
+
+    docs = _lang_docs(spark, {"en": 300, "fr": 60, "sw": 15})
+    out = temperature_sample(docs, alpha=1.0)
+    assert out.count() == 375
+    got = {r.lang: r.n for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {"en": 300, "fr": 60, "sw": 15}
+
+
+def test_temperature_alpha0_uniform_cap(spark):
+    from warcio_spark.operators.pipeline import temperature_sample
+
+    docs = _lang_docs(spark, {"en": 300, "fr": 60, "sw": 15})
+    got = {r.lang: r.n for r in
+           temperature_sample(docs, alpha=0.0)
+           .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {"en": 15, "fr": 15, "sw": 15}
+
+
+def test_temperature_flattens_and_hits_target_shares(spark):
+    from warcio_spark.operators.pipeline import temperature_sample
+
+    sizes = {"en": 400, "fr": 100, "sw": 25}
+    docs = _lang_docs(spark, sizes)
+    got = {r.lang: r.n for r in
+           temperature_sample(docs, alpha=0.5)
+           .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # target shares proportional to sqrt(sizes): 20:10:5 -> sw binds
+    # N' = 25/(5/35) = 175 -> quotas floor(175 * 20/35), floor(175*10/35), 25
+    assert got == {"en": 100, "fr": 50, "sw": 25}
+    # rare language share rose (25/525 -> 25/175), dominant fell
+    assert got["sw"] / sum(got.values()) > sizes["sw"] / sum(sizes.values())
+    assert got["en"] / sum(got.values()) < sizes["en"] / sum(sizes.values())
+
+
+def test_temperature_deterministic_across_partitionings(spark):
+    from warcio_spark.operators.pipeline import temperature_sample
+
+    docs = _lang_docs(spark, {"en": 120, "fr": 40})
+    a = sorted(map(tuple, temperature_sample(docs, 0.3).collect()))
+    b = sorted(map(tuple,
+                   temperature_sample(docs.repartition(17), 0.3).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        temperature_sample(docs, -0.1)

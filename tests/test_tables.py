@@ -4,7 +4,9 @@ th/td mix), decoy tags, caps discipline, and the table_shapes census."""
 
 from pyspark.sql import functions as F
 
-from warcio_spark.operators.tables import extract_tables, table_shapes
+from warcio_spark.operators.tables import (extract_code_blocks,
+                                            extract_headings,
+                                            extract_tables, table_shapes)
 
 
 def _pages(spark, rows):
@@ -80,3 +82,44 @@ def test_extract_tables_plan_no_shuffle(spark):
     df = extract_tables(_pages(spark, [("u", "<table></table>")]))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_extract_headings_outline(spark):
+    html = (
+        '<h1 class="t">Main <b>Title</b></h1><p>x</p>'
+        "<H2>Section</H2><h3 id=z> sub </h3><h7>not a heading</h7>"
+    )
+    out = extract_headings(_pages(spark, [("u", html)])).orderBy("pos").collect()
+    assert [(r.pos, r.level, r.heading) for r in out] == [
+        (0, 1, "Main Title"), (1, 2, "Section"), (2, 3, "sub")]
+
+
+def test_extract_headings_cap(spark):
+    html = "".join(f"<h2>h{i}</h2>" for i in range(10))
+    out = extract_headings(
+        _pages(spark, [("u", html)]), max_headings=4).collect()
+    assert len(out) == 4 and {r.pos for r in out} == {0, 1, 2, 3}
+
+
+def test_extract_code_blocks_whitespace_preserved(spark):
+    html = (
+        "<p>use <code>inline()</code> here</p>"
+        '<pre><code>def f():\n    return 1\n</code></pre>'
+        "<PRE class=x>raw  text</PRE>"
+        "<prex>decoy</prex>"
+    )
+    out = extract_code_blocks(_pages(spark, [("u", html)])).orderBy("pos").collect()
+    assert len(out) == 2  # inline <code> and <prex> are not blocks
+    assert out[0].code == "def f():\n    return 1\n"  # tags stripped, ws kept
+    assert out[0].n_lines == 3 and out[0].n_chars == len(out[0].code)
+    assert out[1].code == "raw  text" and out[1].n_lines == 1
+
+
+def test_structure_extractors_plan_no_shuffle(spark):
+    from warcio_spark.operators.tables import (extract_code_blocks,
+                                               extract_headings)
+
+    for fn in (extract_headings, extract_code_blocks):
+        df = fn(_pages(spark, [("u", "<h1>x</h1><pre>y</pre>")]))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (fn.__name__, plan)

@@ -618,3 +618,63 @@ def split_leakage(assignment: DataFrame, pairs: DataFrame,
         .filter(F.col("split_a") != F.col("split_b"))
         .select(left_col, right_col, "split_a", "split_b")
     )
+
+
+def temperature_sample(docs: DataFrame, alpha: float,
+                       strata: tuple = ("lang",), buckets: int = 32,
+                       salt: str = "temp", id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based corpus rebalancing (the multilingual mixing step:
+    sample strata with probability proportional to share^alpha). Target
+    share t_s ∝ |s|^alpha; the output corpus is the LARGEST one that hits
+    those shares without upsampling (N' = min_s |s|/t_s, quota_s =
+    floor(t_s·N')) — alpha=1 keeps everything, alpha=0 caps every stratum
+    at the smallest one (uniform), 0<alpha<1 flattens toward uniform the
+    way multilingual pretraining mixes do. Rows inside a stratum are kept
+    in salted-md5 order (deterministic — reruns, resumes, and the DuckDB
+    oracle agree row-for-row, no RNG state anywhere).
+
+    The quota math runs on the |strata|-row count table (single-partition
+    windows there are free); a 1e-9 epsilon inside the floor makes the
+    integer boundary stable against float summation order, so both
+    engines land on identical quotas. Returns docs columns + quota +
+    sample_rank (1-based within stratum).
+
+    Scale shape: one map-combinable count agg, a broadcast join of the
+    tiny quota table, then the SAME two-phase exact bottom-quota as
+    ``stratified_quota`` (rank inside (stratum, id-hash bucket), prune,
+    re-rank survivors) — no stratum ever rides one reducer."""
+    from pyspark.sql import Window
+
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    tw = Window.partitionBy()
+    counts = docs.groupBy(*strata).agg(F.count(F.lit(1)).alias("_cnt"))
+    quotas = (
+        counts
+        .withColumn("_w", F.pow(F.col("_cnt").cast("double"), F.lit(float(alpha))))
+        .withColumn("_t", F.col("_w") / F.sum("_w").over(tw))
+        .withColumn("_m", F.min(F.col("_cnt") / F.col("_t")).over(tw))
+        .withColumn(
+            "quota",
+            F.least(
+                F.col("_cnt"),
+                F.floor(F.col("_t") * F.col("_m") + F.lit(1e-9)).cast("long"),
+            ),
+        )
+        .select(*strata, "quota")
+    )
+    vid = F.col(id_col)
+    key = F.md5(F.concat(F.lit(salt), vid.cast("string")))
+    w1 = Window.partitionBy(*(list(strata) + ["_b"])).orderBy(
+        F.asc("_k"), F.asc(id_col))
+    w2 = Window.partitionBy(*strata).orderBy(F.asc("_k"), F.asc(id_col))
+    return (
+        docs.join(F.broadcast(quotas), list(strata))
+        .withColumn("_k", key)
+        .withColumn("_b", F.pmod(F.xxhash64(vid), F.lit(buckets)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.col("quota"))
+        .withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .drop("_k", "_b", "_r1")
+    )

@@ -95,3 +95,71 @@ def table_shapes(pages: DataFrame, url_col: str = "page_url",
             (F.count_distinct(F.col("n_cells")) > 1).alias("ragged"),
         )
     )
+
+
+#: heading / code-block caps (same rationale as the table caps)
+MAX_HEADINGS_PER_PAGE = 100
+MAX_CODE_BLOCKS_PER_PAGE = 50
+
+_HEADING_RX = r"(?is)<h([1-6])(?:\s[^>]*)?>(.*?)</h[1-6]>"
+_PRE_RX = r"(?is)<pre(?:\s[^>]*)?>(.*?)</pre>"
+_CODE_RX = r"(?is)<code(?:\s[^>]*)?>(.*?)</code>"
+
+
+def extract_headings(pages: DataFrame, url_col: str = "page_url",
+                     text_col: str = "text",
+                     max_headings: int = MAX_HEADINGS_PER_PAGE) -> DataFrame:
+    """Document outline: one row per ``<h1>``–``<h6>`` in document order —
+    (url, pos, level, heading) with nested markup stripped and whitespace
+    trimmed. The skeleton a section-aware chunker or TOC builder keys on
+    (chunk_documents splits flat text; this recovers the boundaries the
+    author declared).
+
+    Scale shape: ONE regexp_extract_all over the page (level and body
+    captured together, re-split after the capped posexplode), pure
+    codegen, zero shuffles, ≤ max_headings rows per page."""
+    # capture level+body in one pass: extract group 0 (whole tag), then
+    # re-parse level and inner text from the exploded element
+    whole = F.regexp_extract_all(F.col(text_col), F.lit(_HEADING_RX), F.lit(0))
+    rows = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.slice(whole, 1, max_headings)).alias("pos", "_h"),
+    )
+    return rows.select(
+        "url", "pos",
+        F.regexp_extract(F.col("_h"), _HEADING_RX, 1).cast("int").alias("level"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_extract(F.col("_h"), _HEADING_RX, 2), _TAG_RX, "")
+        ).alias("heading"),
+    )
+
+
+def extract_code_blocks(pages: DataFrame, url_col: str = "page_url",
+                        text_col: str = "text",
+                        max_blocks: int = MAX_CODE_BLOCKS_PER_PAGE) -> DataFrame:
+    """Code-corpus mining: one row per ``<pre>`` block — (url, pos, code,
+    n_lines, n_chars). Inner ``<code>``/markup tags are stripped but the
+    TEXT (incl. newlines/indentation) is preserved verbatim — code is
+    whitespace-significant, so unlike cells/headings there is NO trim or
+    whitespace collapse beyond the markup strip. ``<code>`` spans outside
+    ``<pre>`` are inline mentions, not blocks, and are deliberately not
+    emitted (the pretraining-code convention).
+
+    Scale shape: one regexp_extract_all + capped posexplode + per-row
+    expressions; pure codegen, zero shuffles."""
+    blocks = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.slice(
+                F.regexp_extract_all(F.col(text_col), F.lit(_PRE_RX), F.lit(1)),
+                1, max_blocks,
+            )
+        ).alias("pos", "_b"),
+    )
+    code = F.regexp_replace(F.col("_b"), _TAG_RX, "")
+    return blocks.select(
+        "url", "pos", code.alias("code"),
+        (F.size(F.split(code, "\n", -1))).alias("n_lines"),
+        F.length(code).alias("n_chars"),
+    )
