@@ -3572,6 +3572,25 @@ def q_minhash_incremental(spark, sf):
     return minhash_dedup_incremental(batch, corpus, threshold=0.5)
 
 
+def q_simhash_incremental(spark, sf):
+    """Incremental SimHash probe (dedup.simhash_incremental): docs with
+    doc_id >= 400 arrive as a batch, are simhashed, and probed against the
+    STORED signature table of the first 400 (simhash_deterministic output —
+    appendable batch-by-batch, pinned in test_simhash_table_appendable) via
+    one high-bit-prefix equi-join + bit_count hamming verify. Incremental ==
+    cross-boundary subset of simhash_near_pairs is pinned in
+    tests/test_curation_ops.py; output frozen as a golden. prefix_bits=8 /
+    max_hamming=12 so the 500-doc synthetic corpus yields a non-trivial
+    flagged set."""
+    from warcio_spark.operators.dedup import (simhash_deterministic,
+                                              simhash_incremental)
+
+    docs = _t(spark, sf, "documents")
+    corp_sim = simhash_deterministic(docs.filter(F.col("doc_id") < 400))
+    batch = docs.filter(F.col("doc_id") >= 400)
+    return simhash_incremental(batch, corp_sim, prefix_bits=8, max_hamming=12)
+
+
 def q_temperature_mix(spark, sf):
     """Temperature rebalancing (pipeline.temperature_sample, alpha=0.5):
     per-language quotas proportional to share^alpha, budget-constrained
@@ -3582,6 +3601,34 @@ def q_temperature_mix(spark, sf):
 
     return temperature_sample(_t(spark, sf, "documents"), alpha=0.5).select(
         "doc_id", "lang", "quota", "sample_rank")
+
+
+
+def q_pack_sequences(spark, sf):
+    """Training-sequence packing (pipeline.pack_sequences): whitespace
+    token counts -> deterministic salted-md5 order inside an
+    engine-portable md5-digit shard -> per-shard running offset cut every
+    512 tokens. The oracle replays the shard digit, order, and window
+    cumsum in DuckDB; the per-shard window means no SinglePartition data
+    stage (pinned in pytest)."""
+    from warcio_spark.operators.pipeline import pack_sequences
+
+    docs = _t(spark, sf, "documents")
+    toks = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                 lambda t: t != F.lit(""))
+    )
+    shard16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shard"), F.col("doc_id").cast("string"))),
+            1, 1),
+        16, 10,
+    ).cast("int")
+    d = docs.select("doc_id", toks.alias("n_tokens"),
+                    shard16.alias("shard16"))
+    return pack_sequences(d, 512, n_shards=16, shard_col="shard16").select(
+        "doc_id", F.col("shard16").alias("shard_key"), "shard", "seq_id",
+        "token_start", "token_end")
 
 
 
@@ -3715,11 +3762,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trust_rank": q_trust_rank,
         "html_tables": q_html_tables,
         "minhash_incremental": q_minhash_incremental,
+        "simhash_incremental": q_simhash_incremental,
         "html_outline": q_html_outline,
         "code_blocks": q_code_blocks,
         "holdout_split": q_holdout_split,
         "split_leakage": q_split_leakage,
         "temperature_mix": q_temperature_mix,
+        "pack_sequences": q_pack_sequences,
         "tumbling_window": q_tumbling_window,
         "sessionize": q_sessionize,
         "set_except": q_set_except,
@@ -3833,6 +3882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 PINNED_GOLDEN_SF = "/root/testdata/sf0.01"
 PINNED_GOLDEN = {
     "minhash_incremental",
+    "simhash_incremental",
     "near_dup_clusters",
     "simhash",
     "minhash_dedup",
@@ -6218,6 +6268,31 @@ def oracle_sql() -> dict[str, str]:
               FROM documents d JOIN q USING (lang))
             SELECT doc_id, lang, quota, CAST(rk AS INT) AS sample_rank
             FROM r WHERE rk <= quota
+        """,
+        "pack_sequences": """
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                       string_split_regex(trim(text), '\\s+'),
+                       x -> x <> '')) AS INT) AS n_tokens,
+                     CAST(strpos('0123456789abcdef',
+                       substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 1))
+                       - 1 AS INT) AS shard16
+              FROM documents),
+            p AS (
+              SELECT doc_id, shard16,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard16
+                       ORDER BY md5('pack' || CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS token_start,
+                     n_tokens
+              FROM d)
+            SELECT doc_id, shard16 AS shard_key, shard16 AS shard,
+                   CAST(FLOOR(token_start / 512.0) AS BIGINT) AS seq_id,
+                   token_start,
+                   CAST(token_start + n_tokens AS BIGINT) AS token_end
+            FROM p
         """,
         "embedding_topk": """
             SELECT vec_id,

@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     "holdout_split",  # components on pair participants + one corpus join + codegen CASE
     "code_blocks",  # one regex Generate, whitespace-verbatim, zero shuffles
     "temperature_mix",  # tiny-count quota algebra + two-phase bottom-quota
+    # round-5h additions
+    "pack_sequences",  # per-shard window cumsum, one hash shuffle, no SinglePartition
+    "simhash_incremental",  # batch-only simhash + one prefix-bucket probe join
 ]
 
 

@@ -35,6 +35,7 @@ OUT_DIR = os.path.join(REPO, "goldens")
 # queries to pin, with the DuckDB type per column kind
 GOLDEN_QUERIES = [
     "minhash_incremental",
+    "simhash_incremental",
     "near_dup_clusters",
     "simhash",
     "minhash_dedup",
@@ -147,7 +148,12 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(OUT_DIR, exist_ok=True)
     qs = entrymod.queries()
-    for name in GOLDEN_QUERIES:
+    # --only name [name ...]: regenerate a subset (new goldens) without
+    # churning the provenance line of every existing one
+    only = sys.argv[sys.argv.index("--only") + 1:] if "--only" in sys.argv \
+        else None
+    for name in (only or GOLDEN_QUERIES):
+        assert name in GOLDEN_QUERIES, name
         df = qs[name](spark, GOLDEN_SF)
         sql = golden_sql(df)
         path = os.path.join(OUT_DIR, name + ".sql")

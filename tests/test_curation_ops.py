@@ -368,3 +368,76 @@ def test_minhash_incremental_supplied_index_equals_built(spark):
     built = sorted(map(tuple, minhash_dedup_incremental(
         batch, corpus, threshold=0.5).collect()))
     assert with_idx == built
+
+
+# ---------------------------------------------------------------------------
+# incremental SimHash
+
+
+def test_simhash_incremental_planted_dups(spark):
+    from warcio_spark.operators.dedup import (simhash_deterministic,
+                                              simhash_incremental)
+
+    df, _ = _dup_corpus(spark, n_corpus=30, n_batch=12)
+    corpus = df.filter(F.col("doc_id") < 1000)
+    # exact copies of corpus docs 3 and 7, plus fresh docs
+    rows = [(2000, r.text) for r in
+            corpus.filter(F.col("doc_id").isin(3, 7)).collect()]
+    batch = spark.createDataFrame(
+        [(2000 + i, t) for i, (_, t) in enumerate(rows)]
+        + [(2100, "completely unrelated fresh zebra quantum telescope "
+                   "verdigris mahogany " * 5)],
+        "doc_id long, text string")
+    corp_sim = simhash_deterministic(corpus)
+    got = {r.new_id: (r.dup_of, r.hamming)
+           for r in simhash_incremental(batch, corp_sim).collect()}
+    assert got[2000] == (3, 0)
+    assert got[2001] == (7, 0)
+    assert 2100 not in got
+
+
+def test_simhash_incremental_equals_batch_at_once(spark):
+    """Incremental flags exactly the cross-boundary subset of
+    simhash_near_pairs over corpus+batch at the same prefix/threshold,
+    with the same best (hamming, dup_of) per new doc."""
+    from pyspark.sql import Window
+
+    from warcio_spark.operators.dedup import (simhash_deterministic,
+                                              simhash_incremental,
+                                              simhash_near_pairs)
+
+    df, _ = _dup_corpus(spark, n_corpus=25, n_batch=15)
+    corpus = df.filter(F.col("doc_id") < 1000)
+    batch = df.filter(F.col("doc_id") >= 1000)
+    pb, mh = 12, 6
+    inc = {(r.new_id, r.dup_of, r.hamming)
+           for r in simhash_incremental(
+               batch, simhash_deterministic(corpus),
+               prefix_bits=pb, max_hamming=mh).collect()}
+
+    full = simhash_near_pairs(simhash_deterministic(df), prefix_bits=pb)
+    cross = (
+        full.filter((F.col("id_a") < 1000) & (F.col("id_b") >= 1000)
+                    & (F.col("hamming") <= mh))
+        .select(F.col("id_b").alias("new_id"), F.col("id_a").alias("dup_of"),
+                "hamming")
+    )
+    w = Window.partitionBy("new_id").orderBy(F.asc("hamming"), F.asc("dup_of"))
+    best = {(r.new_id, r.dup_of, r.hamming)
+            for r in cross.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn").collect()}
+    assert inc == best and inc
+
+
+def test_simhash_table_appendable(spark):
+    """The stored simhash table is appendable batch-by-batch: per-doc
+    signatures computed in two halves equal the corpus-at-once run."""
+    from warcio_spark.operators.dedup import simhash_deterministic
+
+    df, _ = _dup_corpus(spark, n_corpus=20, n_batch=10)
+    a = df.filter(F.col("doc_id") % 2 == 0)
+    b = df.filter(F.col("doc_id") % 2 == 1)
+    unioned = sorted(map(tuple, simhash_deterministic(a).unionByName(
+        simhash_deterministic(b)).collect()))
+    whole = sorted(map(tuple, simhash_deterministic(df).collect()))
+    assert unioned == whole

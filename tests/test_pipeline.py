@@ -413,3 +413,59 @@ def test_temperature_deterministic_across_partitionings(spark):
     assert a == b
     with pytest.raises(ValueError):
         temperature_sample(docs, -0.1)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+
+
+def test_pack_sequences_contiguous_per_shard(spark):
+    from warcio_spark.operators.pipeline import pack_sequences
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37 + 1).alias("n_tokens"))
+    out = pack_sequences(docs, seq_len=128, n_shards=8).collect()
+    assert len(out) == 500
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.token_start)
+        # perfectly contiguous concatenation inside the shard
+        assert rows[0].token_start == 0
+        for a, b in zip(rows, rows[1:]):
+            assert b.token_start == a.token_end, (shard, a, b)
+        for r in rows:
+            assert r.token_end - r.token_start == r.n_tokens
+            assert r.seq_id == r.token_start // 128
+    # total tokens conserved
+    assert sum(r.n_tokens for r in out) == sum(
+        r.token_end - r.token_start for r in out)
+
+
+def test_pack_sequences_deterministic_and_validates(spark):
+    import pytest as _pytest
+
+    from warcio_spark.operators.pipeline import pack_sequences
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 11 + 1).alias("n_tokens"))
+    a = sorted(map(tuple, pack_sequences(docs, 64, n_shards=4).collect()))
+    b = sorted(map(tuple,
+                   pack_sequences(docs.repartition(9), 64, n_shards=4).collect()))
+    assert a == b
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, 0)
+
+
+def test_pack_sequences_no_single_partition_stage(spark):
+    """The cumsum must run inside shards — no global-order Exchange
+    (SinglePartition) stage in the plan."""
+    from warcio_spark.operators.pipeline import pack_sequences
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit(5).alias("n_tokens"))
+    plan = pack_sequences(docs, 32)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SinglePartition" not in plan, plan

@@ -858,3 +858,46 @@ def minhash_dedup_incremental(new_docs: DataFrame, corpus_docs: DataFrame,
         .filter(F.col("_rn") == 1)
         .select(F.col("new_id"), F.col("corpus_id").alias("dup_of"), "jaccard")
     )
+
+
+def simhash_incremental(new_docs: DataFrame, corpus_sim: DataFrame,
+                        prefix_bits: int = 16, max_hamming: int = 3,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """SimHash near-dup detection of a NEW batch against a STORED corpus
+    simhash table (``simhash_deterministic`` output — trivially appendable
+    batch by batch since the signature is per-doc deterministic): simhash
+    ONLY the batch, probe the table with one high-bit-prefix equi-join
+    (the ``simhash_near_pairs`` bucketing), verify by hamming distance
+    (bit_count of xor — pure codegen). Returns one row per flagged new
+    doc: (new_id, dup_of, hamming) with ``dup_of`` the corpus id at the
+    smallest hamming (tie -> min id). The flagged set equals the
+    cross-boundary subset of simhash_near_pairs over corpus ∪ batch at
+    the same prefix/threshold (pinned in pytest).
+
+    Scale shape: per-batch cost is O(batch) signatures + one equi-join
+    keyed on the 2^prefix_bits-value bucket — against a table partitioned
+    by bucket the probe prunes to touched buckets; the corpus is never
+    re-tokenized."""
+    new_sim = simhash_deterministic(new_docs, id_col, text_col).select(
+        F.col(id_col).alias("new_id"), F.col("simhash").alias("_ns"))
+    corp = corpus_sim.select(F.col(id_col).alias("dup_of"),
+                             F.col("simhash").alias("_cs"))
+    shift = 64 - prefix_bits
+    cand = (
+        new_sim.withColumn("_b", F.shiftright("_ns", shift))
+        .join(corp.withColumn("_b", F.shiftright("_cs", shift)), "_b")
+        .select(
+            "new_id", "dup_of",
+            F.bit_count(F.col("_ns").bitwiseXOR(F.col("_cs"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("new_id").orderBy(F.asc("hamming"), F.asc("dup_of"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("new_id", "dup_of", "hamming")
+    )

@@ -678,3 +678,53 @@ def temperature_sample(docs: DataFrame, alpha: float,
         .filter(F.col("sample_rank") <= F.col("quota"))
         .drop("_k", "_b", "_r1")
     )
+
+
+def pack_sequences(docs: DataFrame, seq_len: int, *, n_shards: int = 256,
+                   tokens_col: str = "n_tokens", id_col: str = "doc_id",
+                   salt: str = "pack", shard_col: str | None = None) -> DataFrame:
+    """Training-sequence packing (the GPT-style concat-and-cut step that
+    turns a cleaned corpus into fixed-length model sequences): documents
+    are laid out in a deterministic shuffled order, concatenated, and cut
+    every ``seq_len`` tokens; each doc gets its byte-street address —
+    (shard, seq_id, token_start, token_end), where seq_id/token_start are
+    WITHIN-shard (token_start = running offset, seq_id = token_start div
+    seq_len; a doc with token_end > (seq_id+1)*seq_len straddles the cut,
+    exactly like real packed pretraining shards). The order is salted-md5
+    over the id, so reruns, resumes, and the DuckDB oracle agree
+    row-for-row with no RNG state.
+
+    Scale shape: packing is per-SHARD (real pipelines never pack across
+    shard files), so the cumulative sum is a window inside
+    (shard = pmod(xxhash64(id), n_shards)) — ~1/n_shards of the corpus
+    per reducer, NO global-order SinglePartition stage anywhere; one hash
+    shuffle total. ``shard_col`` swaps in a caller-owned shard assignment
+    (the oracle query uses an engine-portable md5-digit shard)."""
+    from pyspark.sql import Window
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    vid = F.col(id_col)
+    w = Window.partitionBy("_shard").orderBy(F.asc("_k"), F.asc(id_col))
+    # shard_col: caller-owned shard assignment (e.g. an engine-portable
+    # md5-digit shard for oracle replay); default xxhash64 is the fast path
+    shard = (F.col(shard_col) if shard_col
+             else F.pmod(F.xxhash64(vid), F.lit(n_shards)))
+    return (
+        docs.withColumn("_k", F.md5(F.concat(F.lit(salt), vid.cast("string"))))
+        .withColumn("_shard", shard)
+        .withColumn(
+            "token_start",
+            F.coalesce(
+                F.sum(tokens_col).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn("token_end",
+                    (F.col("token_start") + F.col(tokens_col)).cast("long"))
+        .withColumn("shard", F.col("_shard").cast("int"))
+        .withColumn("seq_id",
+                    F.floor(F.col("token_start") / seq_len).cast("long"))
+        .drop("_k", "_shard")
+    )
