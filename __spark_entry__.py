@@ -301,6 +301,84 @@ def q_token_stats(spark, sf):
     )
 
 
+def q_bpe_token_stats(spark, sf):
+    """BPE-ish pre-tokenizer counting (textstats.bpe_token_count): the
+    lookahead-free GPT-2-style split pattern, counted by codegen
+    regexp_count; fertility = chars per subword-ish token — the cheap
+    tokenizer-hostility screen. The oracle counts the SAME pattern with
+    RE2 (len(regexp_extract_all)); both engines are leftmost-first so the
+    counts are identical (parity pinned in pytest on adversarial rows)."""
+    from warcio_spark.operators.textstats import bpe_token_count, token_count
+
+    docs = _t(spark, sf, "documents")
+    bpe = bpe_token_count("text")
+    return docs.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        token_count("text").alias("n_ws_tokens"),
+        F.round(F.length("text") / F.greatest(bpe, F.lit(1)), 4)
+        .alias("chars_per_token"),
+    )
+
+
+def _mojibake_universe(spark, sf):
+    """Deterministic planted-corruption universe: the ASCII documents
+    table with UTF-8-read-as-cp1252 artifact digraphs substituted into
+    known words by doc_id class (doc_id%4==3 stays clean as the control).
+    Both engines build it with the same replace() chain, so the oracle
+    replays it verbatim."""
+    docs = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 4
+    corrupted = (
+        F.when(m == 0, F.replace(F.col("text"), F.lit("value"), F.lit("valuÃ©")))
+        .when(m == 1, F.replace(F.col("text"), F.lit("table"), F.lit("tableâ€™s")))
+        .when(m == 2, F.replace(F.col("text"), F.lit("scan"), F.lit("â€œscanâ€¦")))
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", corrupted.alias("text"))
+
+
+_MOJIBAKE_UNIVERSE_SQL = """
+              SELECT doc_id,
+                     CASE doc_id % 4
+                       WHEN 0 THEN replace(text, 'value', 'valuÃ©')
+                       WHEN 1 THEN replace(text, 'table', 'tableâ€™s')
+                       WHEN 2 THEN replace(text, 'scan', 'â€œscanâ€¦')
+                       ELSE text
+                     END AS text
+              FROM documents
+"""
+
+
+def q_mojibake_scan(spark, sf):
+    """Mojibake detection (textstats.mojibake_hits): count of common
+    double-encoding artifact digraphs over the planted universe — pure
+    codegen regexp_count on a literal alternation, so DuckDB's RE2 counts
+    identically. Clean-control rows (doc_id%4==3) must score 0."""
+    from warcio_spark.operators.textstats import mojibake_hits
+
+    docs = _mojibake_universe(spark, sf)
+    hits = mojibake_hits("text")
+    return docs.select(
+        "doc_id", hits.alias("mojibake_hits"),
+        (hits > 0).alias("flagged"))
+
+
+def q_mojibake_repair(spark, sf):
+    """Mojibake repair (textstats.repair_mojibake): the REAL
+    cp1252→UTF-8 re-decode to a fixpoint (one Arrow hop), not a lookup
+    table — any artifact heals, clean Latin-1/Unicode text is refused by
+    the strict codecs. On the planted universe the roundtrip provably
+    equals the inverse replace() chain, which is what the oracle replays;
+    general behavior (double-encoded, legit 'café', None) is pinned in
+    pytest."""
+    from warcio_spark.operators.textstats import repair_mojibake
+
+    docs = _mojibake_universe(spark, sf)
+    return repair_mojibake(docs).select(
+        "doc_id", "mojibake_hits", "was_fixed", "text_fixed")
+
+
 def q_quality_scores(spark, sf):
     """Quality scoring: length/punct/stopword terms. The ratios are staged
     as columns once and the composite derives from the column references —
@@ -3748,6 +3826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_census": q_seen_census,
         "json_field": q_json_field,
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
+        "mojibake_scan": q_mojibake_scan,
+        "mojibake_repair": q_mojibake_repair,
         "quality_scores": q_quality_scores,
         "lang_markers": q_lang_markers,
         "repetition_stats": q_repetition_stats,
@@ -4074,6 +4155,47 @@ def oracle_sql() -> dict[str, str]:
                                    x -> x <> '')) AS n_tokens,
                    length(text) AS n_chars_live
             FROM documents
+        """,
+        "bpe_token_stats": """
+            WITH c AS (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(text,
+                       ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+'))
+                       AS n_bpe_tokens,
+                     len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x <> '')) AS n_ws_tokens
+              FROM documents)
+            SELECT doc_id, CAST(n_bpe_tokens AS INT) AS n_bpe_tokens,
+                   CAST(n_ws_tokens AS INT) AS n_ws_tokens,
+                   ROUND(length(text) / GREATEST(n_bpe_tokens, 1), 4)
+                     AS chars_per_token
+            FROM c
+        """,
+        "mojibake_scan": """
+            WITH u AS (""" + _MOJIBAKE_UNIVERSE_SQL + """)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     'Ã©|Ã¨|Ã¼|Ã¶|Ã±|Ã§|Ã¡|Ã³|â€™|â€œ|â€“|â€¦')) AS INT)
+                     AS mojibake_hits,
+                   len(regexp_extract_all(text,
+                     'Ã©|Ã¨|Ã¼|Ã¶|Ã±|Ã§|Ã¡|Ã³|â€™|â€œ|â€“|â€¦')) > 0
+                     AS flagged
+            FROM u
+        """,
+        "mojibake_repair": """
+            WITH u AS (""" + _MOJIBAKE_UNIVERSE_SQL + """),
+            r AS (
+              SELECT doc_id, text,
+                     CAST(len(regexp_extract_all(text,
+                       'Ã©|Ã¨|Ã¼|Ã¶|Ã±|Ã§|Ã¡|Ã³|â€™|â€œ|â€“|â€¦')) AS INT)
+                       AS mojibake_hits,
+                     replace(replace(replace(replace(text,
+                       'Ã©', 'é'), 'â€™', '’'), 'â€œ', '“'), 'â€¦', '…')
+                       AS text_fixed
+              FROM u)
+            SELECT doc_id, mojibake_hits,
+                   text_fixed <> text AS was_fixed, text_fixed
+            FROM r
         """,
         "quality_scores": """
             SELECT doc_id,

@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     # round-5h additions
     "pack_sequences",  # per-shard window cumsum, one hash shuffle, no SinglePartition
     "simhash_incremental",  # batch-only simhash + one prefix-bucket probe join
+    "bpe_token_stats",  # two regexp_count codegen columns, no shuffle
+    "mojibake_repair",  # literal-alternation count + one Arrow roundtrip hop
 ]
 
 

@@ -330,3 +330,74 @@ def test_main_content_hand_cases(spark):
     lax = extract_main_content(df, min_chars=1, max_link_pct=100).collect()[0]
     assert lax.n_kept == lax.n_blocks
     assert lax.kept_chars == lax.total_chars
+
+
+# ---------------------------------------------------------------------------
+# mojibake detect + repair
+
+
+def test_mojibake_repair_planted_and_clean(spark):
+    from pyspark.sql import functions as F
+
+    from warcio_spark.operators.textstats import repair_mojibake
+
+    good = "The café said “hello world… don’t stop– ever"
+    bad = good.encode("utf-8").decode("cp1252")          # single mojibake
+    double = bad.encode("utf-8").decode("cp1252")        # doubly encoded
+    rows = [
+        (1, bad),
+        (2, double),
+        (3, good),            # legit non-cp1252-roundtrippable text: untouched
+        (4, "plain ascii"),   # untouched
+        (5, None),            # null-safe
+        (6, "naïve café"),    # legit latin-1: strict utf-8 decode refuses
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repair_mojibake(df).collect()}
+    assert out[1].text_fixed == good and out[1].was_fixed
+    assert out[2].text_fixed == good and out[2].was_fixed  # fixpoint heals 2x
+    assert out[3].text_fixed == good and not out[3].was_fixed
+    assert out[4].text_fixed == "plain ascii" and not out[4].was_fixed
+    assert out[5].text_fixed is None and out[5].was_fixed is None
+    assert out[6].text_fixed == "naïve café" and not out[6].was_fixed
+    # detector: planted rows flagged, clean rows zero
+    assert out[1].mojibake_hits > 0 and out[4].mojibake_hits == 0
+
+
+def test_mojibake_repair_heals_unlisted_artifacts(spark):
+    """The roundtrip works on bytes — artifacts NOT in the scored digraph
+    list (e.g. Ã¸ for ø) still heal."""
+    from warcio_spark.operators.textstats import repair_mojibake
+
+    good = "smørrebrød øl"
+    bad = good.encode("utf-8").decode("cp1252")
+    df = spark.createDataFrame([(1, bad)], "doc_id long, text string")
+    r = repair_mojibake(df).collect()[0]
+    assert r.text_fixed == good and r.was_fixed
+    assert r.mojibake_hits == 0  # not in the scored list — repair anyway
+
+
+def test_bpe_token_count_matches_duckdb_on_adversarial_rows(spark):
+    """Java regexp_count and DuckDB RE2 must count the lookahead-free
+    pattern identically (both leftmost-first)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from warcio_spark.operators.textstats import BPE_TOKEN_RE, bpe_token_count
+
+    texts = [
+        "hello world 123", "a,b;c--d  e", "tab\tnewline\nrun   x",
+        "digits12345mixedABCdef!!!", "", "   ", "one",
+        "C3PO & R2-D2 (beep)!", "trailing space ", " leading",
+        "unicode é mixed — ascii", "____///###", "a" * 500 + "!" * 10,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    got = {r.id: r.c for r in
+           df.select("id", bpe_token_count("text").alias("c")).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            "select len(regexp_extract_all(?, ?))", [t, BPE_TOKEN_RE]
+        ).fetchone()[0]
+        assert got[i] == want, (i, t, got[i], want)

@@ -626,3 +626,94 @@ def compression_stats(
         ratio.alias("compress_ratio"),
         (ratio < repetitive_below).alias("repetitive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mojibake (UTF-8-read-as-cp1252 artifacts) — detect + repair
+# ---------------------------------------------------------------------------
+
+# Common double-encoding artifact digraphs: the cp1252 rendering of the
+# UTF-8 bytes of frequent Latin-1 letters and Win-1252 punctuation. A
+# curated literal list (not a byte-class regex) so detection is identical
+# in any leftmost-first regex engine (Java AND RE2 replay it verbatim).
+MOJIBAKE_ARTIFACTS = [
+    "Ã©",  # Ã©  -> é
+    "Ã¨",  # Ã¨  -> è
+    "Ã¼",  # Ã¼  -> ü
+    "Ã¶",  # Ã¶  -> ö
+    "Ã±",  # Ã±  -> ñ
+    "Ã§",  # Ã§  -> ç
+    "Ã¡",  # Ã¡  -> á
+    "Ã³",  # Ã³  -> ó
+    "â€™",  # â€™ -> ’
+    "â€œ",  # â€œ -> “
+    "â€“",  # â€“ -> –
+    "â€¦",  # â€¦ -> …
+]
+_MOJIBAKE_RE = "|".join(MOJIBAKE_ARTIFACTS)
+
+
+def mojibake_hits(text) -> Column:
+    """Count of common double-encoding artifact digraphs (pure codegen
+    regexp_count; the pattern is a literal alternation so DuckDB's RE2
+    counts identically)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(col, F.lit(_MOJIBAKE_RE))
+
+
+@F.pandas_udf(T.StringType())
+def _fix_mojibake(texts: pd.Series) -> pd.Series:
+    """ftfy-style repair: re-encode the WHOLE string as cp1252 and decode
+    as UTF-8, repeated to a fixpoint (max 3 rounds, so doubly-encoded text
+    heals too). Strict codecs both ways — any legitimate non-cp1252 char
+    or any byte run that isn't valid UTF-8 aborts the round, so clean
+    Latin-1 text ("café") and real Unicode are returned untouched. One
+    Arrow batch hop; ASCII rows fall through in two cheap codec calls."""
+
+    def fix(s):
+        if s is None:
+            return None
+        cur = s
+        for _ in range(3):
+            try:
+                t = cur.encode("cp1252").decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                break
+            if t == cur:
+                break
+            cur = t
+        return cur
+
+    return texts.map(fix)
+
+
+def repair_mojibake(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds mojibake_hits (artifact digraph count, codegen), text_fixed
+    (cp1252→UTF-8 roundtrip fixpoint), was_fixed. The repair is the real
+    decode — the artifact list only scores; unlisted artifacts still heal
+    because the roundtrip works on bytes, not the list."""
+    col = F.col(text_col)
+    return (
+        docs.withColumn("mojibake_hits", mojibake_hits(col))
+        .withColumn("text_fixed", _fix_mojibake(col))
+        .withColumn("was_fixed", F.col("text_fixed") != col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex token counting (GPT-2-style pre-tokenizer, lookahead-free)
+# ---------------------------------------------------------------------------
+
+# GPT-2's pre-tokenizer splits on " ?letters | ?digits | ?punct-run |
+# whitespace-run"; we drop the \p{L}/contraction/lookahead pieces so the
+# SAME pattern is leftmost-first identical in Java regex and RE2 (DuckDB).
+BPE_TOKEN_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_token_count(text) -> Column:
+    """Count of BPE-ish pre-tokens (pure codegen regexp_count). With the
+    whitespace-token count this gives fertility (chars per subword-ish
+    token) — the cheap screen for tokenizer-hostile text (code, tables,
+    digit runs) before a real BPE pass."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE))
