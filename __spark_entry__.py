@@ -3669,6 +3669,58 @@ def q_simhash_incremental(spark, sf):
     return simhash_incremental(batch, corp_sim, prefix_bits=8, max_hamming=12)
 
 
+def q_quality_classifier(spark, sf):
+    """Hashed-linear-model inference (textstats.hashed_linear_score): the
+    fasttext/CCNet serving pattern — unigram+bigram features hashed to a
+    2-hex-char md5 bucket (256 buckets), broadcast-joined against a
+    weight table, one map-combined per-doc aggregate. The fixture model's
+    integer weights are w(bucket) = hex2int(bucket) - 128, so the oracle
+    derives each feature's weight straight from substr(md5(f),1,2) —
+    md5 is engine-identical and integer sums are order-exact."""
+    from warcio_spark.operators.textstats import hashed_linear_score
+
+    docs = _t(spark, sf, "documents")
+    weights = spark.range(256).select(
+        F.lower(F.lpad(F.hex(F.col("id")), 2, "0")).alias("bucket"),
+        (F.col("id") - 128).cast("int").alias("w"),
+    )
+    return hashed_linear_score(docs, weights)
+
+
+def q_embedding_near_dup_inc(spark, sf):
+    """Incremental embedding near-dup (dedup.embedding_near_dup_incremental,
+    the embedding member of the incremental trio): vectors with vec_id >=
+    400 arrive as a batch, are sketched (one Arrow hop), and probe the
+    appendable band index of the first 400 on (_rep, _bucket); exact
+    cosine verify, best corpus match per new id. Incremental ==
+    cross-boundary subset of embedding_near_dup is pinned in
+    tests/test_similarity.py; seed-deterministic sketches -> pinned
+    golden. threshold=0.3 matches the embedding_near_dup query so the
+    synthetic corpus yields a non-trivial flagged set."""
+    from warcio_spark.operators.dedup import embedding_near_dup_incremental
+
+    _ensure_shipped(spark)
+    emb = _t(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    return embedding_near_dup_incremental(batch, corpus, threshold=0.3,
+                                          planes=8, reps=4)
+
+
+def q_cdc_dedup(spark, sf):
+    """Block-level dedup via content-defined chunking
+    (dedup.cdc_shared_chunks): FastCDC-style gear rolling hash cuts each
+    doc into ~64-byte content-defined chunks (one Arrow hop, vectorized
+    shifted-add rolling hash), then one chunk-hash groupBy + join-back
+    counts per-doc chunks shared with ANY other doc. Content-defined
+    means byte-offset shifts don't break sharing — the insert-robust
+    half of dup_spans. Gear/blake2b aren't DuckDB-expressible: pinned
+    golden; clamps/locality/planted-sharing pinned in tests/test_cdc.py."""
+    from warcio_spark.operators.dedup import cdc_shared_chunks
+
+    return cdc_shared_chunks(_t(spark, sf, "documents"))
+
+
 def q_temperature_mix(spark, sf):
     """Temperature rebalancing (pipeline.temperature_sample, alpha=0.5):
     per-language quotas proportional to share^alpha, budget-constrained
@@ -3844,6 +3896,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tables": q_html_tables,
         "minhash_incremental": q_minhash_incremental,
         "simhash_incremental": q_simhash_incremental,
+        "cdc_dedup": q_cdc_dedup,
+        "embedding_near_dup_inc": q_embedding_near_dup_inc,
+        "quality_classifier": q_quality_classifier,
         "html_outline": q_html_outline,
         "code_blocks": q_code_blocks,
         "holdout_split": q_holdout_split,
@@ -3964,6 +4019,8 @@ PINNED_GOLDEN_SF = "/root/testdata/sf0.01"
 PINNED_GOLDEN = {
     "minhash_incremental",
     "simhash_incremental",
+    "cdc_dedup",
+    "embedding_near_dup_inc",
     "near_dup_clusters",
     "simhash",
     "minhash_dedup",
@@ -4155,6 +4212,30 @@ def oracle_sql() -> dict[str, str]:
                                    x -> x <> '')) AS n_tokens,
                    length(text) AS n_chars_live
             FROM documents
+        """,
+        "quality_classifier": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            feats AS (
+              SELECT doc_id, unnest(t) AS f FROM toks
+              UNION ALL
+              SELECT doc_id, t[i] || ' ' || t[i + 1] AS f
+              FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2),
+            sc AS (
+              SELECT doc_id,
+                     (CAST(strpos('0123456789abcdef', substr(md5(f), 1, 1))
+                           - 1 AS BIGINT) * 16
+                      + strpos('0123456789abcdef', substr(md5(f), 2, 1)) - 1)
+                     - 128 AS wi
+              FROM feats)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+                   CAST(SUM(wi) AS BIGINT) AS score_sum,
+                   ROUND(SUM(wi) / GREATEST(COUNT(*), 1) / 127.0, 4) AS score
+            FROM sc GROUP BY doc_id
         """,
         "bpe_token_stats": """
             WITH c AS (

@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     "simhash_incremental",  # batch-only simhash + one prefix-bucket probe join
     "bpe_token_stats",  # two regexp_count codegen columns, no shuffle
     "mojibake_repair",  # literal-alternation count + one Arrow roundtrip hop
+    "cdc_dedup",  # one Arrow chunking hop + chunk-hash agg/join-back, O(chunks)
+    "embedding_near_dup_inc",  # batch-only sketch, (rep,bucket) probe join, exact verify
+    "quality_classifier",  # hashed features + broadcast weight join + one doc agg
 ]
 
 

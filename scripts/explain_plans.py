@@ -94,6 +94,13 @@ PICKS = [
     "holdout_split",  # cluster-rep hash bucket; corpus joined once
     "html_outline",  # single capped Generate, no Exchange
     "temperature_mix",  # broadcast quota join; two-phase window, no 1-partition data stage
+    "pack_sequences",  # per-shard window cumsum: ONE hash shuffle, no SinglePartition
+    "simhash_incremental",  # batch-only Arrow simhash + prefix-bucket probe join
+    "bpe_token_stats",  # two regexp_count columns: pure codegen, zero shuffles
+    "mojibake_repair",  # ONE ArrowEvalPython roundtrip node, map-only
+    "cdc_dedup",  # ONE Arrow chunking hop, chunk-hash agg + join-back
+    "embedding_near_dup_inc",  # batch-only sketch + (rep,bucket) probe join + verify
+    "quality_classifier",  # BroadcastHashJoin on bucket + ONE map-combined doc agg
 ]
 
 

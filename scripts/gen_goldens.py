@@ -36,6 +36,8 @@ OUT_DIR = os.path.join(REPO, "goldens")
 GOLDEN_QUERIES = [
     "minhash_incremental",
     "simhash_incremental",
+    "cdc_dedup",
+    "embedding_near_dup_inc",
     "near_dup_clusters",
     "simhash",
     "minhash_dedup",

@@ -216,3 +216,74 @@ def test_multi_sketch_dim_pinned_invariance(spark):
             assert m is None
         else:
             assert len(m) == 3 and all(len(s) == 4 for s in m)
+
+
+# ---------------------------------------------------------------------------
+# incremental embedding near-dup (probe a stored band index)
+
+
+def test_embedding_incremental_planted_dups(spark):
+    from warcio_spark.operators.dedup import embedding_near_dup_incremental
+
+    df, X, dup_of = make_embeddings(spark)
+    # odd planted ids probe against the even corpus they duplicate
+    corpus = df.filter(F.col("vec_id") % 2 == 0)
+    batch = df.filter(F.col("vec_id") % 2 == 1)
+    got = {r.new_id: r.dup_of
+           for r in embedding_near_dup_incremental(
+               batch, corpus, threshold=0.98, planes=6).collect()}
+    for b, a in dup_of.items():
+        assert got[b] == a
+    for new_id, hit in got.items():
+        assert float(X[new_id] @ X[hit]) >= 0.975
+
+
+def test_embedding_incremental_equals_batch_at_once(spark):
+    """Incremental flags exactly the cross-boundary subset of
+    embedding_near_dup over corpus+batch, best (cosine, dup_of) per new."""
+    from pyspark.sql import Window
+
+    from warcio_spark.operators.dedup import (embedding_near_dup,
+                                              embedding_near_dup_incremental)
+
+    df, _, _ = make_embeddings(spark, n=160)
+    corpus = df.filter(F.col("vec_id") < 100)
+    batch = df.filter(F.col("vec_id") >= 100)
+    thr, pl = 0.9, 4
+    inc = {(r.new_id, r.dup_of, r.cosine)
+           for r in embedding_near_dup_incremental(
+               batch, corpus, threshold=thr, planes=pl).collect()}
+
+    full = embedding_near_dup(df, threshold=thr, planes=pl)
+    cross = (
+        full.filter((F.col("id_a") < 100) & (F.col("id_b") >= 100))
+        .select(F.col("id_b").alias("new_id"), F.col("id_a").alias("dup_of"),
+                "cosine")
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("cosine"), F.asc("dup_of"))
+    best = {(r.new_id, r.dup_of, r.cosine)
+            for r in cross.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn").collect()}
+    assert inc == best
+
+
+def test_embedding_band_index_appends_equal_rebuild(spark):
+    from warcio_spark.operators.dedup import (embedding_band_index,
+                                              embedding_near_dup_incremental)
+
+    df, _, _ = make_embeddings(spark, n=120)
+    a = df.filter(F.col("vec_id") % 2 == 0)
+    b = df.filter(F.col("vec_id") % 2 == 1)
+    unioned = sorted(map(tuple, embedding_band_index(a, dim=32).unionByName(
+        embedding_band_index(b, dim=32)).collect()))
+    whole = sorted(map(tuple, embedding_band_index(df, dim=32).collect()))
+    assert unioned == whole
+    # probing a supplied (persisted) index == building it inline
+    corpus = df.filter(F.col("vec_id") < 80)
+    batch = df.filter(F.col("vec_id") >= 80)
+    idx = embedding_band_index(corpus)
+    with_idx = sorted(map(tuple, embedding_near_dup_incremental(
+        batch, corpus, threshold=0.9, index=idx).collect()))
+    built = sorted(map(tuple, embedding_near_dup_incremental(
+        batch, corpus, threshold=0.9).collect()))
+    assert with_idx == built

@@ -401,3 +401,56 @@ def test_bpe_token_count_matches_duckdb_on_adversarial_rows(spark):
             "select len(regexp_extract_all(?, ?))", [t, BPE_TOKEN_RE]
         ).fetchone()[0]
         assert got[i] == want, (i, t, got[i], want)
+
+
+# ---------------------------------------------------------------------------
+# hashed linear scorer
+
+
+def test_hashed_linear_score_hand_computed(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from warcio_spark.operators.textstats import hashed_linear_score
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "solo")], "doc_id long, text string")
+    # full 256-bucket model: w = hex2int(bucket) - 128
+    weights = spark.range(256).select(
+        F.lower(F.lpad(F.hex(F.col("id")), 2, "0")).alias("bucket"),
+        (F.col("id") - 128).cast("int").alias("w"))
+    out = {r.doc_id: r for r in hashed_linear_score(docs, weights).collect()}
+
+    def w_of(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:2], 16) - 128
+
+    exp1 = w_of("aa") + w_of("bb") + w_of("aa bb")   # 2 unigrams + 1 bigram
+    assert out[1].n_feats == 3 and out[1].score_sum == exp1
+    assert out[1].score == round(exp1 / 3 / 127.0, 4)
+    assert out[2].n_feats == 1 and out[2].score_sum == w_of("solo")
+
+
+def test_hashed_linear_score_sparse_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from warcio_spark.operators.textstats import hashed_linear_score
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2}") for i in range(50)],
+        "doc_id long, text string")
+    # sparse model: only buckets starting with '0' carry weight
+    weights = spark.range(16).select(
+        F.concat(F.lit("0"), F.lower(F.hex(F.col("id")))).alias("bucket"),
+        F.lit(5).cast("int").alias("w"))
+    a = sorted(map(tuple, hashed_linear_score(docs, weights).collect()))
+    b = sorted(map(tuple, hashed_linear_score(
+        docs.repartition(7), weights).collect()))
+    assert a == b
+    # missing buckets contribute 0, never drop the feature row
+    assert all(r[1] == 5 for r in a)          # n_feats: 3 uni + 2 bi
+    assert all(r[2] % 5 == 0 for r in a)      # sums are multiples of 5
+    # unigram-only mode
+    uni = {r.doc_id: r.n_feats for r in hashed_linear_score(
+        docs, weights, bigrams=False).collect()}
+    assert all(v == 3 for v in uni.values())

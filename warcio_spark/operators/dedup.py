@@ -901,3 +901,191 @@ def simhash_incremental(new_docs: DataFrame, corpus_sim: DataFrame,
         .filter(F.col("_rn") == 1)
         .select("new_id", "dup_of", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (FastCDC-style gear hash) — block-level dedup
+# ---------------------------------------------------------------------------
+
+def _gear_table() -> np.ndarray:
+    """256 deterministic pseudo-random uint64 gear values via a fixed-seed
+    64-bit LCG (Knuth MMIX constants) — no RNG state, identical on every
+    executor and every run."""
+    vals = np.empty(256, dtype=np.uint64)
+    x, a, c, m = 0x9E3779B97F4A7C15, 6364136223846793005, 1442695040888963407, (1 << 64) - 1
+    for i in range(256):
+        x = (x * a + c) & m
+        vals[i] = x
+    return vals
+
+
+_GEAR = _gear_table()
+# boundary when these 6 bits (taken high enough that ~64 preceding bytes
+# feed them through the <<1 gear recurrence) are all zero -> ~64-byte
+# average chunks on top of the min/max clamps
+_CDC_SHIFT = np.uint64(40)
+_CDC_MASK = np.uint64(0x3F)
+
+
+def _cdc_boundaries(data: bytes, min_len: int, max_len: int) -> list:
+    """Cut positions (exclusive ends) for FastCDC-style chunking: gear
+    rolling hash h = (h<<1) + GEAR[byte], cut where ((h >> 40) & 0x3F) == 0,
+    clamped to [min_len, max_len]. The rolling hash is computed vectorized
+    (64 shifted-add passes, since contributions vanish after 64 shifts);
+    only the sparse boundary walk is a Python loop."""
+    n = len(data)
+    if n == 0:
+        return []
+    arr = _GEAR[np.frombuffer(data, dtype=np.uint8)]
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(min(64, n)):
+        h[j:] += arr[: n - j] << np.uint64(j)
+    marks = np.nonzero(((h >> _CDC_SHIFT) & _CDC_MASK) == 0)[0]
+    cuts, start, mi = [], 0, 0
+    while start < n:
+        limit = min(start + max_len, n)
+        lo = start + min_len
+        cut = limit
+        while mi < len(marks) and marks[mi] < lo - 1:
+            mi += 1
+        k = mi
+        while k < len(marks) and marks[k] + 1 <= limit:
+            if marks[k] + 1 >= lo:
+                cut = marks[k] + 1
+                break
+            k += 1
+        cuts.append(cut)
+        start = cut
+    return cuts
+
+
+def cdc_chunk_hashes(text_col, min_len: int = 32, max_len: int = 256):
+    """array<long> of content-defined chunk hashes (blake2b-64 of chunk
+    bytes) for a text column — one Arrow hop. Content-defined means a
+    local edit only disturbs the chunks it touches: the surrounding
+    chunk hashes are identical across document versions, so block-level
+    dedup survives insertions that shift byte offsets (where fixed-size
+    blocks would all change)."""
+    import hashlib
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        def chunks(s):
+            if s is None:
+                return None
+            data = s.encode("utf-8")
+            out, start = [], 0
+            for cut in _cdc_boundaries(data, min_len, max_len):
+                d = hashlib.blake2b(data[start:cut], digest_size=8).digest()
+                out.append(int.from_bytes(d, "big", signed=True))
+                start = cut
+            return out
+        return texts.map(chunks)
+
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return _udf(col)
+
+
+def cdc_shared_chunks(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", min_len: int = 32,
+                      max_len: int = 256) -> DataFrame:
+    """Per-doc block-level dedup stats: n_chunks, n_shared (chunk
+    occurrences whose hash also appears in ANOTHER doc), shared_ratio.
+    Scale shape: one Arrow chunking hop, posexplode, one groupBy on
+    chunk hash (distinct-doc count — partial aggs apply), broadcast-free
+    equi-join back on the hash, one final doc_id agg. No pairwise work:
+    cost is O(total chunks), never O(docs^2)."""
+    vid = F.col(id_col)
+    chunked = docs.select(
+        vid.alias("_id"),
+        cdc_chunk_hashes(text_col, min_len, max_len).alias("_ch"))
+    ex = chunked.select("_id", F.explode("_ch").alias("_h"))
+    multi = (ex.groupBy("_h")
+             .agg(F.count_distinct("_id").alias("_docs")))
+    return (
+        ex.join(multi, "_h")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("_docs") > 1).cast("int")).alias("n_shared"),
+        )
+        .withColumn(
+            "shared_ratio",
+            F.round(F.col("n_shared") / F.greatest("n_chunks", F.lit(1)), 4))
+    )
+
+
+def embedding_band_index(emb: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding", planes: int = 8,
+                         reps: int = 4, seed: int = 1337,
+                         dim: int | None = None) -> DataFrame:
+    """(_id, _rep, _bucket) banded hyperplane-LSH rows for an embedding
+    corpus — the storable/appendable probe target of
+    ``embedding_near_dup_incremental``. Sketches are deterministic per
+    row (seeded plane matrix), so index rows built batch-by-batch equal
+    one corpus-at-once build; persist partitioned by (_rep, _bucket)
+    and batch probes prune to touched buckets."""
+    from warcio_spark.operators.similarity import make_multi_sketch_udf
+
+    if dim is None:
+        row = emb.select(F.size(vec_col).alias("d")).filter(F.col("d") > 0).first()
+        dim = int(row["d"]) if row else None
+    multi = make_multi_sketch_udf(planes, reps, seed, dim)
+    return emb.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(multi(F.col(vec_col))).alias("_rep", "_bucket"),
+    ).filter(F.col("_bucket").isNotNull())
+
+
+def embedding_near_dup_incremental(new_emb: DataFrame, corpus_emb: DataFrame,
+                                   threshold: float = 0.95,
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding",
+                                   planes: int = 8, reps: int = 4,
+                                   seed: int = 1337, dim: int | None = None,
+                                   index: DataFrame | None = None) -> DataFrame:
+    """Embedding near-dup detection of a NEW batch against a STORED corpus
+    (the embedding member of the incremental trio, with
+    ``minhash_dedup_incremental`` / ``simhash_incremental``): sketch ONLY
+    the batch, probe the corpus band index on (_rep, _bucket), distinct
+    the candidate (new, corpus) pairs, exact-cosine verify once, keep the
+    best corpus match per new id (max cosine, tie -> min id). Flags equal
+    the cross-boundary subset of ``embedding_near_dup`` over corpus ∪
+    batch at the same planes/reps/threshold (pinned in pytest).
+
+    Scale shape: per-batch cost is O(batch) sketches + an equi-join
+    against the (appendable) index + |candidates| exact verifies; the
+    corpus is never re-sketched. Pass ``index`` to probe a persisted
+    ``embedding_band_index`` table (bucket-partition-prunable); vectors
+    for the verify come from ``corpus_emb`` by id either way."""
+    if dim is None:
+        row = (corpus_emb.select(F.size(vec_col).alias("d"))
+               .filter(F.col("d") > 0).first())
+        dim = int(row["d"]) if row else None
+    if index is None:
+        index = embedding_band_index(corpus_emb, id_col, vec_col,
+                                     planes, reps, seed, dim)
+    new_bands = embedding_band_index(new_emb, id_col, vec_col,
+                                     planes, reps, seed, dim).select(
+        F.col("_id").alias("new_id"), "_rep", "_bucket")
+    cand = (
+        new_bands.join(index, ["_rep", "_bucket"])
+        .select("new_id", F.col("_id").alias("dup_of"))
+        .distinct()
+    )
+    va = new_emb.select(F.col(id_col).alias("new_id"),
+                        F.col(vec_col).alias("_va"))
+    vb = corpus_emb.select(F.col(id_col).alias("dup_of"),
+                           F.col(vec_col).alias("_vb"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("new_id").orderBy(F.desc("cosine"), F.asc("dup_of"))
+    return (
+        cand.join(va, "new_id").join(vb, "dup_of")
+        .select("new_id", "dup_of",
+                cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("new_id", "dup_of", "cosine")
+    )

@@ -717,3 +717,70 @@ def bpe_token_count(text) -> Column:
     digit runs) before a real BPE pass."""
     col = F.col(text) if isinstance(text, str) else text
     return F.regexp_count(col, F.lit(BPE_TOKEN_RE))
+
+
+# ---------------------------------------------------------------------------
+# hashed n-gram linear scorer (fasttext-style model inference at scale)
+# ---------------------------------------------------------------------------
+
+
+def hashed_features(text, n_buckets_hex: int = 2, bigrams: bool = True) -> Column:
+    """array<string> of hashed feature buckets for a text column:
+    unigrams + (optionally) word bigrams, each hashed to the first
+    ``n_buckets_hex`` hex chars of its md5 — the hashing-trick feature
+    map of a fasttext-style linear classifier, engine-portable (md5 is
+    identical in Spark and DuckDB) and pure codegen (transform/zip_with,
+    no explode until the caller wants one)."""
+    toks = tokens(text)
+    uni = F.transform(toks, lambda t: F.substring(F.md5(t), 1, n_buckets_hex))
+    if not bigrams:
+        return uni
+    n = F.size(toks)
+    bi = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+            lambda a, b: F.substring(F.md5(F.concat(a, F.lit(" "), b)),
+                                     1, n_buckets_hex),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(uni, bi)
+
+
+def hashed_linear_score(docs: DataFrame, weights: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bucket_col: str = "bucket", weight_col: str = "w",
+                        n_buckets_hex: int = 2,
+                        bigrams: bool = True) -> DataFrame:
+    """Linear-model inference over hashed n-gram features (the fasttext /
+    CCNet quality-classifier serving pattern): explode the hashed feature
+    array, broadcast-join the caller's (bucket, integer-weight) table,
+    one per-doc aggregate. Integer weights make the sum order-independent
+    (bit-exact across partitionings and engines); the single division to
+    the mean happens once per doc. Returns (id, n_feats, score_sum,
+    score = round(sum / n_feats / 127, 4)).
+
+    Scale shape: the weight table is 16^n_buckets_hex rows — broadcast;
+    features never shuffle (the only exchange is the final doc-id
+    aggregate, map-side combined). Missing buckets score 0 via the left
+    join, so a partial weights table is a sparse model."""
+    feats = docs.select(
+        F.col(id_col),
+        F.explode(hashed_features(text_col, n_buckets_hex, bigrams))
+        .alias(bucket_col),
+    )
+    w = F.broadcast(weights.select(bucket_col, weight_col))
+    return (
+        feats.join(w, bucket_col, "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.coalesce(F.col(weight_col), F.lit(0)).cast("long"))
+            .alias("score_sum"),
+        )
+        .withColumn(
+            "score",
+            F.round(F.col("score_sum")
+                    / F.greatest("n_feats", F.lit(1)) / 127.0, 4),
+        )
+    )
