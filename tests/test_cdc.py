@@ -83,3 +83,15 @@ def test_cdc_chunk_hashes_null_and_empty(spark):
     got = {r.doc_id: r.ch for r in
            df.select("doc_id", cdc_chunk_hashes("text").alias("ch")).collect()}
     assert got[1] is None and got[2] == [] and len(got[3]) == 1
+
+
+def test_cdc_shared_chunks_single_arrow_node(spark):
+    """The chunking UDF must run ONCE: plain explode's implicit
+    size()>0 filter re-inlines the UDF below the projection (two
+    ArrowEvalPython nodes = corpus chunked twice); the explode_outer +
+    post-Generate null-drop formulation pins it to one."""
+    import re
+
+    df = spark.createDataFrame([(1, "x " * 100)], "doc_id long, text string")
+    plan = cdc_shared_chunks(df)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"ArrowEvalPython", plan)) == 1, plan

@@ -441,3 +441,22 @@ def test_simhash_table_appendable(spark):
         simhash_deterministic(b)).collect()))
     whole = sorted(map(tuple, simhash_deterministic(df).collect()))
     assert unioned == whole
+
+
+def test_simhash_incremental_two_arrow_nodes(spark):
+    """Each side's simhash UDF must run ONCE (2 ArrowEvalPython nodes
+    total): un-wrapped signature expressions let Catalyst infer
+    isnotnull(sig) from the join key and hamming filter and push it
+    below the projections, re-inlining the UDF on both sides (4 nodes =
+    whole corpus simhashed twice)."""
+    import re
+
+    from warcio_spark.operators.dedup import (simhash_deterministic,
+                                              simhash_incremental)
+
+    df, _ = _dup_corpus(spark, n_corpus=10, n_batch=5)
+    corpus = df.filter(F.col("doc_id") < 1000)
+    batch = df.filter(F.col("doc_id") >= 1000)
+    out = simhash_incremental(batch, simhash_deterministic(corpus))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"ArrowEvalPython", plan)) == 2, plan

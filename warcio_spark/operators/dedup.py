@@ -884,12 +884,24 @@ def simhash_incremental(new_docs: DataFrame, corpus_sim: DataFrame,
     corp = corpus_sim.select(F.col(id_col).alias("dup_of"),
                              F.col("simhash").alias("_cs"))
     shift = 64 - prefix_bits
+
+    # Every expression over the signatures is coalesce-wrapped so it is
+    # provably non-null. Otherwise Catalyst infers isnotnull(_ns)/
+    # isnotnull(_cs) from the join keys and the hamming filter and pushes
+    # those predicates below the projections — re-inlining the simhash
+    # UDF so BOTH sides evaluate twice (4 ArrowEvalPython nodes instead
+    # of 2; plan pinned in tests). Null signatures (null text) key to a
+    # sentinel per side (~0 vs 0, so null can never match null) and carry
+    # hamming 64 -> dropped by the threshold, exactly the rows the
+    # implicit isnotnull filters removed.
+    ns = F.coalesce(F.col("_ns"), F.lit(-1))   # all-ones sentinel
+    cs = F.coalesce(F.col("_cs"), F.lit(0))
     cand = (
-        new_sim.withColumn("_b", F.shiftright("_ns", shift))
-        .join(corp.withColumn("_b", F.shiftright("_cs", shift)), "_b")
+        new_sim.withColumn("_b", F.shiftright(ns, shift))
+        .join(corp.withColumn("_b", F.shiftright(cs, shift)), "_b")
         .select(
             "new_id", "dup_of",
-            F.bit_count(F.col("_ns").bitwiseXOR(F.col("_cs"))).alias("hamming"),
+            F.bit_count(ns.bitwiseXOR(cs)).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -991,23 +1003,39 @@ def cdc_shared_chunks(docs: DataFrame, id_col: str = "doc_id",
                       max_len: int = 256) -> DataFrame:
     """Per-doc block-level dedup stats: n_chunks, n_shared (chunk
     occurrences whose hash also appears in ANOTHER doc), shared_ratio.
-    Scale shape: one Arrow chunking hop, posexplode, one groupBy on
-    chunk hash (distinct-doc count — partial aggs apply), broadcast-free
-    equi-join back on the hash, one final doc_id agg. No pairwise work:
+    Scale shape: the Arrow chunking hop runs ONCE (the explode collapses
+    straight into a (_id, _h) occurrence aggregate, so no branch re-reads
+    the UDF output — a join-back formulation evaluated the chunking
+    twice); then one count window on the hash (distinct-doc rows by
+    construction, no sort) and one final doc_id agg. No pairwise work:
     cost is O(total chunks), never O(docs^2)."""
+    from pyspark.sql import Window
+
     vid = F.col(id_col)
     chunked = docs.select(
         vid.alias("_id"),
         cdc_chunk_hashes(text_col, min_len, max_len).alias("_ch"))
-    ex = chunked.select("_id", F.explode("_ch").alias("_h"))
-    multi = (ex.groupBy("_h")
-             .agg(F.count_distinct("_id").alias("_docs")))
+    # explode_outer, NOT explode: plain explode injects a size(_ch)>0
+    # pre-filter that Catalyst pushes below the projection, re-inlining
+    # the chunking UDF into a second ArrowEvalPython node (the whole
+    # corpus chunked twice). The outer variant needs no pre-filter; the
+    # null-row drop below references the GENERATED column, so it cannot
+    # sink past the Generate and the UDF runs exactly once (plan pinned
+    # in tests/test_cdc.py).
+    occ = (
+        chunked.select("_id", F.explode_outer("_ch").alias("_h"))
+        .filter(F.col("_h").isNotNull())
+        .groupBy("_id", "_h")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+    )
+    w = Window.partitionBy("_h")
     return (
-        ex.join(multi, "_h")
+        occ.withColumn("_docs", F.count(F.lit(1)).over(w))
         .groupBy(F.col("_id").alias(id_col))
         .agg(
-            F.count("*").alias("n_chunks"),
-            F.sum((F.col("_docs") > 1).cast("int")).alias("n_shared"),
+            F.sum("_occ").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("_docs") > 1, F.col("_occ")).otherwise(0))
+            .cast("long").alias("n_shared"),
         )
         .withColumn(
             "shared_ratio",
