@@ -3862,6 +3862,34 @@ def q_mirror_hosts(spark, sf):
     return mirror_hosts(_mirror_universe(spark, sf), min_shared=3)
 
 
+def q_dsir_weights(spark, sf):
+    """DSIR importance weights (textstats.dsir_weights): hashed unigram+
+    bigram features (md5-bucket hashing trick, 256 buckets — the
+    quality_classifier feature map), target distribution from the
+    src1/src2/src3 exemplar subset vs the whole corpus, add-0.5-smoothed
+    per-doc log importance weight. One 256-key distribution agg + one
+    broadcast log-ratio join + one per-doc agg; floats are logs of
+    integer counts summed once per doc, rounded to 4."""
+    from warcio_spark.operators.textstats import dsir_weights
+
+    docs = _t(spark, sf, "documents")
+    return dsir_weights(
+        docs, F.col("source").isin("src1", "src2", "src3"))
+
+
+def q_ppl_buckets(spark, sf):
+    """CCNet head/middle/tail perplexity split (textstats.
+    perplexity_buckets): per-language z-score buckets over lm_perplexity
+    scores — the rank-free tercile (one (avg, stddev_pop) agg per
+    language broadcast back, never a per-language total sort, so the
+    dominant language cannot pin one task)."""
+    from warcio_spark.operators.textstats import (bigram_lm,
+                                                  perplexity_buckets)
+
+    docs = _t(spark, sf, "documents")
+    return perplexity_buckets(docs, bigram_lm(docs))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_projection": q_index_projection,
@@ -4002,6 +4030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_fairness": q_fetch_fairness,
         "alias_collapse": q_alias_collapse,
         "sitemap_coverage": q_sitemap_coverage,
+        "dsir_weights": q_dsir_weights,
+        "ppl_buckets": q_ppl_buckets,
     }
 
 
@@ -4236,6 +4266,95 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(wi) AS BIGINT) AS score_sum,
                    ROUND(SUM(wi) / GREATEST(COUNT(*), 1) / 127.0, 4) AS score
             FROM sc GROUP BY doc_id
+        """,
+        "dsir_weights": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            feats AS (
+              SELECT doc_id, substr(md5(unnest(t)), 1, 2) AS bucket
+              FROM toks
+              UNION ALL
+              SELECT doc_id, substr(md5(t[i] || ' ' || t[i + 1]), 1, 2)
+                     AS bucket
+              FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2),
+            ft AS (
+              SELECT f.doc_id, f.bucket,
+                     d.source IN ('src1', 'src2', 'src3') AS is_t
+              FROM feats f JOIN documents d USING (doc_id)),
+            dist AS (
+              SELECT bucket, COUNT(*) AS raw_c,
+                     SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt_c
+              FROM ft GROUP BY bucket),
+            ratio AS (
+              SELECT bucket,
+                     ln(tgt_c + 0.5)
+                     - ln(SUM(tgt_c) OVER () + 128.0)
+                     - ln(raw_c + 0.5)
+                     + ln(SUM(raw_c) OVER () + 128.0) AS lw
+              FROM dist),
+            scored AS (
+              SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+                     ROUND(SUM(r.lw), 4) AS dsir_w
+              FROM feats f JOIN ratio r USING (bucket)
+              GROUP BY f.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(s.n_feats, 0) AS n_feats,
+                   s.dsir_w
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "ppl_buckets": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), bg AS (
+              SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+              FROM t, unnest(range(1, len(toks))) AS u(i)
+            ), counts AS (
+              SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2
+            ), prefix AS (
+              SELECT w1, SUM(c2) AS c1 FROM counts GROUP BY w1
+            ), v AS (
+              SELECT COUNT(*) AS vocab FROM (
+                SELECT w1 AS w FROM counts UNION SELECT w2 FROM counts)
+            ), lm AS (
+              SELECT w1, w2,
+                     log2((c2 + 0.4) / (c1 + 0.4 * vocab)) AS logp
+              FROM counts JOIN prefix USING (w1) CROSS JOIN v
+            ), ppl AS (
+              SELECT bg.doc_id,
+                     ROUND(POW(2.0, -AVG(lm.logp)), 4) AS ppl
+              FROM bg JOIN lm USING (w1, w2)
+              GROUP BY bg.doc_id
+            ), scored AS (
+              SELECT d.doc_id, d.lang, p.ppl
+              FROM documents d LEFT JOIN ppl p USING (doc_id)
+            ), stats AS (
+              SELECT lang, AVG(ppl) AS mu, STDDEV_POP(ppl) AS sd
+              FROM scored WHERE ppl IS NOT NULL GROUP BY lang
+            )
+            SELECT s.doc_id, s.lang, s.ppl,
+                   CASE WHEN s.ppl IS NOT NULL THEN
+                     ROUND(CASE WHEN st.sd > 0
+                                THEN (s.ppl - st.mu) / st.sd
+                                ELSE 0.0 END, 4)
+                   END AS z,
+                   CASE WHEN s.ppl IS NULL THEN 'unscored'
+                        WHEN ROUND(CASE WHEN st.sd > 0
+                                        THEN (s.ppl - st.mu) / st.sd
+                                        ELSE 0.0 END, 4) <= -0.4307
+                          THEN 'head'
+                        WHEN ROUND(CASE WHEN st.sd > 0
+                                        THEN (s.ppl - st.mu) / st.sd
+                                        ELSE 0.0 END, 4) >= 0.4307
+                          THEN 'tail'
+                        ELSE 'middle' END AS bucket
+            FROM scored s LEFT JOIN stats st USING (lang)
         """,
         "bpe_token_stats": """
             WITH c AS (

@@ -126,6 +126,9 @@ BENCH_QUERIES = [
     "cdc_dedup",  # one Arrow chunking hop + chunk-hash agg/join-back, O(chunks)
     "embedding_near_dup_inc",  # batch-only sketch, (rep,bucket) probe join, exact verify
     "quality_classifier",  # hashed features + broadcast weight join + one doc agg
+    # round-5i additions
+    "dsir_weights",  # 256-key dist agg + broadcast log-ratio join + doc agg
+    "ppl_buckets",  # per-lang (avg,stddev) agg broadcast back; no lang window
 ]
 
 

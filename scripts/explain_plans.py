@@ -101,6 +101,8 @@ PICKS = [
     "cdc_dedup",  # ONE Arrow chunking hop, chunk-hash agg + join-back
     "embedding_near_dup_inc",  # batch-only sketch + (rep,bucket) probe join + verify
     "quality_classifier",  # BroadcastHashJoin on bucket + ONE map-combined doc agg
+    "dsir_weights",  # 256-row dist window + broadcast ratio join + doc agg
+    "ppl_buckets",  # lm_perplexity + two broadcast joins; NO per-lang window
 ]
 
 

@@ -784,3 +784,135 @@ def hashed_linear_score(docs: DataFrame, weights: DataFrame,
                     / F.greatest("n_feats", F.lit(1)) / 127.0, 4),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed n-gram importance weights (domain-targeted selection)
+# ---------------------------------------------------------------------------
+
+
+def dsir_weights(docs: DataFrame, is_target: Column,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n_buckets_hex: int = 2, lam: float = 0.5,
+                 decimals: int = 4) -> DataFrame:
+    """Data Selection via Importance Resampling weights (the hashed
+    n-gram formulation of Xie et al. 2023): score every document by how
+    much more likely its hashed-ngram bag is under the TARGET feature
+    distribution than under the RAW corpus distribution,
+
+        w(doc) = sum_f [ log p_target(f) - log p_raw(f) ]
+
+    with add-``lam`` smoothing over the ``B = 16**n_buckets_hex`` bucket
+    space. ``is_target`` is a boolean Column over ``docs`` marking the
+    in-domain exemplars (a wiki/books-like subset); the raw distribution
+    is the whole corpus. Rank by ``dsir_w`` and keep the top slice to
+    tilt a 100 TB crawl toward the target domain without a classifier.
+
+    Returns ``(id_col, n_feats, dsir_w)`` — one row per document,
+    ``n_feats = 0`` / NULL weight for token-less docs (the
+    ``lm_perplexity`` contract).
+
+    Scale shape: features are the pure-codegen ``hashed_features``
+    array (md5-bucket hashing trick — engine-portable, no Python); the
+    bucket distributions are ONE map-side-combinable groupBy over the
+    fixed 256-key space; the totals ride a window over that 256-row
+    aggregate (a SinglePartition exchange carrying aggregate rows only,
+    never corpus data — the ``frontier_round`` counts discipline); the
+    per-bucket log-ratio table broadcasts back onto the feature stream
+    for ONE per-doc aggregation. The feature Generate feeds both the
+    distribution agg and the scoring agg — at full scale the caller
+    persists ``feats`` once (the ``minhash_lsh_pairs`` caller-owned
+    persist contract). Every float is a log of integer-derived counts,
+    summed once per doc and rounded to ``decimals``."""
+    from pyspark.sql.window import Window
+
+    n_buckets = 16 ** n_buckets_hex
+    feats = docs.select(
+        F.col(id_col),
+        is_target.alias("_is_t"),
+        F.explode(hashed_features(text_col, n_buckets_hex)).alias("bucket"),
+    )
+    dist = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("tgt_c"),
+    )
+    everything = Window.partitionBy()
+    ratio = dist.select(
+        "bucket",
+        (
+            F.log(F.col("tgt_c") + F.lit(lam))
+            - F.log(F.sum("tgt_c").over(everything) + F.lit(lam * n_buckets))
+            - F.log(F.col("raw_c") + F.lit(lam))
+            + F.log(F.sum("raw_c").over(everything) + F.lit(lam * n_buckets))
+        ).alias("_lw"),
+    )
+    scored = (
+        feats.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("_lw"), decimals).alias("dsir_w"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            "dsir_w",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+def perplexity_buckets(docs: DataFrame, lm: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       lang_col: str = "lang",
+                       z_cut: float = 0.4307) -> DataFrame:
+    """CCNet's per-language head/middle/tail quality split over
+    ``lm_perplexity`` scores, in the rank-free z-score formulation:
+    within each language, a document is ``head`` when its perplexity
+    sits ``z_cut`` population standard deviations below the language
+    mean, ``tail`` when above, ``middle`` between (+-0.4307 sigma cuts
+    a normal into thirds — the tercile intent without the per-language
+    total ORDER the literal ntile needs). Docs the LM cannot score
+    (<2 tokens) come back ``unscored``.
+
+    Returns ``(id_col, lang, ppl, z, bucket)`` with ``z`` rounded to 4.
+
+    Scale shape: exact terciles per language would be one window
+    partitioned by language — the dominant language lands in ONE task
+    (the classic skew trap). The z formulation replaces the sort with
+    one map-side-combinable (avg, stddev_pop) aggregate per language,
+    broadcast back onto the scored corpus: skew-immune, two shuffles
+    total (the doc-id agg inside ``lm_perplexity`` + the tiny language
+    agg), and deterministic across engines because the stats are
+    aggregates of already-rounded ppl values."""
+    ppl = lm_perplexity(docs, lm, id_col=id_col, text_col=text_col)
+    scored = ppl.join(docs.select(id_col, lang_col), id_col)
+    stats = scored.filter(F.col("ppl").isNotNull()).groupBy(lang_col).agg(
+        F.avg("ppl").alias("_mu"),
+        F.stddev_pop("ppl").alias("_sd"),
+    )
+    z = F.when(
+        F.col("_sd") > 0, (F.col("ppl") - F.col("_mu")) / F.col("_sd")
+    ).otherwise(F.lit(0.0))
+    return (
+        scored.join(F.broadcast(stats), lang_col, "left")
+        .select(
+            id_col,
+            lang_col,
+            "ppl",
+            F.when(F.col("ppl").isNotNull(), F.round(z, 4)).alias("z"),
+            F.when(F.col("ppl").isNull(), F.lit("unscored"))
+            .when(F.round(z, 4) <= -z_cut, F.lit("head"))
+            .when(F.round(z, 4) >= z_cut, F.lit("tail"))
+            .otherwise(F.lit("middle"))
+            .alias("bucket"),
+        )
+    )
