@@ -1129,6 +1129,70 @@ def q_anchor_texts(spark, sf):
     return anchor_text_table(pages, url_col="page_url", text_col="text")
 
 
+def q_img_alt_pairs(spark, sf):
+    """LAION-style image-caption candidate mining
+    (links.extract_image_alts): <img> tags across all three
+    attribute-quoting forms and both attribute orders over a
+    deterministic universe — captioned absolute / root- / doc- /
+    parent- / protocol- / query-relative srcs survive and resolve;
+    alt-less, empty-alt, data:-scheme and data-src-only (lazy-load)
+    tags drop; pos numbers ALL img tags pre-filter; alt
+    whitespace-normalizes; fragments strip off src. The oracle replays
+    tag-blob extraction, the _attr_value quoting precedence, cleanup
+    and RFC resolution in DuckDB."""
+    from warcio_spark.operators.links import extract_image_alts
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    base = F.concat(
+        F.lit("http://host"), s(d % 41), F.lit(".example.com"),
+        F.when(d % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/sec"), s(d % 13), F.lit("/pg"), s(d), F.lit(".html"),
+        F.when(d % 4 == 0, F.concat(F.lit("?q="), s(d % 9))).otherwise(F.lit("")),
+    )
+    text = F.concat(
+        F.lit('<img src="http://img'), s(d % 17), F.lit(".cdn.example/i"),
+        s(d), F.lit('.jpg" alt="photo '), s(d % 6), F.lit(" of thing "),
+        s(d % 11), F.lit('">'),
+        F.lit("<img alt='diagram "), s(d % 5), F.lit("' src='/img/d"),
+        s(d), F.lit(".png'>"),
+        F.lit("<img src=pic"), s(d % 7), F.lit(".gif alt=icon"),
+        s(d % 3), F.lit(">"),
+        F.when(d % 2 == 0, F.concat(
+            F.lit('<img src="/sprites/s'), s(d), F.lit('.png">'),
+        )).otherwise(F.lit("")),
+        F.when(d % 3 == 0,
+               F.lit('<img src="data:image/png;base64,AA" alt="inline data">'),
+               ).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(
+            F.lit('<img src="//cdn'), s(d % 4), F.lit(".example.net/c"),
+            s(d), F.lit('.webp" alt="cdn  asset '), s(d % 4), F.lit('" />'),
+        )).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.concat(
+            F.lit('<IMG SRC="../up'), s(d % 3), F.lit('.png" ALT="parent '),
+            s(d % 3), F.lit('">'),
+        )).otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.concat(
+            F.lit('<img src="?v='), s(d % 3), F.lit('" alt="query rel">'),
+        )).otherwise(F.lit("")),
+        F.when(d % 9 == 0, F.lit('<img src="x.png" alt="">'),
+               ).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.concat(
+            F.lit('<img data-src="lazy'), s(d), F.lit('.jpg" alt="lazy loaded">'),
+        )).otherwise(F.lit("")),
+        F.when(d % 8 == 0, F.concat(
+            F.lit('<img src="f'), s(d % 4), F.lit('.png#frag" alt="frag strip">'),
+        )).otherwise(F.lit("")),
+    )
+    pages = docs.select(
+        d.alias("doc_id"), base.alias("page_url"), text.alias("text")
+    )
+    return extract_image_alts(
+        pages, url_col="page_url", text_col="text"
+    ).select("doc_id", "pos", "src", "alt", "image_url")
+
+
 def q_near_dup_clusters(spark, sf):
     """Transitive near-dup cluster membership: the SAME verified MinHash
     pair table as q_minhash_dedup, closed under connected components
@@ -3999,6 +4063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "chunk_documents": q_chunk_documents,
         "anchor_texts": q_anchor_texts,
+        "img_alt_pairs": q_img_alt_pairs,
         "capture_diff": q_capture_diff,
         "link_rot": q_link_rot,
         "bm25_indexed": q_bm25_indexed,
@@ -6971,6 +7036,108 @@ def oracle_sql() -> dict[str, str]:
           FROM t, UNNEST(generate_series(1, len(blobs))) AS s(i))
         SELECT doc_id, title, pos, meta_name, meta_content
         FROM m WHERE meta_name <> ''
+    """
+    # img_alt_pairs: replay the q_img_alt_pairs universe, the _IMG_TAG_RX
+    # tag-blob extraction, the _attr_value quoting precedence for src/alt,
+    # _cleaned_href (fragment-split + trim) and the _resolved RFC-3986
+    # CASE (same idiom as the anchor_texts/outlinks oracles) in DuckDB
+    out["img_alt_pairs"] = """
+        WITH u AS (
+          SELECT doc_id,
+            'http://host' || (doc_id % 41)::VARCHAR || '.example.com'
+              || CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END
+              || '/sec' || (doc_id % 13)::VARCHAR || '/pg'
+              || doc_id::VARCHAR || '.html'
+              || CASE WHEN doc_id % 4 = 0
+                      THEN '?q=' || (doc_id % 9)::VARCHAR ELSE '' END
+              AS base,
+            '<img src="http://img' || (doc_id % 17)::VARCHAR
+              || '.cdn.example/i' || doc_id::VARCHAR
+              || '.jpg" alt="photo ' || (doc_id % 6)::VARCHAR
+              || ' of thing ' || (doc_id % 11)::VARCHAR || '">'
+            || '<img alt=''diagram ' || (doc_id % 5)::VARCHAR
+              || ''' src=''/img/d' || doc_id::VARCHAR || '.png''>'
+            || '<img src=pic' || (doc_id % 7)::VARCHAR
+              || '.gif alt=icon' || (doc_id % 3)::VARCHAR || '>'
+            || CASE WHEN doc_id % 2 = 0
+                    THEN '<img src="/sprites/s' || doc_id::VARCHAR
+                         || '.png">' ELSE '' END
+            || CASE WHEN doc_id % 3 = 0
+                    THEN '<img src="data:image/png;base64,AA"'
+                         || ' alt="inline data">' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                    THEN '<img src="//cdn' || (doc_id % 4)::VARCHAR
+                         || '.example.net/c' || doc_id::VARCHAR
+                         || '.webp" alt="cdn  asset '
+                         || (doc_id % 4)::VARCHAR || '" />' ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+                    THEN '<IMG SRC="../up' || (doc_id % 3)::VARCHAR
+                         || '.png" ALT="parent ' || (doc_id % 3)::VARCHAR
+                         || '">' ELSE '' END
+            || CASE WHEN doc_id % 6 = 0
+                    THEN '<img src="?v=' || (doc_id % 3)::VARCHAR
+                         || '" alt="query rel">' ELSE '' END
+            || CASE WHEN doc_id % 9 = 0
+                    THEN '<img src="x.png" alt="">' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0
+                    THEN '<img data-src="lazy' || doc_id::VARCHAR
+                         || '.jpg" alt="lazy loaded">' ELSE '' END
+            || CASE WHEN doc_id % 8 = 0
+                    THEN '<img src="f' || (doc_id % 4)::VARCHAR
+                         || '.png#frag" alt="frag strip">' ELSE '' END
+            AS text
+          FROM documents),
+        m AS (
+          SELECT doc_id, base,
+            list_slice(regexp_extract_all(text,
+              '(?i)<img(\\s(?:[^<>"'']|"[^"]*"|''[^'']*'')*)/?>', 1),
+              1, 64) AS blobs
+          FROM u),
+        e AS (
+          SELECT doc_id, base, CAST(i - 1 AS INTEGER) AS pos,
+            trim(split_part(COALESCE(
+              NULLIF(regexp_extract(blobs[i],
+                '(?i)\\ssrc\\s*=\\s*"([^"]*)"', 1), ''),
+              NULLIF(regexp_extract(blobs[i],
+                '(?i)\\ssrc\\s*=\\s*''([^'']*)''', 1), ''),
+              NULLIF(regexp_extract(blobs[i],
+                '(?i)\\ssrc\\s*=\\s*([^\\s"''<>]+)', 1), ''),
+              ''), '#', 1)) AS src,
+            trim(regexp_replace(COALESCE(
+              NULLIF(regexp_extract(blobs[i],
+                '(?i)\\salt\\s*=\\s*"([^"]*)"', 1), ''),
+              NULLIF(regexp_extract(blobs[i],
+                '(?i)\\salt\\s*=\\s*''([^'']*)''', 1), ''),
+              NULLIF(regexp_extract(blobs[i],
+                '(?i)\\salt\\s*=\\s*([^\\s"''<>]+)', 1), ''),
+              ''), '\\s+', ' ', 'g')) AS alt
+          FROM m, UNNEST(generate_series(1, len(blobs))) AS s(i)),
+        r AS (
+          SELECT doc_id, pos, src, alt,
+            regexp_extract(base, '^(https?://[^/?#]+)', 1) AS origin,
+            regexp_extract(base, '^(https?):', 1) AS scheme,
+            regexp_replace(
+              substr(base,
+                length(regexp_extract(base, '^(https?://[^/?#]+)', 1)) + 1),
+              '[#?].*$', '') AS path
+          FROM e
+          WHERE length(src) > 0 AND length(alt) > 0)
+        SELECT doc_id, pos, src, alt, image_url FROM (
+          SELECT doc_id, pos, src, alt,
+            CASE
+              WHEN regexp_matches(src, '^[A-Za-z][A-Za-z0-9+.\\-]*:')
+                THEN CASE WHEN regexp_matches(src, '^https?://')
+                          THEN src END
+              WHEN starts_with(src, '//') THEN scheme || ':' || src
+              WHEN starts_with(src, '/') THEN origin || src
+              WHEN starts_with(src, '?') THEN origin || path || src
+              ELSE origin
+                || CASE WHEN path = '' THEN '/'
+                        ELSE regexp_replace(path, '[^/]*$', '') END
+                || src
+            END AS image_url
+          FROM r)
+        WHERE image_url IS NOT NULL
     """
     # host_graph: the outlinks oracle re-aggregated to host edges (src
     # host reconstructed from doc_id — the universe's base url host,

@@ -130,3 +130,137 @@ def test_python_oracle_randomized(spark):
     want = _oracle(edges, pages)
     assert _run(spark, edges, pages) == want
     assert _run(spark, edges, pages, parts=7) == want
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: Gale-Church sentence alignment
+
+
+def _oracle_gc(lens_a, lens_b):
+    """Independent DP: memoized recursion (the engine iterates forward);
+    ties resolve by (cost, bead order) minimization — same contract,
+    different mechanics."""
+    import functools
+    import math
+
+    from warcio_spark.operators.bitext import GC_BEADS, GC_C, GC_MIN_P, GC_S2
+
+    def match(la, lb):
+        if la == 0 and lb == 0:
+            return 0.0
+        mean = (la + lb / GC_C) / 2.0
+        delta = (lb - la * GC_C) / math.sqrt(mean * GC_S2)
+        return -100.0 * math.log(
+            max(math.erfc(abs(delta) / math.sqrt(2.0)), GC_MIN_P)
+        )
+
+    @functools.lru_cache(maxsize=None)
+    def best(i, j):
+        # returns (cost, beads-from-here) aligning suffixes a[i:], b[j:]
+        if i == len(lens_a) and j == len(lens_b):
+            return 0.0, ()
+        cands = []
+        for k, (da, db, pen) in enumerate(GC_BEADS):
+            ii, jj = i + da, j + db
+            if ii > len(lens_a) or jj > len(lens_b):
+                continue
+            step = pen + match(sum(lens_a[i:ii]), sum(lens_b[j:jj]))
+            rest, tail = best(ii, jj)
+            cands.append((step + rest, k, ((i, j, da, db),) + tail))
+        c, _, beads = min(cands, key=lambda t: (t[0], t[1]))
+        return c, beads
+
+    return best(0, 0)[1]
+
+
+def test_align_sentences_matches_dp_oracle(spark):
+    """Engine beads == the memoized-recursion oracle over a deterministic
+    multi-shape universe (equal counts, insertions, merges, empty sides)."""
+    import random
+
+    from warcio_spark.operators.bitext import align_sentences, gc_match_cost, GC_BEADS
+
+    rng = random.Random(42)
+    rows = []
+    for p in range(60):
+        na, nb = rng.randint(0, 9), rng.randint(0, 9)
+        sa = ["a" * rng.randint(1, 120) for _ in range(na)]
+        sb = ["b" * rng.randint(1, 120) for _ in range(nb)]
+        rows.append((f"http://a.ex/{p}", f"http://b.ex/{p}", sa, sb))
+    df = spark.createDataFrame(
+        rows,
+        "url_a string, url_b string, sents_a array<string>, "
+        "sents_b array<string>",
+    )
+    got = {}
+    for r in align_sentences(df).collect():
+        da, db = map(int, r.bead.split("-"))
+        got.setdefault(r.url_a, []).append(
+            (r.a_lo, r.b_lo, da, db, r.sent_a, r.sent_b, r.cost)
+        )
+    pen = {(da, db): p for da, db, p in GC_BEADS}
+    for ua, ub, sa, sb in rows:
+        lens_a, lens_b = [len(s) for s in sa], [len(s) for s in sb]
+        want = []
+        for i, j, da, db in _oracle_gc(tuple(lens_a), tuple(lens_b)):
+            want.append((
+                i, j, da, db,
+                " ".join(sa[i:i + da]), " ".join(sb[j:j + db]),
+                round(pen[(da, db)] + gc_match_cost(
+                    sum(lens_a[i:i + da]), sum(lens_b[j:j + db])), 6),
+            ))
+        assert sorted(got.get(ua, [])) == sorted(want), (ua, sa, sb)
+
+
+def test_align_sentences_shapes(spark):
+    """Pinned behaviors: equal-length twin pages align 1-1 throughout; an
+    extra sentence gets ABSORBED by a 1-2 expansion rather than a 0-1
+    insertion (450 + the 0-vs-len mismatch always beats 440 + a mild
+    expansion — insertions under the GC priors fire only where no
+    neighbor can absorb); two short sentences against their concatenation
+    prefer the 2-1 merge; an empty side yields all-deletion beads."""
+    from warcio_spark.operators.bitext import align_sentences
+
+    s40, s80 = "x" * 40, "y" * 80
+    rows = [
+        ("p1a", "p1b", [s40, s80, s40], [s40, s80, s40]),
+        ("p2a", "p2b", [s40, s80], [s40, "z" * 300, s80]),
+        ("p3a", "p3b", [s40, s40], [s40 + " " + s40]),
+        ("p4a", "p4b", [s40, s80], []),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url_a string, url_b string, sents_a array<string>, "
+        "sents_b array<string>",
+    )
+    beads = {}
+    for r in align_sentences(df).collect():
+        beads.setdefault(r.url_a, []).append((r.a_lo, r.b_lo, r.bead))
+    assert sorted(beads["p1a"]) == [(0, 0, "1-1"), (1, 1, "1-1"),
+                                    (2, 2, "1-1")]
+    assert sorted(beads["p2a"]) == [(0, 0, "1-1"), (1, 1, "1-2")]
+    assert sorted(beads["p3a"]) == [(0, 0, "2-1")]
+    assert sorted(beads["p4a"]) == [(0, 0, "1-0"), (1, 0, "1-0")]
+
+
+def test_split_sentences_contract(spark):
+    """JVM splitter: terminal punctuation + whitespace boundaries, trim,
+    empties dropped, cap enforced."""
+    from warcio_spark.operators.bitext import (
+        MAX_SENTS_PER_PAGE,
+        split_sentences,
+    )
+
+    from pyspark.sql import functions as F
+
+    long_text = " ".join(f"s{i}." for i in range(MAX_SENTS_PER_PAGE + 10))
+    df = spark.createDataFrame(
+        [("One two. Three!  Four? No-split,here. trailing",),
+         ("",), (long_text,)],
+        "text string",
+    )
+    got = [r.s for r in df.select(split_sentences("text").alias("s")).collect()]
+    assert got[0] == ["One two.", "Three!", "Four?", "No-split,here.",
+                      "trailing"]
+    assert got[1] == []
+    assert len(got[2]) == MAX_SENTS_PER_PAGE

@@ -1582,3 +1582,98 @@ def sitemap_coverage(
             F.round(F.col("n_both").cast("double") / F.col("n_listed"), 6),
         ).alias("coverage"),
     )
+
+
+# the whole <img> attribute blob, tolerant of self-closing tags — the
+# image twin of _LINK_TAG_RX (same attribute-aware alternation so quoted
+# values can never hide a tag close).
+_IMG_TAG_RX = "(?i)<img(\\s(?:[^<>\"']|\"[^\"]*\"|'[^']*')*)/?>"
+
+MAX_IMGS_PER_PAGE = MAX_LINKS_PER_PAGE
+
+
+def extract_image_alts(fetched: DataFrame, url_col: str = "page_url",
+                       text_col: str = "text") -> DataFrame:
+    """Per-image rows (src_url, pos, src, alt, image_url): every ``<img>``
+    tag carrying BOTH a src and a non-empty alt text — the LAION-style
+    image-caption candidate miner (Schuhmann et al. 2021 built LAION-400M
+    exactly this way: Common-Crawl WARC/WAT img tags, alt text as the
+    caption, pairs deduped downstream). The reference ecosystem consumes
+    the same decoded payload via ``record.content_stream().read()``
+    (warcio/recordloader.py:138); pairing it with images is the
+    multimodal-corpus stage built on top.
+
+    Contract (mirrored verbatim by the ``img_alt_pairs`` DuckDB oracle and
+    the html.parser oracle in tests/test_image_alts.py):
+
+    * ``pos`` = document position among ALL img tags, pre-filter (the
+      head_struct metas convention), capped at MAX_IMGS_PER_PAGE;
+    * src and alt via the shared ``_attr_value`` quoting precedence;
+      src is then fragment-stripped + trimmed (``_cleaned_href``, attr
+      values arrive unquoted);
+    * rows with an empty src OR empty whitespace-normalized alt drop —
+      uncaptioned/decorative images are exactly what the caption miner
+      must not emit;
+    * ``image_url`` resolves by the same RFC-3986 contract as hrefs
+      (``_resolved``): data:/javascript:/blob: and other non-http(s)
+      explicit schemes drop, relative forms resolve against the page.
+
+    Scale shape: one linear regex pass per page (the tag-blob extract),
+    array transforms, one posexplode — map-only after the shared decode,
+    no shuffle. At 100 TB this is a projection over fetched partitions;
+    the pair dedup (``image_caption_table``) owns the single shuffle."""
+    blobs = F.slice(
+        F.regexp_extract_all(F.col(text_col), F.lit(_IMG_TAG_RX), F.lit(1)),
+        1, MAX_IMGS_PER_PAGE,
+    )
+    ext = F.transform(
+        blobs,
+        lambda b, i: F.struct(
+            i.cast("int").alias("pos"),
+            _cleaned_href(_attr_value(b, "src"),
+                          strip_quotes=False).alias("src"),
+            F.trim(
+                F.regexp_replace(_attr_value(b, "alt"), r"\s+", " ")
+            ).alias("alt"),
+        ),
+    )
+    ext = F.filter(
+        ext, lambda e: (F.length(e["src"]) > 0) & (F.length(e["alt"]) > 0)
+    )
+    return (
+        fetched.filter(F.col(url_col).isNotNull())
+        .select(F.col(url_col).alias("src_url"), "*")
+        .drop(url_col)
+        .select("*", F.explode(ext).alias("__e"))
+        .select(
+            "*",
+            F.col("__e.pos").alias("pos"),
+            F.col("__e.src").alias("src"),
+            F.col("__e.alt").alias("alt"),
+        )
+        .drop("__e")
+        .withColumn("image_url", _resolved(F.col("src_url"), F.col("src")))
+        .filter(F.col("image_url").isNotNull())
+    )
+
+
+def image_caption_table(fetched: DataFrame, url_col: str = "page_url",
+                        text_col: str = "text") -> DataFrame:
+    """(image_url, alt, n_pages, n_refs): the corpus-wide image-caption
+    candidate table — distinct (image, caption) pairs with their support,
+    the unit a multimodal training pipeline fetches/filters downstream
+    (LAION dedupes on exactly this pair before CLIP-scoring). Two-stage
+    rollup — (pair, page) partial counts, then the pair fold — so the
+    distinct-page count never plans a count_distinct Expand (the mixed
+    distinct/plain aggregate doubles every input row otherwise); both
+    stages hash-partition on a prefix of the same key, and the second
+    groups pair×page cardinality rows only."""
+    per_page = (
+        extract_image_alts(fetched, url_col, text_col)
+        .groupBy("image_url", "alt", "src_url")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return per_page.groupBy("image_url", "alt").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("_n").cast("long").alias("n_refs"),
+    )
