@@ -3479,6 +3479,56 @@ def q_bitext_candidates(spark, sf):
     return bitext_candidates(fwd.unionByName(back), pages)
 
 
+def q_bitext_align(spark, sf):
+    """Stage-2 bitext sentence alignment (operators/bitext.align_sentences,
+    Gale & Church 1993): per doc, an 'English' page of 2-6 'a'-run
+    sentences and a 'German' twin whose sentence count and lengths drift
+    (independent count ring, per-sentence jitter) so every bead type
+    fires across the universe. Sentences are single-letter runs, so the
+    emitted per-side char lengths pin the full bead content; the DP isn't
+    SQL-expressible -> pinned-golden oracle, with independent DP parity
+    (memoized-recursion oracle) in tests/test_bitext.py. Plan: pure JVM
+    text build + split, one mapInPandas, no shuffle."""
+    from warcio_spark.operators.bitext import (
+        align_sentences,
+        split_sentences,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+
+    def side_text(letter, n, length):
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), (n - 1).cast("int")),
+                lambda i: F.concat(
+                    F.repeat(F.lit(letter), length(i).cast("int")),
+                    F.lit("."),
+                ),
+            ),
+            " ",
+        )
+
+    n_a = d % 5 + 2
+    n_b = (d * 3 + 1) % 6 + 2
+    len_a = lambda i: (d * 7 + i * 13) % 80 + 30  # noqa: E731
+    len_b = lambda j: (  # noqa: E731
+        (d * 7 + j * 13 + d % 9) % 80 + (d + j) % 11 + 30
+    )
+    pairs = docs.select(
+        F.concat(F.lit("http://en.ex/p"), d.cast("string")).alias("url_a"),
+        F.concat(F.lit("http://de.ex/p"), d.cast("string")).alias("url_b"),
+        split_sentences(side_text("a", n_a, len_a)).alias("sents_a"),
+        split_sentences(side_text("b", n_b, len_b)).alias("sents_b"),
+    )
+    return align_sentences(pairs).select(
+        "url_a", "url_b", "a_lo", "b_lo", "bead",
+        F.length("sent_a").alias("n_chars_a"),
+        F.length("sent_b").alias("n_chars_b"),
+        "cost",
+    )
+
+
 def q_ip_queues(spark, sf):
     """Queue-by-IP politeness (plans/ipqueues.ip_queue_budget):
     Heritrix-style merge of per-host crawl queues that resolve to the
@@ -4089,6 +4139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sniff_mime": q_sniff_mime,
         "segment_reassembly": q_segment_reassembly,
         "bitext_candidates": q_bitext_candidates,
+        "bitext_align": q_bitext_align,
         "ip_queues": q_ip_queues,
         "truncation_audit": q_truncation_audit,
         "compression_ratio": q_compression_ratio,
@@ -4127,6 +4178,7 @@ PINNED_GOLDEN = {
     "wet_extract",
     "multimodal_features",
     "compression_ratio",
+    "bitext_align",
 }
 
 

@@ -49,6 +49,7 @@ GOLDEN_QUERIES = [
     "wet_extract",
     "multimodal_features",
     "compression_ratio",
+    "bitext_align",
 ]
 
 _DUCK_TYPES = {
