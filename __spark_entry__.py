@@ -1193,6 +1193,37 @@ def q_img_alt_pairs(spark, sf):
     ).select("doc_id", "pos", "src", "alt", "image_url")
 
 
+def q_img_captions(spark, sf):
+    """Corpus-wide image-caption candidate table
+    (links.image_caption_table): distinct (image_url, alt) pairs with
+    n_pages (distinct referring pages) and n_refs (total tags) — the
+    LAION dedup unit. Universe with REAL sharing: every page carries one
+    of 5 site-wide banners (shared by ~1/5 of the corpus), one of 11
+    category headers (some pages repeat it twice), and a per-page photo;
+    the oracle replays extraction + the two-stage rollup in DuckDB. Plan:
+    map-only extraction, one (image_url, alt, src_url) partial rollup,
+    one pair fold — no count_distinct Expand anywhere."""
+    from warcio_spark.operators.links import image_caption_table
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    base = F.concat(F.lit("http://site"), s(d % 7),
+                    F.lit(".example.com/a"), s(d), F.lit(".html"))
+    header = F.concat(F.lit('<img src="/hdr/cat'), s(d % 11),
+                      F.lit('.png" alt="category '), s(d % 11), F.lit('">'))
+    text = F.concat(
+        F.lit('<img src="http://cdn.example.net/banner'), s(d % 5),
+        F.lit('.jpg" alt="banner '), s(d % 5), F.lit('">'),
+        header,
+        F.when(d % 3 == 0, header).otherwise(F.lit("")),
+        F.lit('<img src="/photos/p'), s(d), F.lit('.jpg" alt="photo '),
+        s(d), F.lit('">'),
+    )
+    pages = docs.select(base.alias("page_url"), text.alias("text"))
+    return image_caption_table(pages, url_col="page_url", text_col="text")
+
+
 def q_near_dup_clusters(spark, sf):
     """Transitive near-dup cluster membership: the SAME verified MinHash
     pair table as q_minhash_dedup, closed under connected components
@@ -4114,6 +4145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "anchor_texts": q_anchor_texts,
         "img_alt_pairs": q_img_alt_pairs,
+        "img_captions": q_img_captions,
         "capture_diff": q_capture_diff,
         "link_rot": q_link_rot,
         "bm25_indexed": q_bm25_indexed,
@@ -7190,6 +7222,39 @@ def oracle_sql() -> dict[str, str]:
             END AS image_url
           FROM r)
         WHERE image_url IS NOT NULL
+    """
+    # img_captions: the q_img_captions universe is uniform well-formed
+    # markup, so the oracle reconstructs the per-tag rows directly (the
+    # extraction machinery itself is regex-replayed by the img_alt_pairs
+    # oracle above and html.parser-verified in tests/test_image_alts.py)
+    # and replays the two-stage (pair, page) -> pair rollup
+    out["img_captions"] = """
+        WITH imgs AS (
+          SELECT doc_id,
+            'http://cdn.example.net/banner' || (doc_id % 5)::VARCHAR
+              || '.jpg' AS image_url,
+            'banner ' || (doc_id % 5)::VARCHAR AS alt,
+            1 AS cnt
+          FROM documents
+          UNION ALL
+          SELECT doc_id,
+            'http://site' || (doc_id % 7)::VARCHAR
+              || '.example.com/hdr/cat' || (doc_id % 11)::VARCHAR
+              || '.png',
+            'category ' || (doc_id % 11)::VARCHAR,
+            CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END
+          FROM documents
+          UNION ALL
+          SELECT doc_id,
+            'http://site' || (doc_id % 7)::VARCHAR
+              || '.example.com/photos/p' || doc_id::VARCHAR || '.jpg',
+            'photo ' || doc_id::VARCHAR,
+            1
+          FROM documents)
+        SELECT image_url, alt,
+               COUNT(*) AS n_pages,
+               SUM(cnt)::BIGINT AS n_refs
+        FROM imgs GROUP BY image_url, alt
     """
     # host_graph: the outlinks oracle re-aggregated to host edges (src
     # host reconstructed from doc_id — the universe's base url host,
