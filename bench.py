@@ -129,6 +129,10 @@ BENCH_QUERIES = [
     # round-5i additions
     "dsir_weights",  # 256-key dist agg + broadcast log-ratio join + doc agg
     "ppl_buckets",  # per-lang (avg,stddev) agg broadcast back; no lang window
+    # round-5j additions
+    "img_alt_pairs",  # img-tag blob scan + one Generate, map-only, no Arrow
+    "img_captions",  # extraction + two-stage pair rollup, no count_distinct Expand
+    "bitext_align",  # JVM sentence split + ONE MapInPandas, no Exchange
 ]
 
 

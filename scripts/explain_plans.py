@@ -103,6 +103,9 @@ PICKS = [
     "quality_classifier",  # BroadcastHashJoin on bucket + ONE map-combined doc agg
     "dsir_weights",  # 256-row dist window + broadcast ratio join + doc agg
     "ppl_buckets",  # lm_perplexity + two broadcast joins; NO per-lang window
+    "img_alt_pairs",  # img-tag blob scan + one Generate: map-only, no Arrow
+    "img_captions",  # extraction + two-stage pair rollup, no count_distinct Expand
+    "bitext_align",  # JVM split + ONE MapInPandas, no Exchange anywhere
 ]
 
 
