@@ -1224,6 +1224,66 @@ def q_img_captions(spark, sf):
     return image_caption_table(pages, url_col="page_url", text_col="text")
 
 
+def q_publish_dates(spark, sf):
+    """Publication-date ladder (links.publish_dates): meta (OG
+    article:published_time / schema.org datePublished / plain date,
+    first valid document-order hit) > first <time datetime> > URL
+    /YYYY/MM(/DD)/ path, each normalized+validated to 'YYYY-MM-DD';
+    undatable pages emit NULL so the output doubles as a coverage
+    census. Universe exercises every stage, the precedence, invalid
+    month/day fall-through, quoting forms, and a decoy description
+    meta. Oracle replays blobs, attr precedence, validation and the
+    ladder in DuckDB. Plan: pure regex/HOF codegen, map-only."""
+    from warcio_spark.operators.links import publish_dates
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    mm = F.lpad(s(d % 16), 2, "0")          # 00-15: some invalid months
+    dd = F.lpad(s(d % 33), 2, "0")          # 00-32: some invalid days
+    meta_day = F.concat(F.lit("20"), F.lpad(s(d % 26), 2, "0"),
+                        F.lit("-"), mm, F.lit("-"), dd)
+    url = F.concat(
+        F.lit("http://news"), s(d % 13), F.lit(".example.com"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("/20"), F.lpad(s(d % 22), 2, "0"),
+                        F.lit("/"), F.lpad(s(d % 14), 2, "0"),
+                        F.when(d % 2 == 0,
+                               F.concat(F.lit("/"), F.lpad(s(d % 30), 2,
+                                                           "0"))
+                               ).otherwise(F.lit("")))
+               ).otherwise(F.lit("")),
+        F.lit("/art"), s(d), F.lit(".html"),
+    )
+    text = F.concat(
+        F.lit("<html><head>"),
+        F.when(d % 4 == 0, F.concat(
+            F.lit('<meta property="article:published_time" content="'),
+            meta_day, F.lit('T0'), s(d % 10), F.lit(':00:00Z">'),
+        )).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(
+            F.lit("<meta itemprop='datePublished' content='"), meta_day,
+            F.lit("'>"),
+        )).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.concat(
+            F.lit("<meta name=date content=20"),
+            F.lpad(s(d % 24), 2, "0"), F.lit("-0"), s(d % 9 + 1),
+            F.lit("-1"), s(d % 9), F.lit(">"),
+        )).otherwise(F.lit("")),
+        F.lit('<meta name="description" content="2020-01-01 decoy">'),
+        F.lit("</head><body>"),
+        F.when(d % 6 == 0, F.concat(
+            F.lit('<time datetime="20'), F.lpad(s(d % 23), 2, "0"),
+            F.lit("-1"), s(d % 3), F.lit("-2"), s(d % 9),
+            F.lit('T08:00">ago</time>'),
+        )).otherwise(F.lit("")),
+        F.lit("text</body></html>"),
+    )
+    pages = docs.select(url.alias("page_url"), text.alias("text"))
+    return publish_dates(pages).select("src_url", "published",
+                                       "date_source")
+
+
 def q_near_dup_clusters(spark, sf):
     """Transitive near-dup cluster membership: the SAME verified MinHash
     pair table as q_minhash_dedup, closed under connected components
@@ -4146,6 +4206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "img_alt_pairs": q_img_alt_pairs,
         "img_captions": q_img_captions,
+        "publish_dates": q_publish_dates,
         "capture_diff": q_capture_diff,
         "link_rot": q_link_rot,
         "bm25_indexed": q_bm25_indexed,
@@ -7255,6 +7316,64 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_pages,
                SUM(cnt)::BIGINT AS n_refs
         FROM imgs GROUP BY image_url, alt
+    """
+    # publish_dates: the q_publish_dates universe is uniform well-formed
+    # markup, so the oracle replays the LADDER from the generating
+    # arithmetic (blob/attr-precedence extraction is regex-replayed by the
+    # img_alt_pairs/wat_head oracles and re-verified by the python oracle
+    # in tests/test_publish_dates.py): document-order first valid pub
+    # meta > first valid <time datetime> > validated /YYYY/MM(/DD)/ URL
+    # segment with month-only dating the 1st (day 00 fails the day group
+    # but the month match stands — same as the engine regex)
+    out["publish_dates"] = """
+        WITH u AS (
+          SELECT doc_id,
+            'http://news' || (doc_id % 13)::VARCHAR || '.example.com'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN '/20' || lpad((doc_id % 22)::VARCHAR, 2, '0')
+                           || '/' || lpad((doc_id % 14)::VARCHAR, 2, '0')
+                           || CASE WHEN doc_id % 2 = 0
+                                   THEN '/' || lpad((doc_id % 30)::VARCHAR,
+                                                    2, '0')
+                                   ELSE '' END
+                      ELSE '' END
+              || '/art' || doc_id::VARCHAR || '.html' AS src_url,
+            (doc_id % 16) BETWEEN 1 AND 12
+              AND (doc_id % 33) BETWEEN 1 AND 31 AS meta_ok,
+            '20' || lpad((doc_id % 26)::VARCHAR, 2, '0') || '-'
+              || lpad((doc_id % 16)::VARCHAR, 2, '0') || '-'
+              || lpad((doc_id % 33)::VARCHAR, 2, '0') AS meta_day,
+            '20' || lpad((doc_id % 24)::VARCHAR, 2, '0') || '-0'
+              || (doc_id % 9 + 1)::VARCHAR || '-1'
+              || (doc_id % 9)::VARCHAR AS bare_day,
+            '20' || lpad((doc_id % 23)::VARCHAR, 2, '0') || '-1'
+              || (doc_id % 3)::VARCHAR || '-2'
+              || (doc_id % 9)::VARCHAR AS time_day
+          FROM documents),
+        l AS (
+          SELECT doc_id, src_url,
+            CASE WHEN (doc_id % 4 = 0 OR doc_id % 5 = 0) AND meta_ok
+                   THEN meta_day
+                 WHEN doc_id % 7 = 0 THEN bare_day
+            END AS meta,
+            CASE WHEN doc_id % 6 = 0 THEN time_day END AS tday,
+            CASE WHEN doc_id % 3 = 0
+                   AND (doc_id % 14) BETWEEN 1 AND 12
+                 THEN '20' || lpad((doc_id % 22)::VARCHAR, 2, '0') || '-'
+                      || lpad((doc_id % 14)::VARCHAR, 2, '0') || '-'
+                      || CASE WHEN doc_id % 2 = 0
+                               AND (doc_id % 30) BETWEEN 1 AND 29
+                              THEN lpad((doc_id % 30)::VARCHAR, 2, '0')
+                              ELSE '01' END
+            END AS uday
+          FROM u)
+        SELECT src_url,
+               COALESCE(meta, tday, uday) AS published,
+               CASE WHEN meta IS NOT NULL THEN 'meta'
+                    WHEN tday IS NOT NULL THEN 'time'
+                    WHEN uday IS NOT NULL THEN 'url'
+               END AS date_source
+        FROM l
     """
     # host_graph: the outlinks oracle re-aggregated to host edges (src
     # host reconstructed from doc_id — the universe's base url host,

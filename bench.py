@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "img_alt_pairs",  # img-tag blob scan + one Generate, map-only, no Arrow
     "img_captions",  # extraction + two-stage pair rollup, no count_distinct Expand
     "bitext_align",  # JVM sentence split + ONE MapInPandas, no Exchange
+    "publish_dates",  # meta/time/url regex ladder, pure codegen, map-only
 ]
 
 

@@ -106,6 +106,7 @@ PICKS = [
     "img_alt_pairs",  # img-tag blob scan + one Generate: map-only, no Arrow
     "img_captions",  # extraction + two-stage pair rollup, no count_distinct Expand
     "bitext_align",  # JVM split + ONE MapInPandas, no Exchange anywhere
+    "publish_dates",  # meta/time/url date ladder: pure codegen, zero shuffles
 ]
 
 

@@ -1677,3 +1677,98 @@ def image_caption_table(fetched: DataFrame, url_col: str = "page_url",
         F.count(F.lit(1)).alias("n_pages"),
         F.sum("_n").cast("long").alias("n_refs"),
     )
+
+
+# <time ...> attribute blob — same attribute-aware discipline as
+# _META_TAG_RX (quoted values atomic, '<' excluded from the unquoted scan)
+_TIME_TAG_RX = "(?i)<time(\\s(?:[^<>\"']|\"[^\"]*\"|'[^']*')*)/?>"
+
+# the meta names/properties/itemprops news+blog publishers actually use
+# for the publication stamp (Open Graph article:, schema.org
+# datePublished, Dublin Core, plus the common plain 'date'), anchored
+# case-insensitively as a whole value
+_PUB_META_RX = ("^(article:published_time|datepublished|publishdate|"
+                "publish[-_]date|date|dc\\.date(\\.issued)?|"
+                "dcterms\\.(date|issued))$")
+
+
+def _iso_date(val: Column) -> Column:
+    """Leading 'YYYY-MM-DD' of an ISO-8601-ish value, validated
+    (year 19xx/20xx, month 01-12, day 01-31), NULL otherwise — the
+    shared normalizer for meta/time values. Time-of-day/zone suffixes
+    are ignored: day resolution is what corpus date filters key on."""
+    y = F.regexp_extract(val, r"^\s*((?:19|20)\d{2})-(\d{2})-(\d{2})", 1)
+    m = F.regexp_extract(val, r"^\s*((?:19|20)\d{2})-(\d{2})-(\d{2})", 2)
+    d = F.regexp_extract(val, r"^\s*((?:19|20)\d{2})-(\d{2})-(\d{2})", 3)
+    ok = (
+        (F.length(y) > 0)
+        & m.rlike("^(0[1-9]|1[0-2])$")
+        & d.rlike("^(0[1-9]|[12][0-9]|3[01])$")
+    )
+    return F.when(ok, F.concat_ws("-", y, m, d))
+
+
+def publish_dates(fetched: DataFrame, url_col: str = "page_url",
+                  text_col: str = "text") -> DataFrame:
+    """(src_url, published, date_source): the publication-date ladder a
+    crawl-curation pipeline runs before temporal filtering/weighting
+    (recency mixing, dated holdouts, news corpora). Precedence, first
+    hit wins, each stage validated through :func:`_iso_date`:
+
+    1. ``meta`` — FIRST document-order ``<meta>`` whose
+       name/property/itemprop matches ``_PUB_META_RX`` (case-insensitive
+       whole value) with a non-empty content that normalizes to a valid
+       date; metas capped at MAX_METAS_PER_PAGE like head_struct.
+    2. ``time`` — the first ``<time datetime=...>`` value.
+    3. ``url`` — a /YYYY/MM/ or /YYYY/MM/DD/ path segment in the page
+       URL itself (month-only hits date the 1st), year 19xx/20xx and
+       real month/day ranges enforced by the pattern.
+
+    ``published`` is 'YYYY-MM-DD' or NULL (undatable page — emitted, so
+    the output doubles as a coverage census); ``date_source`` names the
+    winning stage. Everything is JVM codegen — regex ladders + array
+    HOFs, no UDF, no explode, no shuffle: at 100 TB this is a map-only
+    projection over fetched partitions. Mirrored verbatim by the
+    ``publish_dates`` DuckDB oracle and the re-based python oracle in
+    tests/test_publish_dates.py."""
+    text = F.col(text_col)
+    blobs = F.slice(
+        F.regexp_extract_all(text, F.lit(_META_TAG_RX), F.lit(1)),
+        1, MAX_METAS_PER_PAGE,
+    )
+    pub_metas = F.filter(
+        F.transform(
+            blobs,
+            lambda b: F.struct(
+                F.lower(
+                    _attr_value(b, "name|property|itemprop")
+                ).alias("name"),
+                _iso_date(_attr_value(b, "content")).alias("day"),
+            ),
+        ),
+        lambda e: e["name"].rlike(_PUB_META_RX) & e["day"].isNotNull(),
+    )
+    meta_day = F.get(pub_metas, 0)["day"]
+    time_day = _iso_date(
+        _attr_value(F.regexp_extract(text, _TIME_TAG_RX, 1), "datetime")
+    )
+    url_rx = r"/((?:19|20)\d{2})/(0[1-9]|1[0-2])(?:/(0[1-9]|[12]\d|3[01]))?(?:/|$)"
+    u = F.col(url_col)
+    url_y = F.regexp_extract(u, url_rx, 1)
+    url_m = F.regexp_extract(u, url_rx, 2)
+    url_d = F.regexp_extract(u, url_rx, 3)
+    url_day = F.when(
+        F.length(url_y) > 0,
+        F.concat_ws(
+            "-", url_y, url_m,
+            F.when(F.length(url_d) > 0, url_d).otherwise(F.lit("01")),
+        ),
+    )
+    return fetched.select(
+        u.alias("src_url"),
+        F.coalesce(meta_day, time_day, url_day).alias("published"),
+        F.when(meta_day.isNotNull(), F.lit("meta"))
+        .when(time_day.isNotNull(), F.lit("time"))
+        .when(url_day.isNotNull(), F.lit("url"))
+        .alias("date_source"),
+    )
