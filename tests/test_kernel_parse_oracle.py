@@ -175,3 +175,65 @@ def test_digest_mutilation_modes(warcio):
         # raise mode stops the file
         mine_raise = parse_warc_bytes(mutated, check_digests="raise")
         assert mine_raise["error"] is not None
+
+
+def test_header_fields_fast_path_matches_slow():
+    """_read_header_fields' block-at-once fast tier vs the per-line slow
+    tier: identical (headers, bytes_consumed, cursor) on every block
+    shape, including the ones that must BAIL to the slow tier (interior
+    whitespace-only line, leading blank, no terminator, invalid utf-8,
+    mixed LF-line/CRLF-blank endings)."""
+    from warcio_spark.kernels.parse import (
+        _Cursor,
+        _fold_header_lines,
+        _read_header_fields,
+    )
+    from warcio_spark.kernels.textcodec import decode_fallback
+
+    def slow(data, pos):
+        # the original per-line loop, verbatim
+        n = len(data)
+        start = pos
+        lines = []
+        while pos < n:
+            nl = data.find(b"\n", pos)
+            stop = nl + 1 if nl != -1 else n
+            line = decode_fallback(data[pos:stop]).rstrip()
+            pos = stop
+            if not line:
+                break
+            lines.append(line)
+        return _fold_header_lines(lines), pos - start, pos
+
+    blocks = [
+        b"A: 1\r\nB: 2\r\n\r\nBODY",
+        b"A: 1\nB: 2\n\nBODY",
+        b"A: 1\r\nB: 2\r\n\r\n",                      # terminator at end
+        b"A: 1\r\n  folded\r\nB: 2\r\n\r\nx",          # continuation fold
+        b"A: 1\r\n\t tab-folded\r\n\r\nx",
+        b"A: 1\r\n   \r\nB: 2\r\n\r\nx",               # ws-only line = blank
+        b"\r\nA: 1\r\n\r\n",                            # leading blank
+        b"\nA: 1\n\n",
+        b"A: 1\r\nB: 2",                                # no terminator (EOF)
+        b"A: 1\r\nB: 2\r\n",                            # EOF after last line
+        b"",                                            # empty stream
+        b"A: caf\xc3\xa9\r\nB: 2\r\n\r\nx",            # valid utf-8
+        b"A: caf\xe9\r\nB: 2\r\n\r\nx",                # latin-1 byte
+        b"A: 1\nB: 2\r\n\r\nx",                        # mixed endings
+        b"A: 1\n\r\nx",                                # LF line, CRLF blank
+        b"NoColonLine\r\nA: 1\r\n\r\nx",               # value-less line
+        b"A:\r\nB: 2\r\n\r\nx",                        # empty value
+        b"A: 1\r\nB: 2\n\nC: 3\r\n\r\nx",              # LFLF before CRLFCRLF
+        b" lead-space: v\r\nA: 1\r\n\r\nx",            # starts with fold char
+        b"A: 1\r\nB: tr\xf8\xbbash\r\n\r\nx",          # invalid utf-8 block
+    ]
+    for blob in blocks:
+        for prefix in (b"", b"PRE\r\n\r\n"):
+            data = prefix + blob
+            pos = len(prefix)
+            want_headers, want_total, want_pos = slow(data, pos)
+            cur = _Cursor(data, pos)
+            got_headers, got_total = _read_header_fields(cur)
+            assert (got_headers, got_total, cur.pos) == (
+                want_headers, want_total, want_pos
+            ), blob

@@ -113,16 +113,41 @@ def _read_header_fields(cur: _Cursor):
     """Read `Name: value` lines until blank, with continuation-line folding
     (warcio/statusandheaders.py:274-298). Returns (headers, bytes_consumed).
 
-    Hot path: the line scan runs directly over the backing bytes (one
-    ``find`` + slice per line, whole loop inlined) instead of per-line
-    cursor/closure calls — with the lowered header map in _parse_one,
-    measured +17% on whole-file kernel parse (19.8k -> 23.3k rec/s,
-    same window, same corpus) with identical output (the field-exact
-    parse oracle pins equivalence)."""
+    Hot path, two tiers. FAST: the whole block to the standard
+    CRLFCRLF/LFLF terminator in two ``find`` calls, ONE utf-8 decode and
+    ONE split — the shape every well-formed WARC/HTTP header block has.
+    Any deviation (no terminator, leading blank line, an interior line
+    that rstrips to nothing, mixed LF-line/CRLF-blank endings, invalid
+    utf-8 anywhere in the block — per-line decode falls back to
+    iso-8859-1 for exactly the bad lines) bails to the original per-line
+    loop, so outputs stay byte-identical (the field-exact parse oracle
+    pins equivalence; fast-vs-slow parity is pinned by
+    test_header_fields_fast_path_matches_slow). The earlier per-line
+    inlining measured +17% (19.8k -> 23.3k rec/s); block-at-once adds
+    +9% whole-parse on a gzip-member corpus (zlib decompress, untouched,
+    is ~40% of that loop) — ~30% off the header-scan itself."""
     data = cur.data
     pos = cur.pos
     start = pos
     n = len(data)
+    if pos < n and data[pos] not in (0x0A, 0x0D):
+        e1 = data.find(b"\r\n\r\n", pos)
+        e2 = data.find(b"\n\n", pos)
+        if e1 != -1 and (e2 == -1 or e1 < e2):
+            end, tlen = e1, 4
+        else:
+            end, tlen = e2, 2
+        if end != -1:
+            try:
+                block = data[pos:end].decode("utf-8")
+            except UnicodeDecodeError:
+                block = None
+            if block is not None:
+                lines = [ln.rstrip() for ln in block.split("\n")]
+                if all(lines):
+                    cur.pos = end + tlen
+                    return (_fold_header_lines(lines),
+                            end + tlen - start)
     lines = []
     while pos < n:
         nl = data.find(b"\n", pos)
@@ -133,8 +158,12 @@ def _read_header_fields(cur: _Cursor):
             break
         lines.append(line)
     cur.pos = pos
-    total = pos - start
+    return _fold_header_lines(lines), pos - start
 
+
+def _fold_header_lines(lines):
+    """`Name: value` split + continuation-line folding over rstripped,
+    non-empty lines — shared by both _read_header_fields tiers."""
     headers = []
     i = 0
     L = len(lines)
@@ -156,7 +185,7 @@ def _read_header_fields(cur: _Cursor):
             i += 1
         if value is not None:
             headers.append((name, value))
-    return headers, total
+    return headers
 
 
 def _parse_status_headers(cur: _Cursor, statusline_bytes, prefixes, verify):
