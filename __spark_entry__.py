@@ -1224,6 +1224,53 @@ def q_img_captions(spark, sf):
     return image_caption_table(pages, url_col="page_url", text_col="text")
 
 
+def q_image_fetch_frontier(spark, sf):
+    """Image-side fetch frontier (links.image_fetch_frontier — LAION
+    stage 3): distinct wanted image urls with demand (n_pages summed
+    over caption variants) and n_caps, anti-joined against an
+    already-fetched media store, per-host politeness cap 10 with
+    demand-first ranking via the two-phase exact top-k (no mega-host
+    single-task window). Universe: 5 CDN banners each captioned two
+    ways (n_caps=2), per-site category headers, unique per-page photos;
+    media store already holds banners b0/b1 and every 4th photo. The
+    oracle replays rollup, anti-join, the shared host regex and the
+    ROW_NUMBER cap in DuckDB."""
+    from warcio_spark.operators.links import (
+        image_caption_table,
+        image_fetch_frontier,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    base = F.concat(F.lit("http://site"), s(d % 7),
+                    F.lit(".example.com/a"), s(d), F.lit(".html"))
+    text = F.concat(
+        F.lit('<img src="http://cdn.example.net/b'), s(d % 5),
+        F.lit('.jpg" alt="'),
+        F.when(d % 2 == 0, F.lit("banner ")).otherwise(F.lit("promo ")),
+        s(d % 5), F.lit('">'),
+        F.lit('<img src="/hdr/c'), s(d % 11), F.lit('.png" alt="cat '),
+        s(d % 11), F.lit('">'),
+        F.lit('<img src="/p'), s(d), F.lit('.jpg" alt="photo '), s(d),
+        F.lit('">'),
+    )
+    pages = docs.select(base.alias("page_url"), text.alias("text"))
+    caps = image_caption_table(pages, url_col="page_url", text_col="text")
+    fetched = (
+        docs.filter(d % 5 < 2)
+        .select(F.concat(F.lit("http://cdn.example.net/b"), s(d % 5),
+                         F.lit(".jpg")).alias("url"))
+        .unionByName(
+            docs.filter(d % 4 == 0).select(
+                F.concat(F.lit("http://site"), s(d % 7),
+                         F.lit(".example.com/p"), s(d),
+                         F.lit(".jpg")).alias("url"))
+        )
+    )
+    return image_fetch_frontier(caps, fetched, max_per_host=10)
+
+
 def q_publish_dates(spark, sf):
     """Publication-date ladder (links.publish_dates): meta (OG
     article:published_time / schema.org datePublished / plain date,
@@ -4207,6 +4254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_alt_pairs": q_img_alt_pairs,
         "img_captions": q_img_captions,
         "publish_dates": q_publish_dates,
+        "image_fetch_frontier": q_image_fetch_frontier,
         "capture_diff": q_capture_diff,
         "link_rot": q_link_rot,
         "bm25_indexed": q_bm25_indexed,
@@ -7316,6 +7364,63 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_pages,
                SUM(cnt)::BIGINT AS n_refs
         FROM imgs GROUP BY image_url, alt
+    """
+    # image_fetch_frontier: replay the caption rollup, the demand/n_caps
+    # fold, the media-store anti-join, the shared host regex and the
+    # per-host demand-first ROW_NUMBER cap (the engine's two-phase top-k
+    # composes to exactly this plain window — same total order both
+    # phases, pinned in test_image_alts.py)
+    out["image_fetch_frontier"] = """
+        WITH imgs AS (
+          SELECT doc_id,
+            'http://cdn.example.net/b' || (doc_id % 5)::VARCHAR || '.jpg'
+              AS image_url,
+            CASE WHEN doc_id % 2 = 0 THEN 'banner ' ELSE 'promo ' END
+              || (doc_id % 5)::VARCHAR AS alt
+          FROM documents
+          UNION ALL
+          SELECT doc_id,
+            'http://site' || (doc_id % 7)::VARCHAR
+              || '.example.com/hdr/c' || (doc_id % 11)::VARCHAR || '.png',
+            'cat ' || (doc_id % 11)::VARCHAR
+          FROM documents
+          UNION ALL
+          SELECT doc_id,
+            'http://site' || (doc_id % 7)::VARCHAR
+              || '.example.com/p' || doc_id::VARCHAR || '.jpg',
+            'photo ' || doc_id::VARCHAR
+          FROM documents),
+        caps AS (
+          SELECT image_url, alt, COUNT(*) AS n_pages
+          FROM imgs GROUP BY image_url, alt),
+        wanted AS (
+          SELECT image_url, SUM(n_pages)::BIGINT AS demand,
+                 COUNT(*) AS n_caps
+          FROM caps GROUP BY image_url),
+        unfetched AS (
+          SELECT * FROM wanted WHERE image_url NOT IN (
+            SELECT 'http://cdn.example.net/b' || (doc_id % 5)::VARCHAR
+                   || '.jpg'
+            FROM documents WHERE doc_id % 5 < 2
+            UNION ALL
+            SELECT 'http://site' || (doc_id % 7)::VARCHAR
+                   || '.example.com/p' || doc_id::VARCHAR || '.jpg'
+            FROM documents WHERE doc_id % 4 = 0)),
+        h AS (
+          SELECT image_url,
+            lower(regexp_extract(image_url,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))
+              AS host,
+            n_caps, demand
+          FROM unfetched),
+        r AS (
+          SELECT image_url, host, n_caps, demand,
+            CAST(ROW_NUMBER() OVER (
+              PARTITION BY host ORDER BY demand DESC, image_url
+            ) AS INTEGER) AS fetch_rank
+          FROM h WHERE host <> '')
+        SELECT image_url, host, n_caps, demand, fetch_rank
+        FROM r WHERE fetch_rank <= 10
     """
     # publish_dates: the q_publish_dates universe is uniform well-formed
     # markup, so the oracle replays the LADDER from the generating

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "img_captions",  # extraction + two-stage pair rollup, no count_distinct Expand
     "bitext_align",  # JVM sentence split + ONE MapInPandas, no Exchange
     "publish_dates",  # meta/time/url regex ladder, pure codegen, map-only
+    "image_fetch_frontier",  # caption rollup + url anti-join + two-phase host cap
 ]
 
 

@@ -107,6 +107,7 @@ PICKS = [
     "img_captions",  # extraction + two-stage pair rollup, no count_distinct Expand
     "bitext_align",  # JVM split + ONE MapInPandas, no Exchange anywhere
     "publish_dates",  # meta/time/url date ladder: pure codegen, zero shuffles
+    "image_fetch_frontier",  # rollup + anti-join + two-phase host cap, no 1-task host
 ]
 
 

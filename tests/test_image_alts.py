@@ -185,3 +185,79 @@ def test_image_caption_table_rollup(spark):
     }
     plan = tbl._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_image_fetch_frontier(spark):
+    """Demand/n_caps rollup, media-store anti-join, per-host demand-first
+    cap — and the two-phase top-k equals a plain per-host window (the
+    correctness claim of the bucketed phase) at several bucket counts
+    and parallelism levels."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from warcio_spark.operators.links import image_fetch_frontier
+
+    # caption table shape: (image_url, alt, n_pages, n_refs)
+    rows = []
+    # host a.ex: 30 images, img k wanted by k pages (demand ladder)
+    for k in range(30):
+        rows.append((f"http://a.ex/i{k:02d}.jpg", "cap", k + 1, k + 1))
+    # the top-demand image also has a second caption (+2 pages)
+    rows.append(("http://a.ex/i29.jpg", "other cap", 2, 2))
+    # host b.ex: two images, one already fetched
+    rows.append(("http://b.ex/x.jpg", "x", 5, 5))
+    rows.append(("http://b.ex/y.jpg", "y", 7, 7))
+    # no parseable host -> dropped
+    rows.append(("data:image/png;base64,AA", "inline", 1, 1))
+    caps = spark.createDataFrame(
+        rows, "image_url string, alt string, n_pages long, n_refs long"
+    )
+    fetched = spark.createDataFrame(
+        [("http://b.ex/x.jpg",), ("http://elsewhere.ex/z.jpg",)],
+        "url string",
+    )
+
+    out = image_fetch_frontier(caps, fetched, max_per_host=8)
+    got = {r.image_url: (r.host, r.n_caps, r.demand, r.fetch_rank)
+           for r in out.collect()}
+    # b.ex: only the unfetched image survives
+    assert got["http://b.ex/y.jpg"] == ("b.ex", 1, 7, 1)
+    assert "http://b.ex/x.jpg" not in got
+    # a.ex: capped at 8, demand-first; i29 has 2 captions, demand 30+2
+    a = {u: v for u, v in got.items() if v[0] == "a.ex"}
+    assert len(a) == 8
+    assert a["http://a.ex/i29.jpg"] == ("a.ex", 2, 32, 1)
+    assert a["http://a.ex/i28.jpg"][3] == 2
+    assert "data:image/png;base64,AA" not in got
+
+    # two-phase == plain window, across buckets and partitioning
+    wanted = (
+        caps.groupBy("image_url")
+        .agg(F.sum("n_pages").cast("long").alias("demand"),
+             F.count(F.lit(1)).alias("n_caps"))
+        .join(fetched.withColumnRenamed("url", "image_url"),
+              "image_url", "left_anti")
+        .withColumn("host", F.nullif(F.lower(F.regexp_extract(
+            "image_url",
+            "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1)),
+            F.lit("")))
+        .filter(F.col("host").isNotNull())
+    )
+    plain = (
+        wanted.withColumn("fetch_rank", F.row_number().over(
+            Window.partitionBy("host").orderBy(
+                F.desc("demand"), F.asc("image_url"))))
+        .filter(F.col("fetch_rank") <= 8)
+        .select("image_url", "host", "n_caps", "demand", "fetch_rank")
+    )
+    want = sorted(map(tuple, plain.collect()))
+    for buckets in (1, 2, 32):
+        for parts in (1, 7):
+            got2 = image_fetch_frontier(
+                caps.repartition(parts), fetched, max_per_host=8,
+                buckets=buckets,
+            )
+            assert sorted(map(tuple, got2.collect())) == want, (
+                buckets, parts)
+    # no media store: everything wanted survives
+    assert image_fetch_frontier(caps, None, max_per_host=99).count() == 32

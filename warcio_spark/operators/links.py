@@ -1772,3 +1772,71 @@ def publish_dates(fetched: DataFrame, url_col: str = "page_url",
         .when(url_day.isNotNull(), F.lit("url"))
         .alias("date_source"),
     )
+
+
+# host of an absolute URL — the same regex contract as plans/graph.url_host
+# (lowercased, port/userinfo dropped), kept here as a literal so the
+# image_fetch_frontier DuckDB oracle can replay it verbatim
+_IMG_HOST_RX = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+
+def image_fetch_frontier(captions: DataFrame,
+                         fetched_media: DataFrame | None = None,
+                         max_per_host: int = 64, buckets: int = 32,
+                         url_col: str = "url") -> DataFrame:
+    """The image-side fetch frontier (LAION stage 3: after (image,
+    caption) candidate mining, go fetch the image bytes): distinct
+    wanted image urls with their demand, minus what the media store
+    already holds, capped per image host for politeness — the
+    multimodal twin of the URL frontier's per-host budget.
+
+    ``captions``: output shape of :func:`image_caption_table`
+    (image_url, alt, n_pages, n_refs). ``fetched_media``: any table
+    whose ``url_col`` lists already-fetched image urls (None = fetch
+    everything). Output, one row per url to fetch:
+
+    - ``demand`` — sum of n_pages over the image's caption variants
+      (how many page-references want this image); ``n_caps`` — number
+      of distinct captions it was seen with;
+    - ``host`` — lowercased authority (same regex contract as
+      plans/graph.url_host, mirrored by the DuckDB oracle); rows with
+      no parseable host drop;
+    - ``fetch_rank`` — 1-based demand-first position within the host
+      (ties broken by url), capped at ``max_per_host``.
+
+    Scale shape (100 TB): one (image_url) rollup shuffle; the
+    anti-join keys on url — the fetched side can be the huge one,
+    Catalyst plans SMJ with a runtime bloom pruning the never-fetched
+    majority. The per-host cap is the two-phase exact top-k
+    (stratified_quota's shape): rank inside (host, url-hash bucket)
+    and prune to the cap, then re-rank the <= buckets*cap survivors
+    per host — a CDN mega-host never serializes through one task.
+    Both phases use the SAME total order (demand desc, image_url), so
+    the composition is exactly the global per-host bottom-cap."""
+    from pyspark.sql import Window
+
+    wanted = captions.groupBy("image_url").agg(
+        F.sum("n_pages").cast("long").alias("demand"),
+        F.count(F.lit(1)).alias("n_caps"),
+    )
+    if fetched_media is not None:
+        have = fetched_media.select(F.col(url_col).alias("image_url"))
+        wanted = wanted.join(have, "image_url", "left_anti")
+    host = F.nullif(
+        F.lower(F.regexp_extract(F.col("image_url"), _IMG_HOST_RX, 1)),
+        F.lit(""),
+    )
+    w1 = Window.partitionBy("host", "_b").orderBy(
+        F.desc("demand"), F.asc("image_url"))
+    w2 = Window.partitionBy("host").orderBy(
+        F.desc("demand"), F.asc("image_url"))
+    return (
+        wanted.withColumn("host", host)
+        .filter(F.col("host").isNotNull())
+        .withColumn("_b", F.pmod(F.xxhash64("image_url"), F.lit(buckets)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= max_per_host)
+        .withColumn("fetch_rank", F.row_number().over(w2))
+        .filter(F.col("fetch_rank") <= max_per_host)
+        .select("image_url", "host", "n_caps", "demand", "fetch_rank")
+    )
