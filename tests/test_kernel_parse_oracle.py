@@ -185,10 +185,31 @@ def test_header_fields_fast_path_matches_slow():
     mixed LF-line/CRLF-blank endings)."""
     from warcio_spark.kernels.parse import (
         _Cursor,
-        _fold_header_lines,
         _read_header_fields,
     )
     from warcio_spark.kernels.textcodec import decode_fallback
+
+    def fold(lines):
+        # the ORIGINAL fold loop, verbatim — independent of the engine's
+        # _fold_header_lines so its no-fold fast path is also under test
+        headers = []
+        i = 0
+        while i < len(lines):
+            line = lines[i]
+            i += 1
+            parts = line.split(":", 1)
+            if len(parts) == 2:
+                name = parts[0].rstrip(" \t")
+                value = parts[1].lstrip()
+            else:
+                name, value = parts[0], None
+            while i < len(lines) and lines[i][:1] in (" ", "\t"):
+                if value is not None:
+                    value += lines[i]
+                i += 1
+            if value is not None:
+                headers.append((name, value))
+        return headers
 
     def slow(data, pos):
         # the original per-line loop, verbatim
@@ -203,7 +224,7 @@ def test_header_fields_fast_path_matches_slow():
             if not line:
                 break
             lines.append(line)
-        return _fold_header_lines(lines), pos - start, pos
+        return fold(lines), pos - start, pos
 
     blocks = [
         b"A: 1\r\nB: 2\r\n\r\nBODY",
@@ -226,6 +247,9 @@ def test_header_fields_fast_path_matches_slow():
         b"A: 1\r\nB: 2\n\nC: 3\r\n\r\nx",              # LFLF before CRLFCRLF
         b" lead-space: v\r\nA: 1\r\n\r\nx",            # starts with fold char
         b"A: 1\r\nB: tr\xf8\xbbash\r\n\r\nx",          # invalid utf-8 block
+        b"A:\r\n  folded-onto-empty\r\n\r\nx",         # fold onto empty value
+        b"NoColon\r\n  fold-after-no-colon\r\nB: 2\r\n\r\nx",
+        b"A: 1\r\n\tx\r\n  y\r\nB: 2\r\n\r\nx",        # multi-line fold run
     ]
     for blob in blocks:
         for prefix in (b"", b"PRE\r\n\r\n"):

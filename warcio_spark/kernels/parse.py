@@ -163,7 +163,20 @@ def _read_header_fields(cur: _Cursor):
 
 def _fold_header_lines(lines):
     """`Name: value` split + continuation-line folding over rstripped,
-    non-empty lines — shared by both _read_header_fields tiers."""
+    non-empty lines — shared by both _read_header_fields tiers. Folded
+    continuations are rare, so the scan runs a no-lookahead loop and
+    only falls back to the folding loop when some line actually starts
+    with the fold characters."""
+    headers = []
+    for line in lines:
+        if line[0] in " \t":
+            break
+        name, sep, value = line.partition(":")
+        if sep:
+            headers.append((name.rstrip(" \t"), value.lstrip()))
+    else:
+        return headers
+
     headers = []
     i = 0
     L = len(lines)
@@ -177,9 +190,9 @@ def _fold_header_lines(lines):
         else:
             name, value = parts[0], None
         # continuation-line folding: collected lines are rstripped and
-        # non-empty, so the lone [:1] test matches the original
+        # non-empty, so the bare [0] test matches the original
         # "nxt and nxt[0] in (' ', '\t')" guard exactly
-        while i < L and lines[i][:1] in (" ", "\t"):
+        while i < L and lines[i][0] in " \t":
             if value is not None:
                 value += lines[i]
             i += 1
