@@ -70,6 +70,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, name + ".parquet"))
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_t`` plus ONE scale-adaptive round-robin repartition. The
+    benchmark tables are single-row-group parquet files, so a scan yields
+    1-2 tasks and every CPU-heavy per-row projection (shingling, regex
+    ladders, md5 features, Arrow hops) would run on <=2 of N cores while
+    the rest idle. One shuffle of the raw rows — sized by
+    ``defaultParallelism``, never a constant — buys full-width
+    parallelism for everything downstream; all consumers are
+    partitioning-invariant (the q_minhash_dedup discipline). Used only
+    where per-row compute dominates; cheap scan-shaped queries keep the
+    plain scan."""
+    return _t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -292,7 +307,7 @@ def q_json_field(spark, sf):
 
 def q_token_stats(spark, sf):
     """Token counting (whitespace) via pure string math, engine-portable."""
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     toks = F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")))
     return docs.select(
         "doc_id",
@@ -310,7 +325,7 @@ def q_bpe_token_stats(spark, sf):
     counts are identical (parity pinned in pytest on adversarial rows)."""
     from warcio_spark.operators.textstats import bpe_token_count, token_count
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     bpe = bpe_token_count("text")
     return docs.select(
         "doc_id",
@@ -327,7 +342,7 @@ def _mojibake_universe(spark, sf):
     known words by doc_id class (doc_id%4==3 stays clean as the control).
     Both engines build it with the same replace() chain, so the oracle
     replays it verbatim."""
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     m = F.col("doc_id") % 4
     corrupted = (
         F.when(m == 0, F.replace(F.col("text"), F.lit("value"), F.lit("valuÃ©")))
@@ -385,7 +400,7 @@ def q_quality_scores(spark, sf):
     inlining the ratio subtrees three times blows up codegen compile time."""
     from warcio_spark.operators.textstats import punct_ratio, stopword_ratio
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     staged = docs.select(
         "doc_id",
         F.length("text").alias("_len"),
@@ -413,7 +428,7 @@ def q_repetition_stats(spark, sf):
     (O(doc length), never a per-doc quadratic array scan)."""
     from warcio_spark.operators.textstats import repetition_stats
 
-    return repetition_stats(_t(spark, sf, "documents"))
+    return repetition_stats(_tp(spark, sf, "documents"))
 
 
 def q_term_doc_freq(spark, sf):
@@ -421,12 +436,12 @@ def q_term_doc_freq(spark, sf):
     (one vote per distinct token per doc), deterministic tie-break."""
     from warcio_spark.operators.textstats import term_doc_freq
 
-    return term_doc_freq(_t(spark, sf, "documents"), k=20)
+    return term_doc_freq(_tp(spark, sf, "documents"), k=20)
 
 
 def q_lang_markers(spark, sf):
     """Language-ID heuristic: marker-token hit counts."""
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
     def score(markers):
         return F.size(F.filter(toks, lambda t: F.lower(t).isin(markers)))
@@ -452,7 +467,7 @@ def q_pipeline_clean(spark, sf):
     quality-stratified md5-hex sampling — one scan + one shuffle."""
     from warcio_spark.operators.pipeline import clean_corpus
 
-    return clean_corpus(_t(spark, sf, "documents"))
+    return clean_corpus(_tp(spark, sf, "documents"))
 
 
 def q_decontaminate(spark, sf):
@@ -462,7 +477,7 @@ def q_decontaminate(spark, sf):
     broadcast — the corpus side never shuffles its exploded grams."""
     from warcio_spark.operators.decontam import decontaminate
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return decontaminate(corpus, bench, n=3)
@@ -476,7 +491,7 @@ def q_line_dedup(spark, sf):
     (doc_id, pos) occurrence, docs reassembled in order."""
     from warcio_spark.operators.dedup import dedup_lines
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     uni = docs.select(
         "doc_id",
         F.concat_ws(
@@ -497,7 +512,7 @@ def q_pii_redact(spark, sf):
     so the DuckDB oracle runs them verbatim."""
     from warcio_spark.operators.textstats import pii_counts, redact_pii
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     uni = docs.select(
@@ -526,7 +541,7 @@ def q_pipeline_funnel(spark, sf):
     aggregate and unpivoted with stack()."""
     from warcio_spark.operators.pipeline import clean_funnel
 
-    return clean_funnel(_t(spark, sf, "documents"))
+    return clean_funnel(_tp(spark, sf, "documents"))
 
 
 def q_token_budget(spark, sf):
@@ -537,7 +552,7 @@ def q_token_budget(spark, sf):
     from warcio_spark.operators.pipeline import token_budget_sample
 
     return token_budget_sample(
-        _t(spark, sf, "documents"), 10_000, strata=("lang",))
+        _tp(spark, sf, "documents"), 10_000, strata=("lang",))
 
 
 def q_weighted_mix(spark, sf):
@@ -575,7 +590,7 @@ def q_scope_filter(spark, sf):
         F.lit("/p/"), s(d),
         F.when(d % 5 == 0, F.lit("/admin/x")).otherwise(F.lit("")),
     )
-    cands = _t(spark, sf, "documents").select(
+    cands = _tp(spark, sf, "documents").select(
         "doc_id", F.concat(F.lit("http://"), host, path).alias("url"))
     seeds = spark.createDataFrame(
         [("http://host3.example.com/",), ("http://host7.example.com/",),
@@ -601,7 +616,7 @@ def q_normalize_text(spark, sf):
     text = F.when(
         d % 7 == 0, F.concat(F.lit("\tx\x07  "), text, F.lit("  "))
     ).otherwise(text)
-    docs = _t(spark, sf, "documents").select("doc_id", text.alias("text"))
+    docs = _tp(spark, sf, "documents").select("doc_id", text.alias("text"))
     return with_normalized_text(docs).select("doc_id", "text_norm")
 
 
@@ -625,7 +640,7 @@ def q_zipnum_summary(spark, sf):
         F.lit(' {"url": "http://host'), s(d % 53),
         F.lit('.example.com/p/'), s(d), F.lit('"}'),
     )
-    lines = _t(spark, sf, "documents").select(line.alias("line"))
+    lines = _tp(spark, sf, "documents").select(line.alias("line"))
     return zipnum_block_summary(lines, 25, persist_tracker=_QUERY_PERSISTS)
 
 
@@ -650,7 +665,7 @@ def q_zipnum_pages(spark, sf):
         F.lit(' {"url": "http://host'), s(d % 53),
         F.lit('.example.com/p/'), s(d), F.lit('"}'),
     )
-    lines = _t(spark, sf, "documents").select(line.alias("line"))
+    lines = _tp(spark, sf, "documents").select(line.alias("line"))
     return paged_block_summary(lines, 25, 4,
                                persist_tracker=_QUERY_PERSISTS)
 
@@ -717,7 +732,7 @@ def q_link_directives(spark, sf):
     )
     base = F.concat(F.lit("http://h"), s(d % 11),
                     F.lit(".example.com/dir/pg"), s(d), F.lit(".html"))
-    pages = _t(spark, sf, "documents").select(
+    pages = _tp(spark, sf, "documents").select(
         "doc_id", base.alias("page_url"), html.alias("text"))
     return extract_outlink_directives(pages, text_col="text").select(
         "doc_id", "pos", "href",
@@ -764,7 +779,7 @@ def q_page_directives(spark, sf):
     )
     base = F.concat(F.lit("http://h"), s(d % 11), F.lit(".example.com/p/"),
                     s(d))
-    docs = _t(spark, sf, "documents").select(
+    docs = _tp(spark, sf, "documents").select(
         "doc_id", base.alias("url"), html.alias("text"))
     rd = robots_directives(F.col("text"))
     return docs.select(
@@ -797,7 +812,7 @@ def q_strip_tracking(spark, sf):
         .when(d % 6 == 4, F.lit("#f?utm_source=keep"))
         .otherwise(F.lit(""))
     )
-    urls = _t(spark, sf, "documents").select(
+    urls = _tp(spark, sf, "documents").select(
         "doc_id",
         F.concat(F.lit("http://h"), s(d % 11), F.lit(".example.com/p"),
                  s(d), tail).alias("url"),
@@ -852,7 +867,7 @@ def q_corpus_report(spark, sf):
     map-combined pass, no per-doc output anywhere."""
     from warcio_spark.operators.textstats import token_count
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count("text")).alias("n_tokens"),
@@ -934,7 +949,7 @@ def q_script_shares(spark, sf):
         .when(d % 6 == 5, F.lit(" नमस्ते"))
         .otherwise(F.lit(""))
     )
-    docs = _t(spark, sf, "documents").select(
+    docs = _tp(spark, sf, "documents").select(
         "doc_id", F.concat(F.col("text"), snip).alias("text"))
     return with_script_shares(docs).select("doc_id", "s.*")
 
@@ -965,7 +980,7 @@ def q_declared_lang(spark, sf):
                          hval.alias("value"))),
     ).otherwise(F.array(
         F.struct(F.lit("Server").alias("name"), F.lit("x").alias("value"))))
-    docs = _t(spark, sf, "documents").select(
+    docs = _tp(spark, sf, "documents").select(
         "doc_id", html.alias("text"), headers.alias("headers"))
     out = declared_lang(F.col("text"), F.col("headers"))
     return docs.select("doc_id", out.alias("d")).select("doc_id", "d.*")
@@ -981,7 +996,7 @@ def q_shard_assignment(spark, sf):
     from warcio_spark.operators.pipeline import shard_assignment
 
     return shard_assignment(
-        _t(spark, sf, "documents"), 2000, persist_tracker=_QUERY_PERSISTS)
+        _tp(spark, sf, "documents"), 2000, persist_tracker=_QUERY_PERSISTS)
 
 
 _SPAN_BOILER = (
@@ -998,14 +1013,15 @@ def q_dup_spans(spark, sf):
     gram-hash join + one doc_id window; no Python anywhere."""
     from warcio_spark.operators.spans import dup_span_stats
 
-    docs = _t(spark, sf, "documents").select(
+    docs = _tp(spark, sf, "documents").select(
         "doc_id",
         F.when(
             F.col("doc_id") % 5 == 0,
             F.concat(F.col("text"), F.lit(" " + _SPAN_BOILER)),
         ).otherwise(F.col("text")).alias("text"),
     )
-    return dup_span_stats(docs, n=8, min_docs=2)
+    return dup_span_stats(docs, n=8, min_docs=2,
+                          persist_tracker=_QUERY_PERSISTS)
 
 
 def q_dup_strip(spark, sf):
@@ -1017,14 +1033,15 @@ def q_dup_strip(spark, sf):
     exists) — no Arrow hop."""
     from warcio_spark.operators.spans import strip_dup_spans
 
-    docs = _t(spark, sf, "documents").select(
+    docs = _tp(spark, sf, "documents").select(
         "doc_id",
         F.when(
             F.col("doc_id") % 5 == 0,
             F.concat(F.col("text"), F.lit(" " + _SPAN_BOILER)),
         ).otherwise(F.col("text")).alias("text"),
     )
-    return strip_dup_spans(docs, n=8, min_docs=2).select(
+    return strip_dup_spans(docs, n=8, min_docs=2,
+                           persist_tracker=_QUERY_PERSISTS).select(
         "doc_id", "text_clean"
     )
 
@@ -1065,7 +1082,7 @@ def q_bm25_topk(spark, sf):
     from warcio_spark.operators.search import bm25_topk
 
     return bm25_topk(
-        _t(spark, sf, "documents"), _BM25_QUERY, k=15, id_col="doc_id"
+        _tp(spark, sf, "documents"), _BM25_QUERY, k=15, id_col="doc_id"
     )
 
 
@@ -1103,8 +1120,9 @@ def q_lm_perplexity(spark, sf):
     join + one per-doc aggregation."""
     from warcio_spark.operators.textstats import bigram_lm, lm_perplexity
 
-    docs = _t(spark, sf, "documents")
-    return lm_perplexity(docs, bigram_lm(docs))
+    docs = _tp(spark, sf, "documents")
+    return lm_perplexity(docs, bigram_lm(docs, persist_tracker=_QUERY_PERSISTS),
+                         persist_tracker=_QUERY_PERSISTS)
 
 
 def q_chunk_documents(spark, sf):
@@ -1114,7 +1132,7 @@ def q_chunk_documents(spark, sf):
     the plan."""
     from warcio_spark.operators.pipeline import chunk_documents
 
-    return chunk_documents(_t(spark, sf, "documents"), 32, 8)
+    return chunk_documents(_tp(spark, sf, "documents"), 32, 8)
 
 
 def q_anchor_texts(spark, sf):
@@ -1142,7 +1160,7 @@ def q_img_alt_pairs(spark, sf):
     and RFC resolution in DuckDB."""
     from warcio_spark.operators.links import extract_image_alts
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     base = F.concat(
@@ -1205,7 +1223,7 @@ def q_img_captions(spark, sf):
     one pair fold — no count_distinct Expand anywhere."""
     from warcio_spark.operators.links import image_caption_table
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     base = F.concat(F.lit("http://site"), s(d % 7),
@@ -1240,7 +1258,7 @@ def q_image_fetch_frontier(spark, sf):
         image_fetch_frontier,
     )
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     base = F.concat(F.lit("http://site"), s(d % 7),
@@ -1283,7 +1301,7 @@ def q_publish_dates(spark, sf):
     ladder in DuckDB. Plan: pure regex/HOF codegen, map-only."""
     from warcio_spark.operators.links import publish_dates
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     mm = F.lpad(s(d % 16), 2, "0")          # 00-15: some invalid months
@@ -1373,7 +1391,7 @@ def q_graph_components(spark, sf):
 
 def q_ngram_jaccard_adjacent(spark, sf):
     """n-gram Jaccard near-dup scoring for adjacent-id candidate pairs."""
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     toks = F.array_distinct(
         F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
     )
@@ -1396,7 +1414,7 @@ def q_embedding_topk(spark, sf):
     """Similarity search: brute-force cosine top-10 for vec_id=0's vector."""
     from warcio_spark.operators.similarity import cosine_topk
 
-    emb = _t(spark, sf, "embeddings")
+    emb = _tp(spark, sf, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
 
@@ -1474,7 +1492,7 @@ def q_sitemap_coverage(spark, sf):
     in both engines."""
     from warcio_spark.operators.links import sitemap_coverage
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
 
@@ -1513,7 +1531,7 @@ def q_alias_collapse(spark, sf):
     coalesce(final, self) fold, and the two-level capture rollup."""
     from warcio_spark.plans.graph import collapse_aliases
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     k = d - d % 5
@@ -1567,7 +1585,7 @@ def q_fetch_fairness(spark, sf):
     replays the closed forms."""
     from warcio_spark.plans.fairness import fetch_fairness
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     log = docs.select(
         F.concat(
@@ -1674,14 +1692,15 @@ def q_embedding_near_dup(spark, sf):
     from warcio_spark.operators.dedup import embedding_near_dup
 
     _ensure_shipped(spark)
-    emb = _t(spark, sf, "embeddings")
-    return embedding_near_dup(emb, threshold=0.3, planes=8, reps=4)
+    emb = _tp(spark, sf, "embeddings")
+    return embedding_near_dup(emb, threshold=0.3, planes=8, reps=4,
+                              persist_tracker=_QUERY_PERSISTS)
 
 
 def q_lang_detect(spark, sf):
     """Language-ID decision: argmax of marker scores with fixed tie-break
     order en > de > fr; 'und' when no markers hit."""
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
 
     def score(markers):
@@ -1763,7 +1782,7 @@ def q_cdxj_surt(spark, sf):
     composes the same key over a records table)."""
     from warcio_spark.functions import surt_key
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     d = F.col("doc_id")
     url = F.concat(
         F.lit("http://www.host"), (d % 97).cast("string"),
@@ -1789,7 +1808,7 @@ def q_cdxj_read(spark, sf):
     covered against read_warc output in tests/test_spark_ingest.py."""
     from warcio_spark.sources.cdxj import parse_cdxj_lines
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     urlkey = F.concat(F.lit("com,example,host"), s(d % 53),
@@ -1836,7 +1855,7 @@ def q_cdx11_lines(spark, sf):
     against the reference corpus in tests/test_cli.py."""
     from warcio_spark.operators.indexer import cdx11_line
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     urlkey = F.concat(F.lit("com,example,host"), s(d % 89),
@@ -1876,7 +1895,7 @@ def q_cdx11_read(spark, sf):
     from warcio_spark.operators.indexer import cdx11_line
     from warcio_spark.sources.cdxj import parse_cdx11_lines
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     urlkey = F.concat(F.lit("com,example,host"), s(d % 89),
@@ -1922,7 +1941,7 @@ def q_closest_capture(spark, sf):
     shuffles for the join), rank filter compiles to WindowGroupLimit."""
     from warcio_spark.sources.cdxj import closest_captures
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     h, p = d % 97, d % 17
@@ -1961,7 +1980,7 @@ def q_cdx_query(spark, sf):
     the scan; collapse is the single urlkey hash shuffle."""
     from warcio_spark.sources.cdxj import cdx_query
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     h, p = d % 97, d % 17
@@ -2001,7 +2020,7 @@ def q_boilerplate(spark, sf):
     docs — both sides must agree on those too."""
     from warcio_spark.operators.dedup import boilerplate_strip
 
-    docs = _t(spark, sf, "documents").select("doc_id", "text", "source")
+    docs = _tp(spark, sf, "documents").select("doc_id", "text", "source")
     d = F.col("doc_id")
     page = docs.select(
         "doc_id", "source",
@@ -2031,7 +2050,7 @@ def q_sitemap_recrawl(spark, sf):
     from warcio_spark.operators.links import (
         modified_since_capture, sitemap_entries)
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     day2 = F.lpad(s(d % 28 + 1), 2, "0")
@@ -2091,7 +2110,7 @@ def q_freshness(spark, sf):
     from warcio_spark.plans.revalidate import (
         due_by_freshness, freshness_table)
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     hh2 = F.lpad(s(d % 24), 2, "0")
@@ -2148,7 +2167,7 @@ def q_domain_quality(spark, sf):
     from warcio_spark.operators.domains import (
         domain_stats, filter_by_domain_stats, registered_domain)
 
-    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    docs = _tp(spark, sf, "documents").select("doc_id", "n_chars")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     host = (
@@ -2362,7 +2381,7 @@ def q_wet_extract(spark, sf):
 def _outlinks_universe(spark, sf):
     """The deterministic page universe shared by q_outlinks and
     q_wat_links (and mirrored verbatim by their DuckDB oracle SQL)."""
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     base = F.concat(
@@ -2441,7 +2460,7 @@ def _wat_head_universe(spark, sf):
     property=, charset-only which must drop, empty content which must
     keep, quote-in-quote), a body meta that only counts on the pages
     built WITHOUT </head> (the whole-document fallback region)."""
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     title = (
@@ -2603,7 +2622,7 @@ def q_host_rank(spark, sf):
     so the iteration math must match to 8 decimals."""
     from warcio_spark.plans.graph import host_graph, host_rank
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     src = F.concat(
@@ -2635,7 +2654,7 @@ def q_host_hits(spark, sf):
     single end-of-loop scaling must match to 8 decimals."""
     from warcio_spark.plans.graph import host_graph, host_hits
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     src = F.concat(
@@ -2669,7 +2688,7 @@ def q_robots_audit(spark, sf):
     DuckDB."""
     from warcio_spark.plans.frontier import robots_audit
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     k = d % 23
@@ -2741,7 +2760,7 @@ def q_jsonld(spark, sf):
     replays the json_valid + scalar gate."""
     from warcio_spark.operators.links import jsonld_blocks
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     t = F.element_at(
@@ -2786,7 +2805,7 @@ def q_hreflang(spark, sf):
     token match, cleanup and 2-case resolution."""
     from warcio_spark.operators.links import hreflang_alternates
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     page = F.concat(
@@ -2830,7 +2849,7 @@ def q_capture_diff(spark, sf):
     NULL-safe digest equality must match exactly."""
     from warcio_spark.sources.cdxj import capture_diff
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     h, p = d % 97, d % 17
@@ -2898,7 +2917,7 @@ def q_feed_links(spark, sf):
     _attr_value precedence, token match, MIME mapping and resolution."""
     from warcio_spark.operators.links import feed_links
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     page = F.concat(
@@ -2945,7 +2964,7 @@ def q_feed_entries(spark, sf):
     href attribute), unescape chain and title collapse."""
     from warcio_spark.operators.links import feed_entries
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     host = F.concat(F.lit("http://s"), s(d % 11), F.lit(".ex"))
@@ -2996,7 +3015,7 @@ def q_main_content(spark, sf):
     lambdas, both gates, newline join."""
     from warcio_spark.operators.textstats import extract_main_content
 
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf, "documents").select("doc_id", "text")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     page = F.concat(
@@ -3067,7 +3086,7 @@ def q_crawl_depth(spark, sf):
     the same horizon, MIN(depth) per url."""
     from warcio_spark.plans.graph import crawl_depth
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
 
     def u(expr):
@@ -3095,7 +3114,7 @@ def q_url_patterns(spark, sf):
     sorted param names) and both gates over the same window share."""
     from warcio_spark.plans.frontier import url_pattern_census
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     cal = docs.select(F.concat(
@@ -3372,7 +3391,7 @@ def q_sniff_mime(spark, sf):
     that trust is misplaced."""
     from warcio_spark.operators.checker import sniff_mime
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     k = d % 12
@@ -3513,7 +3532,7 @@ def q_segment_reassembly(spark, sf):
     the unsegmented mass stays map-only."""
     from warcio_spark.operators.segments import reassemble_segments
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     n = (d % 4 + 1).cast("int")
@@ -3577,7 +3596,7 @@ def q_bitext_candidates(spark, sf):
     equi joins + one pair groupBy."""
     from warcio_spark.operators.bitext import bitext_candidates
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     langs = F.array(*[F.lit(x) for x in _BITEXT_LANGS])
@@ -3632,7 +3651,7 @@ def q_bitext_align(spark, sf):
         split_sentences,
     )
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
 
     def side_text(letter, n, length):
@@ -3729,7 +3748,7 @@ def q_centroid_outliers(spark, sf):
     centroid in DuckDB via unnest/generate_subscripts."""
     from warcio_spark.operators.similarity import centroid_outliers
 
-    return centroid_outliers(_t(spark, sf, "embeddings"), k=10)
+    return centroid_outliers(_tp(spark, sf, "embeddings"), k=10)
 
 
 def q_stratified_quota(spark, sf):
@@ -3751,7 +3770,7 @@ def _mirror_universe(spark, sf):
     synthesized the same way the outlinks universe synthesizes markup):
     every source keeps its docs under host=source, and docs with
     doc_id%3==0 are re-served by a 'mirror-'||source host."""
-    docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    docs = _tp(spark, sf, "documents").select("doc_id", "source", "text")
     mirrored = docs.filter(F.col("doc_id") % 3 == 0).select(
         F.concat(F.lit("mirror-"), F.col("source")).alias("host"), "text"
     )
@@ -3797,7 +3816,7 @@ def _tables_universe(spark, sf):
     attribute-ed table with a nested-markup cell; doc_id%4==0 adds a
     second table with an empty cell; doc_id%3==0 adds a <tablex> decoy
     that must NOT match; headers are uppercase TH on doc_id%5==0."""
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     th = F.when(d % 5 == 0, F.lit("TH")).otherwise(F.lit("th"))
@@ -3843,7 +3862,7 @@ def _structure_universe(spark, sf):
     pre>code block with newlines + indentation; doc_id%3==0 adds an h3;
     doc_id%4==0 adds a bare PRE; every doc carries an inline <code> and
     an <h7>/<prex> decoy that must NOT match."""
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _tp(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     markup = F.concat(
@@ -3896,10 +3915,11 @@ def q_minhash_incremental(spark, sf):
     is pinned in tests/test_curation_ops.py, output frozen as a golden."""
     from warcio_spark.operators.dedup import minhash_dedup_incremental
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     corpus = docs.filter(F.col("doc_id") < 400)
     batch = docs.filter(F.col("doc_id") >= 400)
-    return minhash_dedup_incremental(batch, corpus, threshold=0.5)
+    return minhash_dedup_incremental(batch, corpus, threshold=0.5,
+                                     persist_tracker=_QUERY_PERSISTS)
 
 
 def q_simhash_incremental(spark, sf):
@@ -3915,7 +3935,7 @@ def q_simhash_incremental(spark, sf):
     from warcio_spark.operators.dedup import (simhash_deterministic,
                                               simhash_incremental)
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     corp_sim = simhash_deterministic(docs.filter(F.col("doc_id") < 400))
     batch = docs.filter(F.col("doc_id") >= 400)
     return simhash_incremental(batch, corp_sim, prefix_bits=8, max_hamming=12)
@@ -3931,7 +3951,7 @@ def q_quality_classifier(spark, sf):
     md5 is engine-identical and integer sums are order-exact."""
     from warcio_spark.operators.textstats import hashed_linear_score
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     weights = spark.range(256).select(
         F.lower(F.lpad(F.hex(F.col("id")), 2, "0")).alias("bucket"),
         (F.col("id") - 128).cast("int").alias("w"),
@@ -3952,7 +3972,7 @@ def q_embedding_near_dup_inc(spark, sf):
     from warcio_spark.operators.dedup import embedding_near_dup_incremental
 
     _ensure_shipped(spark)
-    emb = _t(spark, sf, "embeddings")
+    emb = _tp(spark, sf, "embeddings")
     corpus = emb.filter(F.col("vec_id") < 400)
     batch = emb.filter(F.col("vec_id") >= 400)
     return embedding_near_dup_incremental(batch, corpus, threshold=0.3,
@@ -3970,7 +3990,7 @@ def q_cdc_dedup(spark, sf):
     golden; clamps/locality/planted-sharing pinned in tests/test_cdc.py."""
     from warcio_spark.operators.dedup import cdc_shared_chunks
 
-    return cdc_shared_chunks(_t(spark, sf, "documents"))
+    return cdc_shared_chunks(_tp(spark, sf, "documents"))
 
 
 def q_temperature_mix(spark, sf):
@@ -3995,7 +4015,7 @@ def q_pack_sequences(spark, sf):
     stage (pinned in pytest)."""
     from warcio_spark.operators.pipeline import pack_sequences
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     toks = F.size(
         F.filter(F.split(F.trim(F.col("text")), r"\s+"),
                  lambda t: t != F.lit(""))
@@ -4024,7 +4044,7 @@ def q_dedup_keep_best(spark, sf):
     independently-derived closure, not a re-implementation of themselves."""
     from warcio_spark.operators.dedup import dedup_keep_best
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     toks = F.array_distinct(
         F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
     )
@@ -4078,7 +4098,7 @@ def q_holdout_split(spark, sf):
     7-hex-digit cumulative thresholds in DuckDB."""
     from warcio_spark.operators.pipeline import leakage_safe_split
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     pairs = _adjacent_jaccard_pairs(docs)
     return leakage_safe_split(
         docs, pairs, {"train": 0.9, "val": 0.05, "test": 0.05})
@@ -4092,7 +4112,7 @@ def q_split_leakage(spark, sf):
     failure mode leakage_safe_split exists to prevent)."""
     from warcio_spark.operators.pipeline import split_leakage
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     pairs = _adjacent_jaccard_pairs(docs)
     naive = docs.select(
         "doc_id",
@@ -4124,9 +4144,10 @@ def q_dsir_weights(spark, sf):
     integer counts summed once per doc, rounded to 4."""
     from warcio_spark.operators.textstats import dsir_weights
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return dsir_weights(
-        docs, F.col("source").isin("src1", "src2", "src3"))
+        docs, F.col("source").isin("src1", "src2", "src3"),
+        persist_tracker=_QUERY_PERSISTS)
 
 
 def q_ppl_buckets(spark, sf):
@@ -4138,8 +4159,9 @@ def q_ppl_buckets(spark, sf):
     from warcio_spark.operators.textstats import (bigram_lm,
                                                   perplexity_buckets)
 
-    docs = _t(spark, sf, "documents")
-    return perplexity_buckets(docs, bigram_lm(docs))
+    docs = _tp(spark, sf, "documents")
+    return perplexity_buckets(docs, bigram_lm(docs, persist_tracker=_QUERY_PERSISTS),
+                              persist_tracker=_QUERY_PERSISTS)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -460,3 +460,44 @@ def test_simhash_incremental_two_arrow_nodes(spark):
     out = simhash_incremental(batch, simhash_deterministic(corpus))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"ArrowEvalPython", plan)) == 2, plan
+
+
+def test_vectorized_minhash_signature_parity(spark):
+    """The numpy-vectorized signature inside _banded_buckets must be
+    bit-identical to the pure-expression minhash_signature (min over
+    shingles of xxhash64(shingle, p) per permutation p) — including the
+    all-null signature of a doc with an empty/null shingle array."""
+    from pyspark.sql import types as T
+
+    from warcio_spark.operators.dedup import (_make_minhash_sig_udf,
+                                              minhash_signature,
+                                              word_ngrams)
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, ""),
+        (2, "one two"),
+        (3, "üñïçødé tokens λorem ipsum 中文 text with five words"),
+        (4, None),
+        (5, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = df.select("doc_id", word_ngrams("text", 3).alias("_sh"))
+    ref = {r.doc_id: r.sig for r in sh.select(
+        "doc_id", minhash_signature("_sh", 64).alias("sig")).collect()}
+    base = sh.select(
+        "doc_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_bh"))
+    got = {r.doc_id: r.sig for r in base.select(
+        "doc_id", _make_minhash_sig_udf(64)("_bh").alias("sig")).collect()}
+    assert got == ref
+    # plus a null/empty-array row straight through the UDF
+    arr_df = spark.createDataFrame(
+        [(0, None), (1, [])],
+        T.StructType([
+            T.StructField("i", T.LongType()),
+            T.StructField("_bh", T.ArrayType(T.LongType())),
+        ]),
+    )
+    out = {r.i: r.sig for r in arr_df.select(
+        "i", _make_minhash_sig_udf(8)("_bh").alias("sig")).collect()}
+    assert out == {0: [None] * 8, 1: [None] * 8}

@@ -367,14 +367,99 @@ def minhash_signature(shingles_col, num_perm: int = 64) -> Column:
     return F.array(*[perm_min(p) for p in range(num_perm)])
 
 
+# XXH64 primes (public xxHash spec; Spark's XXH64 implementation is the
+# faithful algorithm, so these reproduce F.xxhash64 bit-for-bit)
+_XXH_P1 = np.uint64(0x9E3779B185EBCA87)
+_XXH_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XXH_P3 = np.uint64(0x165667B19E3779F9)
+_XXH_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_XXH_P5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _xxh_int_matrix(seeds: np.ndarray, perm_p1: np.ndarray) -> np.ndarray:
+    """(n, P) int64 matrix of XXH64.hashInt(p, seed) — exactly Spark's
+    ``xxhash64(col, lit(p))`` given ``seeds[i] = xxhash64(col_i)`` (Spark
+    chains multi-column xxhash64 with the running hash as the seed, and an
+    int literal takes the hashInt path). ``perm_p1 = perms * PRIME64_1``.
+    All uint64 arithmetic wraps mod 2^64 like the JVM's."""
+    h = np.bitwise_xor(
+        (seeds + (_XXH_P5 + np.uint64(4)))[:, None], perm_p1[None, :]
+    )
+    h = ((h << np.uint64(23)) | (h >> np.uint64(41))) * _XXH_P2 + _XXH_P3
+    h ^= h >> np.uint64(33)
+    h *= _XXH_P2
+    h ^= h >> np.uint64(29)
+    h *= _XXH_P3
+    h ^= h >> np.uint64(32)
+    return h.view(np.int64)
+
+
+def _make_minhash_sig_udf(num_perm: int):
+    """pandas_udf: per-shingle base hashes (``xxhash64(shingle)``, JVM) ->
+    num_perm-wide MinHash signature, sig[p] = min over shingles of
+    xxhash64(shingle, p) — bit-identical to ``minhash_signature`` (pinned
+    in tests/test_curation_ops.py) but ONE pass over the shingle bytes
+    plus a vectorized (shingles x perms) int-hash matrix, instead of
+    num_perm codegen array traversals re-hashing every shingle's bytes."""
+    perm_p1 = np.arange(num_perm, dtype=np.uint64) * _XXH_P1
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(base: pd.Series) -> pd.Series:
+        nulls = [None] * num_perm
+        arrs = base.tolist()
+        lens = np.array([0 if a is None else len(a) for a in arrs],
+                        dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series([nulls for _ in arrs], dtype="object")
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in arrs if a is not None and len(a)]
+        ).astype(np.uint64)
+        out: list = [None] * len(arrs)
+        # bounded slices keep the (rows x num_perm) matrices ~32 MB
+        max_rows = max(4096, 262144 // max(1, num_perm // 16))
+        nz = np.nonzero(lens)[0]
+        starts = np.zeros(len(arrs) + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        i = 0
+        while i < len(nz):
+            j = i
+            rows = 0
+            while j < len(nz) and (rows == 0 or rows + lens[nz[j]] <= max_rows):
+                rows += lens[nz[j]]
+                j += 1
+            sl = slice(starts[nz[i]], starts[nz[j - 1]] + lens[nz[j - 1]])
+            m = _xxh_int_matrix(flat[sl], perm_p1)
+            offs = (starts[nz[i:j]] - starts[nz[i]]).astype(np.intp)
+            mins = np.minimum.reduceat(m, offs, axis=0)
+            for k, doc in enumerate(nz[i:j]):
+                out[doc] = mins[k].tolist()
+            i = j
+        for k in range(len(arrs)):
+            if out[k] is None:
+                out[k] = nulls
+        return pd.Series(out, dtype="object")
+
+    return _sig
+
+
 def _banded_buckets(shingled: DataFrame, num_perm: int, bands: int) -> DataFrame:
     """(_id, band, bucket) LSH rows for shingled docs — the shared banding
     kernel of minhash_lsh_pairs and the incremental index path (bucket =
     xxhash64 of the band's signature slice; deterministic per doc, so
-    index rows built batch-by-batch equal rows built corpus-at-once)."""
+    index rows built batch-by-batch equal rows built corpus-at-once).
+
+    The signature is computed from ONE JVM pass hashing each shingle's
+    bytes (``xxhash64(s)``) plus a numpy matrix hop for the per-permutation
+    int-mix + column-min — bit-identical to the pure-expression
+    ``minhash_signature`` but without re-hashing every shingle num_perm
+    times (the r5 bench's dominant minhash cost)."""
     rows = num_perm // bands
-    sig = shingled.select(
-        "_id", minhash_signature("_sh", num_perm).alias("_sig")
+    base = shingled.select(
+        "_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_bh")
+    )
+    sig = base.select(
+        "_id", _make_minhash_sig_udf(num_perm)("_bh").alias("_sig")
     )
     return sig.select(
         "_id",
@@ -400,20 +485,30 @@ def _banded_buckets(shingled: DataFrame, num_perm: int, bands: int) -> DataFrame
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_perm: int = 64,
                       bands: int = 16, shingle_n: int = 3,
-                      shingled: DataFrame | None = None) -> DataFrame:
+                      shingled: DataFrame | None = None,
+                      persist_tracker: list | None = None) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
     Scale shape: one narrow map producing (band, band_hash, id), one
     shuffle per groupBy on (band, band_hash) — skew-safe because identical
     band hashes ARE the candidates; self-join within buckets only. At
     10^10 docs the bucket join replaces an impossible O(n^2) cross join.
-    """
+
+    ``persist_tracker`` persists the banded (_id, band, bucket) rows so
+    the self-join's two sides share ONE signature computation (each side
+    of a self-join re-executes its subtree otherwise); the caller
+    unpersists after materializing."""
     if shingled is None:
         shingled = df.select(
             F.col(id_col).alias("_id"),
             word_ngrams(text_col, shingle_n).alias("_sh"),
         )
     banded = _banded_buckets(shingled, num_perm, bands)
+    if persist_tracker is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        persist_tracker.append(banded)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -450,7 +545,8 @@ def minhash_dedup(df: DataFrame, threshold: float = 0.8, id_col: str = "doc_id",
         shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
         persist_tracker.append(shingled)
     cands = minhash_lsh_pairs(df, id_col, text_col, num_perm, bands, shingle_n,
-                              shingled=shingled)
+                              shingled=shingled,
+                              persist_tracker=persist_tracker)
     verified = ngram_jaccard_pairs(df, cands, shingle_n, id_col, text_col,
                                    shingled=shingled)
     return verified.filter(F.col("jaccard") >= threshold)
@@ -564,7 +660,8 @@ def cosine_similarity(a: Column, b: Column, decimals: int = 6) -> Column:
 def embedding_near_dup(emb: DataFrame, threshold: float = 0.95,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        planes: int = 8, reps: int = 4, seed: int = 1337,
-                       dim: int | None = None) -> DataFrame:
+                       dim: int | None = None,
+                       persist_tracker: list | None = None) -> DataFrame:
     """Near-duplicate embedding pairs via BANDED hyperplane LSH (the
     MinHash-band pattern): ``reps`` independent sign sketches of ``planes``
     bits each (one Arrow hop, one matmul per batch); a pair is a candidate
@@ -579,7 +676,12 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.95,
     Collision probability at cosine c: 1-(1-(1-acos(c)/pi)^planes)^reps.
     Self-joins are on (rep, bucket) — identical band hashes ARE the
     candidates, so the shuffle key matches the work. ``dim`` pins the
-    embedding dimension (inferred once from the data when omitted)."""
+    embedding dimension (inferred once from the data when omitted).
+
+    ``persist_tracker`` persists the banded sketch rows so the
+    self-join's two sides share ONE Arrow sketch hop (each side of a
+    self-join re-executes its subtree otherwise); the caller unpersists
+    after materializing."""
     from warcio_spark.operators.similarity import make_multi_sketch_udf
 
     if dim is None:
@@ -590,6 +692,11 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.95,
         F.col(id_col).alias("_id"),
         F.posexplode(multi(F.col(vec_col))).alias("_rep", "_bucket"),
     ).filter(F.col("_bucket").isNotNull())
+    if persist_tracker is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        persist_tracker.append(banded)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(r, (F.col("l._rep") == F.col("r._rep"))
@@ -801,7 +908,8 @@ def minhash_dedup_incremental(new_docs: DataFrame, corpus_docs: DataFrame,
                               threshold: float = 0.8,
                               id_col: str = "doc_id", text_col: str = "text",
                               num_perm: int = 64, bands: int = 16,
-                              shingle_n: int = 3) -> DataFrame:
+                              shingle_n: int = 3,
+                              persist_tracker: list | None = None) -> DataFrame:
     """Near-dup detection of a NEW batch against an EXISTING corpus — the
     incremental-ingest path: band only the batch (O(batch), the corpus is
     never re-shingled), probe the corpus ``index`` (minhash_band_index
@@ -816,11 +924,21 @@ def minhash_dedup_incremental(new_docs: DataFrame, corpus_docs: DataFrame,
     and the corpus side prunes to touched buckets; the verify join ships
     shingles only for candidate pairs. Candidates equal the cross-boundary
     subset of minhash_lsh_pairs(corpus ∪ batch) exactly (pinned in
-    pytest), so incremental == batch-at-once for new-vs-corpus pairs."""
+    pytest), so incremental == batch-at-once for new-vs-corpus pairs.
+
+    ``persist_tracker`` (the ``minhash_dedup`` contract): the batch
+    shingle projection is persisted so the banding pass and the verify
+    join share one shingling of the batch instead of two; the caller
+    unpersists after materializing the result."""
     new_sh = new_docs.select(
         F.col(id_col).alias("_id"),
         word_ngrams(text_col, shingle_n).alias("_sh"),
     )
+    if persist_tracker is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        new_sh = new_sh.persist(StorageLevel.MEMORY_AND_DISK)
+        persist_tracker.append(new_sh)
     new_banded = _banded_buckets(new_sh, num_perm, bands)
     if index is None:
         index = minhash_band_index(corpus_docs, id_col, text_col,

@@ -104,6 +104,7 @@ def dup_gram_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist_tracker: list | None = None,
 ) -> DataFrame:
     """Merged duplicate spans per document: (id_col, span_id, start,
     end, n_grams) — token interval [start, end] (1-based, inclusive)
@@ -114,12 +115,13 @@ def dup_gram_spans(
     the position lookup (caller-owned, same contract as minhash's
     shingle pass).
     """
-    return _dup_gram_spans(
-        gram_positions(docs, n=n, text_col=text_col, id_col=id_col),
-        n=n,
-        min_docs=min_docs,
-        id_col=id_col,
-    )
+    grams = gram_positions(docs, n=n, text_col=text_col, id_col=id_col)
+    if persist_tracker is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        persist_tracker.append(grams)
+    return _dup_gram_spans(grams, n=n, min_docs=min_docs, id_col=id_col)
 
 
 def _dup_gram_spans(
@@ -156,13 +158,15 @@ def dup_span_stats(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist_tracker: list | None = None,
 ) -> DataFrame:
     """Per-document duplication report over the whole corpus:
     (id_col, n_tokens, n_dup_grams, n_spans, dup_tokens, dup_ratio).
     Every input document appears exactly once (zeros when clean).
     """
     spans = dup_gram_spans(
-        docs, n=n, min_docs=min_docs, text_col=text_col, id_col=id_col
+        docs, n=n, min_docs=min_docs, text_col=text_col, id_col=id_col,
+        persist_tracker=persist_tracker,
     )
     per_doc = spans.groupBy(id_col).agg(
         F.sum("n_grams").alias("n_dup_grams"),
@@ -193,6 +197,7 @@ def strip_dup_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist_tracker: list | None = None,
 ) -> DataFrame:
     """``docs`` plus ``text_clean``: the document with every token
     covered by a cross-document duplicate span removed, remaining
@@ -202,7 +207,8 @@ def strip_dup_spans(
     """
     spans_arr = (
         dup_gram_spans(
-            docs, n=n, min_docs=min_docs, text_col=text_col, id_col=id_col
+            docs, n=n, min_docs=min_docs, text_col=text_col, id_col=id_col,
+            persist_tracker=persist_tracker,
         )
         .groupBy(id_col)
         .agg(

@@ -264,7 +264,8 @@ def word_bigrams(text) -> Column:
 
 
 def bigram_lm(docs: DataFrame, text_col: str = "text",
-              alpha: float = 0.4) -> DataFrame:
+              alpha: float = 0.4,
+              persist_tracker: list | None = None) -> DataFrame:
     """Train an add-alpha-smoothed word-bigram LM: (w1, w2, logp) with
     logp = log2((c(w1,w2) + alpha) / (c(w1,*) + alpha * V)), V = unigram
     vocabulary size.
@@ -273,11 +274,23 @@ def bigram_lm(docs: DataFrame, text_col: str = "text",
     aggregation: the model IS a DataFrame. Scale: one explode + one
     map-side-combinable groupBy on (w1, w2); the prefix totals and V are
     aggregations OF the bigram table (already vocabulary-bounded, orders
-    of magnitude smaller than the corpus), never a second corpus scan."""
+    of magnitude smaller than the corpus), never a second corpus scan.
+
+    ``persist_tracker`` (the ``minhash_dedup`` caller-owned contract):
+    the vocabulary-sized (w1, w2, c2) count table is persisted so the V
+    count action, the prefix totals, and the returned model all read ONE
+    corpus bigram pass — without it the corpus is exploded + aggregated
+    once per consumer (the count action here plus every downstream use).
+    The caller unpersists after materializing its result."""
     bg = docs.select(
         F.explode(word_bigrams(text_col)).alias("bg")
     ).select("bg.w1", "bg.w2")
     counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    if persist_tracker is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
+        persist_tracker.append(counts)
     prefix = counts.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = counts.select(F.col("w1").alias("w")).union(
         counts.select("w2")
@@ -296,7 +309,8 @@ def bigram_lm(docs: DataFrame, text_col: str = "text",
 
 def lm_perplexity(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", decimals: int = 4,
-                  broadcast_lm: bool = False) -> DataFrame:
+                  broadcast_lm: bool = False,
+                  persist_tracker: list | None = None) -> DataFrame:
     """(id_col, n_bigrams, ppl): per-document perplexity under a
     ``bigram_lm`` table — 2^(mean over the doc's bigrams of -logp).
     Bigrams absent from the LM contribute the model's worst (minimum)
@@ -310,7 +324,18 @@ def lm_perplexity(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
     Scale: one explode, one join keyed (w1, w2) (``broadcast_lm=True``
     when the model fits in executor memory — a pruned web LM usually
     does), one groupBy on the doc id. High-frequency bigrams skew the
-    join key only on the LM side, which is the small side."""
+    join key only on the LM side, which is the small side.
+
+    ``persist_tracker``: the vocabulary-sized LM table is persisted so
+    the floor aggregate action and the scoring join share one
+    computation of the model's lineage (for a ``bigram_lm`` model that
+    lineage is a full corpus explode+aggregate per consumer otherwise);
+    the caller unpersists after materializing the result."""
+    if persist_tracker is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        lm = lm.persist(StorageLevel.MEMORY_AND_DISK)
+        persist_tracker.append(lm)
     floor = lm.agg(F.min("logp")).first()[0]
     floor = 0.0 if floor is None else float(floor)
     lm_j = F.broadcast(lm) if broadcast_lm else lm
@@ -794,7 +819,8 @@ def hashed_linear_score(docs: DataFrame, weights: DataFrame,
 def dsir_weights(docs: DataFrame, is_target: Column,
                  id_col: str = "doc_id", text_col: str = "text",
                  n_buckets_hex: int = 2, lam: float = 0.5,
-                 decimals: int = 4) -> DataFrame:
+                 decimals: int = 4,
+                 persist_tracker: list | None = None) -> DataFrame:
     """Data Selection via Importance Resampling weights (the hashed
     n-gram formulation of Xie et al. 2023): score every document by how
     much more likely its hashed-ngram bag is under the TARGET feature
@@ -820,10 +846,12 @@ def dsir_weights(docs: DataFrame, is_target: Column,
     never corpus data — the ``frontier_round`` counts discipline); the
     per-bucket log-ratio table broadcasts back onto the feature stream
     for ONE per-doc aggregation. The feature Generate feeds both the
-    distribution agg and the scoring agg — at full scale the caller
-    persists ``feats`` once (the ``minhash_lsh_pairs`` caller-owned
-    persist contract). Every float is a log of integer-derived counts,
-    summed once per doc and rounded to ``decimals``."""
+    distribution agg and the scoring agg — ``persist_tracker`` persists
+    ``feats`` so the md5 feature hashing runs ONCE for both consumers
+    (the caller unpersists after materializing; without a tracker the
+    Generate is evaluated twice). Every float is a log of
+    integer-derived counts, summed once per doc and rounded to
+    ``decimals``."""
     from pyspark.sql.window import Window
 
     n_buckets = 16 ** n_buckets_hex
@@ -832,6 +860,11 @@ def dsir_weights(docs: DataFrame, is_target: Column,
         is_target.alias("_is_t"),
         F.explode(hashed_features(text_col, n_buckets_hex)).alias("bucket"),
     )
+    if persist_tracker is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+        persist_tracker.append(feats)
     dist = feats.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("raw_c"),
         F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("tgt_c"),
@@ -873,7 +906,8 @@ def dsir_weights(docs: DataFrame, is_target: Column,
 def perplexity_buckets(docs: DataFrame, lm: DataFrame,
                        id_col: str = "doc_id", text_col: str = "text",
                        lang_col: str = "lang",
-                       z_cut: float = 0.4307) -> DataFrame:
+                       z_cut: float = 0.4307,
+                       persist_tracker: list | None = None) -> DataFrame:
     """CCNet's per-language head/middle/tail quality split over
     ``lm_perplexity`` scores, in the rank-free z-score formulation:
     within each language, a document is ``head`` when its perplexity
@@ -892,9 +926,21 @@ def perplexity_buckets(docs: DataFrame, lm: DataFrame,
     broadcast back onto the scored corpus: skew-immune, two shuffles
     total (the doc-id agg inside ``lm_perplexity`` + the tiny language
     agg), and deterministic across engines because the stats are
-    aggregates of already-rounded ppl values."""
-    ppl = lm_perplexity(docs, lm, id_col=id_col, text_col=text_col)
+    aggregates of already-rounded ppl values.
+
+    ``persist_tracker``: the one-row-per-doc scored table is persisted so
+    the per-language stats aggregate and the final bucket projection share
+    one perplexity computation (otherwise the whole ``lm_perplexity``
+    lineage — corpus explode + LM join — runs once per consumer); the
+    caller unpersists after materializing the result."""
+    ppl = lm_perplexity(docs, lm, id_col=id_col, text_col=text_col,
+                        persist_tracker=persist_tracker)
     scored = ppl.join(docs.select(id_col, lang_col), id_col)
+    if persist_tracker is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        persist_tracker.append(scored)
     stats = scored.filter(F.col("ppl").isNotNull()).groupBy(lang_col).agg(
         F.avg("ppl").alias("_mu"),
         F.stddev_pop("ppl").alias("_sd"),

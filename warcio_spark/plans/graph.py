@@ -316,17 +316,25 @@ def connected_components(
     """
     from pyspark.sql import Observation
 
+    # lazy localCheckpoint: BOTH consumers of the raw edge set (the node
+    # universe below and the star-round seed) read one materialization —
+    # without it the final nodes.join() re-executes the caller's whole
+    # pair-producing lineage (shingling, LSH, jaccard verify) a second
+    # time after the rounds have converged.
     e0 = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
     )
+    if checkpoint_dir is not None:
+        e0.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        e0 = e0.checkpoint(eager=False)
+    else:
+        e0 = e0.localCheckpoint(eager=False)
     nodes = (
         e0.select("src").union(e0.select("dst")).distinct()
         .withColumnRenamed("src", "node")
     )
     cur = e0.filter(F.col("src") != F.col("dst")).distinct()
-    if checkpoint_dir is not None:
-        cur.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _materialize(df: DataFrame) -> tuple[DataFrame, tuple]:
         obs = Observation()
