@@ -428,7 +428,8 @@ def q_repetition_stats(spark, sf):
     (O(doc length), never a per-doc quadratic array scan)."""
     from warcio_spark.operators.textstats import repetition_stats
 
-    return repetition_stats(_tp(spark, sf, "documents"))
+    return repetition_stats(_tp(spark, sf, "documents"),
+                            persist_tracker=_QUERY_PERSISTS)
 
 
 def q_term_doc_freq(spark, sf):
@@ -1082,7 +1083,8 @@ def q_bm25_topk(spark, sf):
     from warcio_spark.operators.search import bm25_topk
 
     return bm25_topk(
-        _tp(spark, sf, "documents"), _BM25_QUERY, k=15, id_col="doc_id"
+        _tp(spark, sf, "documents"), _BM25_QUERY, k=15, id_col="doc_id",
+        persist_tracker=_QUERY_PERSISTS
     )
 
 
@@ -2642,7 +2644,8 @@ def q_host_rank(spark, sf):
     edges = host_graph(
         docs.select(src.alias("page_url"), dst.alias("outlink"))
     )
-    ranks = host_rank(edges, iterations=3)
+    ranks = host_rank(edges, iterations=3,
+                      persist_tracker=_QUERY_PERSISTS)
     return ranks.select("host", F.round("rank", 8).alias("rank"))
 
 
@@ -2670,7 +2673,8 @@ def q_host_hits(spark, sf):
     edges = host_graph(
         docs.select(src.alias("page_url"), dst.alias("outlink"))
     )
-    return host_hits(edges, iterations=3, decimals=8)
+    return host_hits(edges, iterations=3, decimals=8,
+                     persist_tracker=_QUERY_PERSISTS)
 
 
 def q_robots_audit(spark, sf):
@@ -3806,7 +3810,8 @@ def q_trust_rank(spark, sf):
         docs.select(src.alias("page_url"), dst.alias("outlink"))
     )
     seeds = spark.createDataFrame([(h,) for h in TRUST_SEEDS], "host string")
-    trust = trust_rank(edges, seeds, iterations=3)
+    trust = trust_rank(edges, seeds, iterations=3,
+                       persist_tracker=_QUERY_PERSISTS)
     return trust.select("host", F.round("trust", 8).alias("trust"))
 
 
@@ -4048,7 +4053,10 @@ def q_dedup_keep_best(spark, sf):
     toks = F.array_distinct(
         F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
     )
-    d = docs.select("doc_id", toks.alias("tokset"))
+    # persisted: BOTH sides of the adjacent-id self-join read one
+    # tokenization instead of two (self-join sides re-execute otherwise)
+    d = docs.select("doc_id", toks.alias("tokset")).persist()
+    _QUERY_PERSISTS.append(d)
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
     union = F.size(F.array_union(F.col("a.tokset"), F.col("b.tokset")))
@@ -4074,7 +4082,8 @@ def _adjacent_jaccard_pairs(docs, threshold=0.5):
     toks = F.array_distinct(
         F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
     )
-    d = docs.select("doc_id", toks.alias("tokset"))
+    d = docs.select("doc_id", toks.alias("tokset")).persist()
+    _QUERY_PERSISTS.append(d)
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
     union = F.size(F.array_union(F.col("a.tokset"), F.col("b.tokset")))

@@ -462,14 +462,15 @@ def test_simhash_incremental_two_arrow_nodes(spark):
     assert len(re.findall(r"ArrowEvalPython", plan)) == 2, plan
 
 
-def test_vectorized_minhash_signature_parity(spark):
-    """The numpy-vectorized signature inside _banded_buckets must be
-    bit-identical to the pure-expression minhash_signature (min over
-    shingles of xxhash64(shingle, p) per permutation p) — including the
-    all-null signature of a doc with an empty/null shingle array."""
-    from pyspark.sql import types as T
-
-    from warcio_spark.operators.dedup import (_make_minhash_sig_udf,
+def test_exploded_minhash_banding_parity(spark):
+    """The codegen shingle-rows + min-aggregate banding must reproduce
+    the array path exactly: (a) _shingle_rows' per-doc row multiset
+    equals word_ngrams (including the short-doc whole-join and the
+    empty/null -> [""] fallbacks); (b) _banded_buckets_from_rows' (id,
+    band, bucket) rows equal banding built from the pure-expression
+    minhash_signature over word_ngrams arrays."""
+    from warcio_spark.operators.dedup import (_banded_buckets_from_rows,
+                                              _shingle_rows,
                                               minhash_signature,
                                               word_ngrams)
 
@@ -480,24 +481,89 @@ def test_vectorized_minhash_signature_parity(spark):
         (3, "üñïçødé tokens λorem ipsum 中文 text with five words"),
         (4, None),
         (5, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+        (6, "  padded   whitespace   doc  "),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    sh = df.select("doc_id", word_ngrams("text", 3).alias("_sh"))
-    ref = {r.doc_id: r.sig for r in sh.select(
-        "doc_id", minhash_signature("_sh", 64).alias("sig")).collect()}
-    base = sh.select(
-        "doc_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_bh"))
-    got = {r.doc_id: r.sig for r in base.select(
-        "doc_id", _make_minhash_sig_udf(64)("_bh").alias("sig")).collect()}
-    assert got == ref
-    # plus a null/empty-array row straight through the UDF
-    arr_df = spark.createDataFrame(
-        [(0, None), (1, [])],
-        T.StructType([
-            T.StructField("i", T.LongType()),
-            T.StructField("_bh", T.ArrayType(T.LongType())),
-        ]),
-    )
-    out = {r.i: r.sig for r in arr_df.select(
-        "i", _make_minhash_sig_udf(8)("_bh").alias("sig")).collect()}
-    assert out == {0: [None] * 8, 1: [None] * 8}
+    # (a) shingle-occurrence multiset parity
+    got_rows = sorted(
+        (r._id, r._g)
+        for r in _shingle_rows(df, "doc_id", "text", 3).collect())
+    want_rows = sorted(
+        (r.doc_id, g)
+        for r in df.select("doc_id", word_ngrams("text", 3).alias("_sh")).collect()
+        for g in r._sh)
+    assert got_rows == want_rows
+    # (b) banded bucket parity against the expression-form signature
+    num_perm, bands, rpb = 64, 16, 4
+    sig = df.select(
+        F.col("doc_id").alias("_id"),
+        minhash_signature(word_ngrams("text", 3), num_perm).alias("_sig"))
+    want_banded = sorted(
+        (r._id, r.band, r.bucket)
+        for r in sig.select(
+            "_id",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.concat_ws(",", *[
+                        F.element_at("_sig", b * rpb + p + 1)
+                        for p in range(rpb)])).alias("bucket"))
+                for b in range(bands)])).alias("bb"),
+        ).select("_id", "bb.band", "bb.bucket").collect())
+    got_banded = sorted(
+        (r._id, r.band, r.bucket)
+        for r in _banded_buckets_from_rows(
+            _shingle_rows(df, "doc_id", "text", 3), num_perm, bands).collect())
+    assert got_banded == want_banded
+
+
+def test_cosine_parts_parity_with_expression_fold(spark):
+    """The vectorized cosine (numpy cumsum left fold) must be bit-equal
+    to the pure-expression zip_with/aggregate form on finite data, and
+    NULL for null arrays, null elements, and length mismatches."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from warcio_spark.operators.dedup import (cosine_similarity,
+                                              cosine_similarity_expr)
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        dim = rng.choice([4, 64, 64, 64, 7])
+        a = [rng.uniform(-2, 2) for _ in range(dim)]
+        b = [rng.uniform(-2, 2) for _ in range(dim)]
+        rows.append((i, a, b))
+    rows += [
+        (900, None, [1.0, 2.0]),
+        (901, [1.0, 2.0], None),
+        (902, [1.0, None, 3.0], [1.0, 2.0, 3.0]),
+        (903, [1.0, 2.0, 3.0], [1.0, 2.0]),   # length mismatch
+        (904, [], []),
+        (905, [0.0, 0.0], [0.0, 0.0]),
+    ]
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("a", T.ArrayType(T.DoubleType())),
+        T.StructField("b", T.ArrayType(T.DoubleType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    out = {r.i: (r.c_new, r.c_ref) for r in df.select(
+        "i",
+        cosine_similarity(F.col("a"), F.col("b")).alias("c_new"),
+        cosine_similarity_expr(F.col("a"), F.col("b")).alias("c_ref"),
+    ).collect()}
+    for i, (got, want) in out.items():
+        assert got == want, (i, got, want)
+    # float32 inputs follow the same cast-to-double path
+    f32 = df.select(
+        "i", F.col("a").cast("array<float>").alias("a"),
+        F.col("b").cast("array<float>").alias("b"))
+    out32 = {r.i: (r.c_new, r.c_ref) for r in f32.select(
+        "i",
+        cosine_similarity(F.col("a"), F.col("b")).alias("c_new"),
+        cosine_similarity_expr(F.col("a"), F.col("b")).alias("c_ref"),
+    ).collect()}
+    for i, (got, want) in out32.items():
+        assert got == want, (i, got, want)

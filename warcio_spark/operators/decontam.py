@@ -59,23 +59,38 @@ def decontaminate(
     ALSO appear in the benchmark will trivially self-match — exclude
     them from ``docs`` upstream if that is not intended.
     """
-    # per-doc array_distinct BEFORE the explode: fewer rows through the
-    # join, and the per-doc distinct-shared-gram count becomes a plain
-    # count (no two-phase count_distinct aggregation). The repartition
-    # spreads the CPU-heavy gram+md5 projection over all cores when the
-    # source collapses to few input splits (e.g. one parquet row-group —
-    # the same single-task trap the minhash shingle pass hit); on a real
-    # multi-split table it is one cheap round-robin exchange.
+    # corpus grams ride the exploded-codegen shape (explode the position
+    # index, THEN build + md5 each gram in the post-Generate projection):
+    # the array-building ``transform`` lambda form is interpreted per
+    # element and ~5x slower. Occurrence rows go through the broadcast
+    # semi-join WITH duplicates and are distinct-ed per doc only after it
+    # — the join drops ~everything, so the (id, g) dedup aggregation runs
+    # on the hit sliver, not the corpus. The repartition spreads the
+    # gram+md5 projection over all cores when the source collapses to few
+    # input splits (e.g. one parquet row-group — the same single-task
+    # trap the minhash shingle pass hit); on a real multi-split table it
+    # is one cheap round-robin exchange.
     sc = docs.sparkSession.sparkContext
-    grams = docs.repartition(sc.defaultParallelism).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(gram_hashes(text_col, n))).alias("g"),
+    toks = tokens(text_col)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        docs.repartition(sc.defaultParallelism)
+        .select(F.col(id_col), toks.alias("_toks"), F.explode(idx).alias("_i"))
+        .select(
+            id_col,
+            F.md5(F.concat_ws(
+                " ", F.slice(F.col("_toks"), F.col("_i"), n))).alias("g"),
+        )
     )
     bench = benchmark.select(
         F.explode(gram_hashes(text_col, n)).alias("g")
     ).distinct()
     hits = (
         grams.join(F.broadcast(bench), "g", "left_semi")
+        .groupBy(id_col, "g")
+        .agg(F.lit(1).alias("_one"))
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )

@@ -367,101 +367,58 @@ def minhash_signature(shingles_col, num_perm: int = 64) -> Column:
     return F.array(*[perm_min(p) for p in range(num_perm)])
 
 
-# XXH64 primes (public xxHash spec; Spark's XXH64 implementation is the
-# faithful algorithm, so these reproduce F.xxhash64 bit-for-bit)
-_XXH_P1 = np.uint64(0x9E3779B185EBCA87)
-_XXH_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
-_XXH_P3 = np.uint64(0x165667B19E3779F9)
-_XXH_P4 = np.uint64(0x85EBCA77C2B2AE63)
-_XXH_P5 = np.uint64(0x27D4EB2F165667C5)
-
-
-def _xxh_int_matrix(seeds: np.ndarray, perm_p1: np.ndarray) -> np.ndarray:
-    """(n, P) int64 matrix of XXH64.hashInt(p, seed) — exactly Spark's
-    ``xxhash64(col, lit(p))`` given ``seeds[i] = xxhash64(col_i)`` (Spark
-    chains multi-column xxhash64 with the running hash as the seed, and an
-    int literal takes the hashInt path). ``perm_p1 = perms * PRIME64_1``.
-    All uint64 arithmetic wraps mod 2^64 like the JVM's."""
-    h = np.bitwise_xor(
-        (seeds + (_XXH_P5 + np.uint64(4)))[:, None], perm_p1[None, :]
+def _shingle_rows(docs: DataFrame, id_col: str, text_col: str,
+                  n: int) -> DataFrame:
+    """(_id, _g) — one row per word-``n``-gram shingle occurrence,
+    whole-stage codegen end to end: explode the position index FIRST,
+    then build each shingle string in the post-Generate projection. Row
+    multiset per doc equals ``word_ngrams`` exactly, including its
+    short-doc fallback (docs with < n tokens contribute ONE row with the
+    whole-doc token join; empty/null text contributes one ``""`` row) —
+    the equivalent array-building ``transform`` lambda is interpreted per
+    element and ~5x slower (pinned in tests)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(col)
+    # position 0 marks the short-doc fallback shingle (real positions
+    # are 1-based); slice() rejects start 0, hence the conditional
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array(F.lit(0)))
+    return (
+        docs.select(F.col(id_col).alias("_id"), toks.alias("_toks"),
+                    F.explode(idx).alias("_i"))
+        .select(
+            "_id",
+            F.when(
+                F.col("_i") == 0, F.concat_ws(" ", F.col("_toks"))
+            ).otherwise(
+                F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_i"), n))
+            ).alias("_g"),
+        )
     )
-    h = ((h << np.uint64(23)) | (h >> np.uint64(41))) * _XXH_P2 + _XXH_P3
-    h ^= h >> np.uint64(33)
-    h *= _XXH_P2
-    h ^= h >> np.uint64(29)
-    h *= _XXH_P3
-    h ^= h >> np.uint64(32)
-    return h.view(np.int64)
 
 
-def _make_minhash_sig_udf(num_perm: int):
-    """pandas_udf: per-shingle base hashes (``xxhash64(shingle)``, JVM) ->
-    num_perm-wide MinHash signature, sig[p] = min over shingles of
-    xxhash64(shingle, p) — bit-identical to ``minhash_signature`` (pinned
-    in tests/test_curation_ops.py) but ONE pass over the shingle bytes
-    plus a vectorized (shingles x perms) int-hash matrix, instead of
-    num_perm codegen array traversals re-hashing every shingle's bytes."""
-    perm_p1 = np.arange(num_perm, dtype=np.uint64) * _XXH_P1
+def _banded_buckets_from_rows(rows: DataFrame, num_perm: int,
+                              bands: int) -> DataFrame:
+    """(_id, band, bucket) LSH rows from exploded shingle-occurrence rows
+    (``_shingle_rows`` output) — the shared banding kernel of
+    minhash_lsh_pairs and the incremental index path (bucket = xxhash64
+    of the band's signature slice; deterministic per doc, so index rows
+    built batch-by-batch equal rows built corpus-at-once).
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _sig(base: pd.Series) -> pd.Series:
-        nulls = [None] * num_perm
-        arrs = base.tolist()
-        lens = np.array([0 if a is None else len(a) for a in arrs],
-                        dtype=np.int64)
-        total = int(lens.sum())
-        if total == 0:
-            return pd.Series([nulls for _ in arrs], dtype="object")
-        flat = np.concatenate(
-            [np.asarray(a, dtype=np.int64) for a in arrs if a is not None and len(a)]
-        ).astype(np.uint64)
-        out: list = [None] * len(arrs)
-        # bounded slices keep the (rows x num_perm) matrices ~32 MB
-        max_rows = max(4096, 262144 // max(1, num_perm // 16))
-        nz = np.nonzero(lens)[0]
-        starts = np.zeros(len(arrs) + 1, dtype=np.int64)
-        np.cumsum(lens, out=starts[1:])
-        i = 0
-        while i < len(nz):
-            j = i
-            rows = 0
-            while j < len(nz) and (rows == 0 or rows + lens[nz[j]] <= max_rows):
-                rows += lens[nz[j]]
-                j += 1
-            sl = slice(starts[nz[i]], starts[nz[j - 1]] + lens[nz[j - 1]])
-            m = _xxh_int_matrix(flat[sl], perm_p1)
-            offs = (starts[nz[i:j]] - starts[nz[i]]).astype(np.intp)
-            mins = np.minimum.reduceat(m, offs, axis=0)
-            for k, doc in enumerate(nz[i:j]):
-                out[doc] = mins[k].tolist()
-            i = j
-        for k in range(len(arrs)):
-            if out[k] is None:
-                out[k] = nulls
-        return pd.Series(out, dtype="object")
-
-    return _sig
-
-
-def _banded_buckets(shingled: DataFrame, num_perm: int, bands: int) -> DataFrame:
-    """(_id, band, bucket) LSH rows for shingled docs — the shared banding
-    kernel of minhash_lsh_pairs and the incremental index path (bucket =
-    xxhash64 of the band's signature slice; deterministic per doc, so
-    index rows built batch-by-batch equal rows built corpus-at-once).
-
-    The signature is computed from ONE JVM pass hashing each shingle's
-    bytes (``xxhash64(s)``) plus a numpy matrix hop for the per-permutation
-    int-mix + column-min — bit-identical to the pure-expression
-    ``minhash_signature`` but without re-hashing every shingle num_perm
-    times (the r5 bench's dominant minhash cost)."""
-    rows = num_perm // bands
-    base = shingled.select(
-        "_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_bh")
+    The signature is one map-side-combinable aggregate: sig[p] =
+    min(xxhash64(shingle, p)) per doc — the ``minhash_signature``
+    definition verbatim (parity pinned in tests), but computed over
+    exploded rows in whole-stage codegen with partial aggregation
+    instead of num_perm interpreted array traversals per doc (the r5
+    bench's dominant minhash cost). The only exchange carries one
+    num_perm-wide row per doc."""
+    rpb = num_perm // bands
+    mins = rows.groupBy("_id").agg(
+        *[F.min(F.xxhash64(F.col("_g"), F.lit(p))).alias(f"_m{p}")
+          for p in range(num_perm)]
     )
-    sig = base.select(
-        "_id", _make_minhash_sig_udf(num_perm)("_bh").alias("_sig")
-    )
-    return sig.select(
+    return mins.select(
         "_id",
         F.explode(
             F.array(
@@ -470,8 +427,8 @@ def _banded_buckets(shingled: DataFrame, num_perm: int, bands: int) -> DataFrame
                         F.lit(b).alias("band"),
                         F.xxhash64(
                             F.concat_ws(
-                                ",", *[F.element_at("_sig", b * rows + r + 1)
-                                       for r in range(rows)]
+                                ",", *[F.col(f"_m{b * rpb + r}")
+                                       for r in range(rpb)]
                             )
                         ).alias("bucket"),
                     )
@@ -497,13 +454,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     ``persist_tracker`` persists the banded (_id, band, bucket) rows so
     the self-join's two sides share ONE signature computation (each side
     of a self-join re-executes its subtree otherwise); the caller
-    unpersists after materializing."""
-    if shingled is None:
-        shingled = df.select(
-            F.col(id_col).alias("_id"),
-            word_ngrams(text_col, shingle_n).alias("_sh"),
-        )
-    banded = _banded_buckets(shingled, num_perm, bands)
+    unpersists after materializing. A supplied ``shingled`` ("_id", "_sh")
+    table (usually persisted by the caller to share with the verify
+    stage) is exploded into occurrence rows for the signature aggregate;
+    otherwise the rows come straight from the codegen shingle scan."""
+    if shingled is not None:
+        rows = shingled.select("_id", F.explode("_sh").alias("_g"))
+    else:
+        rows = _shingle_rows(df, id_col, text_col, shingle_n)
+    banded = _banded_buckets_from_rows(rows, num_perm, bands)
     if persist_tracker is not None:
         from pyspark.storagelevel import StorageLevel
 
@@ -645,8 +604,68 @@ def simhash_near_pairs(sim_df: DataFrame, prefix_bits: int = 16) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@F.pandas_udf(T.StructType([
+    T.StructField("dot", T.DoubleType()),
+    T.StructField("na2", T.DoubleType()),
+    T.StructField("nb2", T.DoubleType()),
+]))
+def _cosine_parts(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+    """(dot, |a|^2, |b|^2) per vector pair, numpy-vectorized with the
+    EXACT left-fold summation order of the expression form it replaces
+    (``aggregate(zip_with(a,b,*), 0.0, +)``): products/squares are IEEE
+    mults, and ``np.cumsum`` is a sequential running sum, so every
+    partial sum rounds identically to the JVM fold — bit-equal results
+    (pinned in tests/test_curation_ops.py). A null array, a null
+    element, or a length mismatch yields NULL parts (np.nan converts to
+    Arrow null), matching zip_with's null padding and null-poisoned
+    fold. Sole divergence: a (never-occurring-in-finite-data) NaN input
+    element also yields NULL where the fold would carry NaN."""
+    n = len(a)
+    dot = np.full(n, np.nan)
+    na2 = np.full(n, np.nan)
+    nb2 = np.full(n, np.nan)
+    av = a.tolist()
+    bv = b.tolist()
+    lens: dict = {}
+    for i, (x, y) in enumerate(zip(av, bv)):
+        if x is None or y is None:
+            continue
+        lens.setdefault((len(x), len(y)), []).append(i)
+    for (la, lb), idxs in lens.items():
+        if la != lb:
+            # zip_with pads -> null product -> null-poisoned dot, which
+            # nulls the cosine; NULL parts are observationally identical
+            continue
+        if la == 0:
+            for i in idxs:
+                dot[i] = na2[i] = nb2[i] = 0.0
+            continue
+        ma = np.asarray([av[i] for i in idxs], dtype=np.float64)
+        mb = np.asarray([bv[i] for i in idxs], dtype=np.float64)
+        dot[idxs] = np.cumsum(ma * mb, axis=1)[:, -1]
+        na2[idxs] = np.cumsum(ma * ma, axis=1)[:, -1]
+        nb2[idxs] = np.cumsum(mb * mb, axis=1)[:, -1]
+    return pd.DataFrame({"dot": dot, "na2": na2, "nb2": nb2})
+
+
 def cosine_similarity(a: Column, b: Column, decimals: int = 6) -> Column:
-    """Cosine over array<float/double> — F.aggregate/zip_with, JVM-side."""
+    """Cosine over array<float/double>. The per-element fold runs as ONE
+    vectorized Arrow hop (``_cosine_parts`` — bit-equal to the
+    ``aggregate``/``zip_with`` expression form, which the interpreter
+    evaluates element-at-a-time ~10x slower on pair-verify volumes); the
+    scalar sqrt/divide/round stays JVM-side."""
+    p = _cosine_parts(a, b)
+    return F.round(
+        p["dot"] / F.greatest(F.sqrt(p["na2"]) * F.sqrt(p["nb2"]),
+                              F.lit(1e-12)),
+        decimals,
+    )
+
+
+def cosine_similarity_expr(a: Column, b: Column, decimals: int = 6) -> Column:
+    """The pure-expression cosine (zip_with + aggregate left fold) — kept
+    as the parity oracle for ``cosine_similarity`` and for callers that
+    must avoid a Python worker round-trip."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -894,13 +913,9 @@ def minhash_band_index(df: DataFrame, id_col: str = "doc_id",
     new ingest batch runs minhash_dedup_incremental against it instead of
     re-shingling the whole corpus. Appending the new batch's rows (this
     function on the batch) keeps the index current — no global rebuild."""
-    shingled = df.select(
-        F.col(id_col).alias("_id"),
-        word_ngrams(text_col, shingle_n).alias("_sh"),
-    )
-    return _banded_buckets(shingled, num_perm, bands).select(
-        F.col("_id").alias(id_col), "band", "bucket"
-    )
+    return _banded_buckets_from_rows(
+        _shingle_rows(df, id_col, text_col, shingle_n), num_perm, bands
+    ).select(F.col("_id").alias(id_col), "band", "bucket")
 
 
 def minhash_dedup_incremental(new_docs: DataFrame, corpus_docs: DataFrame,
@@ -921,25 +936,19 @@ def minhash_dedup_incremental(new_docs: DataFrame, corpus_docs: DataFrame,
 
     Scale shape: the join is keyed on (band, bucket) — against a stored
     index bucketed on that key the batch side shuffles O(batch*bands) rows
-    and the corpus side prunes to touched buckets; the verify join ships
-    shingles only for candidate pairs. Candidates equal the cross-boundary
-    subset of minhash_lsh_pairs(corpus ∪ batch) exactly (pinned in
-    pytest), so incremental == batch-at-once for new-vs-corpus pairs.
-
-    ``persist_tracker`` (the ``minhash_dedup`` contract): the batch
-    shingle projection is persisted so the banding pass and the verify
-    join share one shingling of the batch instead of two; the caller
-    unpersists after materializing the result."""
-    new_sh = new_docs.select(
-        F.col(id_col).alias("_id"),
-        word_ngrams(text_col, shingle_n).alias("_sh"),
-    )
-    if persist_tracker is not None:
-        from pyspark.storagelevel import StorageLevel
-
-        new_sh = new_sh.persist(StorageLevel.MEMORY_AND_DISK)
-        persist_tracker.append(new_sh)
-    new_banded = _banded_buckets(new_sh, num_perm, bands)
+    and the corpus side prunes to touched buckets; the verify stage joins
+    the candidate sliver against the RAW doc tables and shingles AFTER
+    the join, so exact-verify shingle arrays are built only for candidate
+    rows — the batch/corpus are never array-shingled wholesale (banding
+    consumes codegen occurrence rows, not arrays). Candidates equal the
+    cross-boundary subset of minhash_lsh_pairs(corpus ∪ batch) exactly
+    (pinned in pytest), so incremental == batch-at-once for
+    new-vs-corpus pairs. ``persist_tracker`` is accepted for the shared
+    caller contract; this operator currently has no multi-consumer
+    subplan left to persist."""
+    new_banded = _banded_buckets_from_rows(
+        _shingle_rows(new_docs, id_col, text_col, shingle_n),
+        num_perm, bands)
     if index is None:
         index = minhash_band_index(corpus_docs, id_col, text_col,
                                    num_perm, bands, shingle_n)
@@ -954,16 +963,17 @@ def minhash_dedup_incremental(new_docs: DataFrame, corpus_docs: DataFrame,
                 F.col("c." + id_col).alias("corpus_id"))
         .distinct()
     )
-    corpus_sh = corpus_docs.select(
-        F.col(id_col).alias("corpus_id"),
-        word_ngrams(text_col, shingle_n).alias("_csh"),
-    )
+    new_txt = new_docs.select(F.col(id_col).alias("new_id"),
+                              F.col(text_col).alias("_ntxt"))
+    corp_txt = corpus_docs.select(F.col(id_col).alias("corpus_id"),
+                                  F.col(text_col).alias("_ctxt"))
     verified = (
-        cand.join(new_sh.withColumnRenamed("_id", "new_id"), "new_id")
-        .join(corpus_sh, "corpus_id")
+        cand.join(new_txt, "new_id")
+        .join(corp_txt, "corpus_id")
         .select(
             "new_id", "corpus_id",
-            jaccard(F.col("_sh"), F.col("_csh")).alias("jaccard"),
+            jaccard(word_ngrams(F.col("_ntxt"), shingle_n),
+                    word_ngrams(F.col("_ctxt"), shingle_n)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -50,10 +50,15 @@ def bm25_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     decimals: int = 4,
+    persist_tracker: list | None = None,
 ) -> DataFrame:
     """(id_col, n_matched_terms, score) for every document matching at
     least one query term (exact token match). ``score`` is rounded to
-    ``decimals`` so results are engine-portable."""
+    ``decimals`` so results are engine-portable.
+
+    ``persist_tracker``: the tokenized base is persisted so the corpus
+    scalars action and the postings branch share one tokenize scan; the
+    caller unpersists after materializing."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = F.array(*[F.lit(t) for t in query_terms])
@@ -66,6 +71,11 @@ def bm25_scores(
             tokens(text_col), lambda t: F.array_contains(terms, t)
         ).alias("_qtoks"),
     )
+    if persist_tracker is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        persist_tracker.append(base)
 
     # corpus scalars: one tiny aggregate job, embedded as literals
     stats = base.agg(
@@ -119,12 +129,14 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist_tracker: list | None = None,
 ) -> DataFrame:
     """Top-``k`` documents by BM25 score (ties broken by ascending
     ``id_col`` so results are deterministic). ORDER BY + LIMIT compiles
     to TakeOrderedAndProject — no full sort."""
     scored = bm25_scores(
-        docs, query_terms, k1=k1, b=b, text_col=text_col, id_col=id_col
+        docs, query_terms, k1=k1, b=b, text_col=text_col, id_col=id_col,
+        persist_tracker=persist_tracker,
     )
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 

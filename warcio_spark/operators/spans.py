@@ -77,23 +77,26 @@ def gram_positions(
     The repartition spreads the CPU-heavy gram+md5 projection over all
     cores when the source collapses to few input splits (single-task
     trap; see ``decontam.decontaminate``).
+
+    Shape: explode the position index FIRST, then build + hash each gram
+    in the post-Generate projection — whole-stage codegen end to end. The
+    equivalent ``transform(idx, struct(pos, md5(...)))`` builds the same
+    rows ~5x slower because higher-order functions evaluate their lambda
+    interpreted, element at a time.
     """
     toks = tokens(text_col)
-
-    def gram(i: Column) -> Column:
-        return F.struct(
-            i.alias("pos"),
-            F.md5(F.concat_ws(" ", F.slice(toks, i, n))).alias("g"),
-        )
-
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
     sc = docs.sparkSession.sparkContext
     return (
         docs.repartition(sc.defaultParallelism)
-        .select(F.col(id_col), F.explode(F.transform(idx, gram)).alias("u"))
-        .select(id_col, F.col("u.pos").alias("pos"), F.col("u.g").alias("g"))
+        .select(F.col(id_col), toks.alias("_toks"), F.explode(idx).alias("pos"))
+        .select(
+            id_col, "pos",
+            F.md5(F.concat_ws(
+                " ", F.slice(F.col("_toks"), F.col("pos"), n))).alias("g"),
+        )
     )
 
 

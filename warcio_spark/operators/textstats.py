@@ -99,7 +99,8 @@ def bigrams(text) -> Column:
 
 
 def repetition_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    persist_tracker: list | None = None
 ) -> DataFrame:
     """Gopher-style repetition signals per document: token count,
     distinct-token ratio (type/token), duplicate-2-gram fraction, and the
@@ -138,6 +139,13 @@ def repetition_stats(
         )
         .alias("dup_2gram_frac"),
     )
+    if persist_tracker is not None:
+        # the mode branch (explode) and the final stats join both consume
+        # arr_stats — persisted, the tokenize/distinct battery runs once
+        from pyspark.storagelevel import StorageLevel
+
+        arr_stats = arr_stats.persist(StorageLevel.MEMORY_AND_DISK)
+        persist_tracker.append(arr_stats)
     tf = (
         arr_stats.select(id_col, F.explode("_toks").alias("tok"))
         .groupBy(id_col, "tok")

@@ -52,7 +52,8 @@ def host_graph(links: DataFrame, src_col: str = "page_url",
 
 
 def host_rank(edges: DataFrame, iterations: int = 3,
-              alpha: float = 0.85, self_edges: bool = False) -> DataFrame:
+              alpha: float = 0.85, self_edges: bool = False,
+              persist_tracker: list | None = None) -> DataFrame:
     """Weighted PageRank power iteration over host_graph edges:
     ``rank' = (1-alpha)/N + alpha * sum(rank(src) * w / outweight(src))``
     over in-edges, starting uniform at 1/N. Returns (host, rank).
@@ -64,14 +65,30 @@ def host_rank(edges: DataFrame, iterations: int = 3,
     convergence test (each iteration is one shuffle; a frontier wants a
     bounded, deterministic plan). ``self_edges=False`` drops intra-host
     links first — for prioritization they are rank self-inflation.
+
+    ``persist_tracker``: the (filtered) edge table and the node universe
+    are persisted — the unrolled power-iteration plan references them
+    once per iteration per branch, so an un-persisted caller lineage
+    (e.g. outlink extraction feeding host_graph) would re-execute ~2x
+    per iteration; the caller unpersists after materializing.
     """
     if not self_edges:
         edges = edges.filter(F.col("src_host") != F.col("dst_host"))
+    if persist_tracker is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        persist_tracker.append(edges)
     nodes = (
         edges.select(F.col("src_host").alias("host"))
         .union(edges.select(F.col("dst_host").alias("host")))
         .distinct()
     )
+    if persist_tracker is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+        persist_tracker.append(nodes)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
@@ -102,7 +119,8 @@ def host_rank(edges: DataFrame, iterations: int = 3,
 
 
 def trust_rank(edges: DataFrame, seeds: DataFrame, iterations: int = 3,
-               alpha: float = 0.85, self_edges: bool = False) -> DataFrame:
+               alpha: float = 0.85, self_edges: bool = False,
+               persist_tracker: list | None = None) -> DataFrame:
     """Seeded TrustRank over host_graph edges (Gyongyi et al.'s spam
     containment): identical power iteration to ``host_rank`` except the
     teleport mass lands ONLY on a curated seed set of trusted hosts —
@@ -117,10 +135,17 @@ def trust_rank(edges: DataFrame, seeds: DataFrame, iterations: int = 3,
     a ``host`` column; hosts absent from the graph are ignored. Scale
     shape: the seed table is curated (thousands), broadcast onto the
     #hosts-sized node table; each iteration is the same one
-    contribution-shuffle as host_rank.
+    contribution-shuffle as host_rank. ``persist_tracker``: same
+    contract as host_rank (edges + flagged node table persisted so the
+    unrolled iterations share one caller-lineage execution).
     """
     if not self_edges:
         edges = edges.filter(F.col("src_host") != F.col("dst_host"))
+    if persist_tracker is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        persist_tracker.append(edges)
     nodes = (
         edges.select(F.col("src_host").alias("host"))
         .union(edges.select(F.col("dst_host").alias("host")))
@@ -130,6 +155,11 @@ def trust_rank(edges: DataFrame, seeds: DataFrame, iterations: int = 3,
     flagged = nodes.join(
         F.broadcast(seed_hosts.withColumn("_seed", F.lit(True))), "host", "left"
     ).select("host", F.coalesce(F.col("_seed"), F.lit(False)).alias("_seed"))
+    if persist_tracker is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
+        persist_tracker.append(flagged)
     s = flagged.filter(F.col("_seed")).count()
     if s == 0:
         return nodes.withColumn("trust", F.lit(0.0))
@@ -165,7 +195,8 @@ def trust_rank(edges: DataFrame, seeds: DataFrame, iterations: int = 3,
 
 def host_hits(edges: DataFrame, iterations: int = 3,
               self_edges: bool = False,
-              decimals: int | None = None) -> DataFrame:
+              decimals: int | None = None,
+              persist_tracker: list | None = None) -> DataFrame:
     """Kleinberg HITS power iteration over host_graph edges — the
     hub/authority complement of ``host_rank``: a good HUB links to many
     good authorities (directory/portal hosts — strong seed candidates),
@@ -190,11 +221,21 @@ def host_hits(edges: DataFrame, iterations: int = 3,
     final norms only."""
     if not self_edges:
         edges = edges.filter(F.col("src_host") != F.col("dst_host"))
+    if persist_tracker is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        persist_tracker.append(edges)
     nodes = (
         edges.select(F.col("src_host").alias("host"))
         .union(edges.select(F.col("dst_host").alias("host")))
         .distinct()
     )
+    if persist_tracker is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+        persist_tracker.append(nodes)
     hubs = nodes.select("host", F.lit(1.0).alias("hub"))
     auths = nodes.select("host", F.lit(0.0).alias("authority"))
     for _ in range(max(0, iterations)):
@@ -218,6 +259,8 @@ def host_hits(edges: DataFrame, iterations: int = 3,
     # DAG executes twice (once for the norms action, again when the
     # caller consumes the result). The host table is tiny at any scale.
     both = hubs.join(auths, "host").persist()
+    if persist_tracker is not None:
+        persist_tracker.append(both)
     norms = both.agg(
         F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("nh"),
         F.sqrt(F.sum(F.col("authority") * F.col("authority"))).alias("na"),
