@@ -1494,7 +1494,7 @@ def q_sitemap_coverage(spark, sf):
     in both engines."""
     from warcio_spark.operators.links import sitemap_coverage
 
-    docs = _tp(spark, sf, "documents").select("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
 
@@ -1533,7 +1533,7 @@ def q_alias_collapse(spark, sf):
     coalesce(final, self) fold, and the two-level capture rollup."""
     from warcio_spark.plans.graph import collapse_aliases
 
-    docs = _tp(spark, sf, "documents").select("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     k = d - d % 5
@@ -2169,7 +2169,7 @@ def q_domain_quality(spark, sf):
     from warcio_spark.operators.domains import (
         domain_stats, filter_by_domain_stats, registered_domain)
 
-    docs = _tp(spark, sf, "documents").select("doc_id", "n_chars")
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     host = (
@@ -2657,7 +2657,7 @@ def q_host_hits(spark, sf):
     single end-of-loop scaling must match to 8 decimals."""
     from warcio_spark.plans.graph import host_graph, host_hits
 
-    docs = _tp(spark, sf, "documents").select("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     s = lambda x: x.cast("string")  # noqa: E731
     src = F.concat(
@@ -2673,8 +2673,7 @@ def q_host_hits(spark, sf):
     edges = host_graph(
         docs.select(src.alias("page_url"), dst.alias("outlink"))
     )
-    return host_hits(edges, iterations=3, decimals=8,
-                     persist_tracker=_QUERY_PERSISTS)
+    return host_hits(edges, iterations=3, decimals=8)
 
 
 def q_robots_audit(spark, sf):
@@ -3090,7 +3089,7 @@ def q_crawl_depth(spark, sf):
     the same horizon, MIN(depth) per url."""
     from warcio_spark.plans.graph import crawl_depth
 
-    docs = _tp(spark, sf, "documents").select("doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
 
     def u(expr):
@@ -3774,7 +3773,7 @@ def _mirror_universe(spark, sf):
     synthesized the same way the outlinks universe synthesizes markup):
     every source keeps its docs under host=source, and docs with
     doc_id%3==0 are re-served by a 'mirror-'||source host."""
-    docs = _tp(spark, sf, "documents").select("doc_id", "source", "text")
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
     mirrored = docs.filter(F.col("doc_id") % 3 == 0).select(
         F.concat(F.lit("mirror-"), F.col("source")).alias("host"), "text"
     )

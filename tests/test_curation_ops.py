@@ -567,3 +567,27 @@ def test_cosine_parts_parity_with_expression_fold(spark):
     ).collect()}
     for i, (got, want) in out32.items():
         assert got == want, (i, got, want)
+
+
+def test_cosine_filter_single_arrow_node(spark):
+    """A threshold filter on the cosine column must NOT duplicate the
+    _cosine_parts evaluation: without the non-deterministic fence the
+    pushed-down filter re-inlines the UDF (two ArrowEvalPython nodes =
+    every pair pays the fold twice)."""
+    import re
+
+    from pyspark.sql import types as T
+
+    from warcio_spark.operators.dedup import cosine_similarity
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("a", T.ArrayType(T.DoubleType())),
+        T.StructField("b", T.ArrayType(T.DoubleType())),
+    ])
+    df = spark.createDataFrame([(0, [1.0, 0.0], [1.0, 0.0])], schema)
+    out = (df.select("i", cosine_similarity(F.col("a"), F.col("b")).alias("c"))
+           .filter(F.col("c") >= 0.5))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"ArrowEvalPython", plan)) == 1, plan
+    assert [r.i for r in out.collect()] == [0]

@@ -648,12 +648,21 @@ def _cosine_parts(a: pd.Series, b: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"dot": dot, "na2": na2, "nb2": nb2})
 
 
+# non-deterministic marking is an optimizer fence, not a semantics claim:
+# the function is pure, but without it a threshold filter on the derived
+# cosine column is pushed below the projection and the UDF evaluates TWICE
+# per pair — once for the filter, once for the output (guide §4.4 shape;
+# plan pinned in tests/test_curation_ops.py)
+_cosine_parts = _cosine_parts.asNondeterministic()
+
+
 def cosine_similarity(a: Column, b: Column, decimals: int = 6) -> Column:
     """Cosine over array<float/double>. The per-element fold runs as ONE
     vectorized Arrow hop (``_cosine_parts`` — bit-equal to the
     ``aggregate``/``zip_with`` expression form, which the interpreter
-    evaluates element-at-a-time ~10x slower on pair-verify volumes); the
-    scalar sqrt/divide/round stays JVM-side."""
+    evaluates element-at-a-time ~10x slower on pair-verify volumes; marked
+    non-deterministic so a filter on the result cannot duplicate the
+    node); the scalar sqrt/divide/round stays JVM-side."""
     p = _cosine_parts(a, b)
     return F.round(
         p["dot"] / F.greatest(F.sqrt(p["na2"]) * F.sqrt(p["nb2"]),
