@@ -4173,7 +4173,7 @@ def q_ppl_buckets(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    d = {
         "index_projection": q_index_projection,
         "rec_type_census": q_rec_type_census,
         "pricing_summary": q_pricing_summary,
@@ -4320,6 +4320,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "ppl_buckets": q_ppl_buckets,
     }
+    # Iteration order puts the queries that have never appeared in a
+    # driver CORRECTNESS_r* record FIRST (union of r1-r5 samples = 61
+    # of 145): the sampler works front-to-back, so this closes the
+    # formal "every operator has a green driver row" gap without
+    # changing any query, oracle, or the frozen bench (bench.py owns
+    # its own BENCH_QUERIES order). Contents are identical either way
+    # (asserted below).
+    never_sampled = [
+        "cdxj_read",
+        "cdx11_lines",
+        "cdx11_read",
+        "closest_capture",
+        "cdx_query",
+        "wat_head",
+        "sitemap_recrawl",
+        "freshness",
+        "domain_quality",
+        "robots_sitemaps",
+        "index_dedup",
+        "revalidation",
+        "timemap",
+        "boilerplate",
+        "host_graph",
+        "host_rank",
+        "pipeline_clean",
+        "pipeline_funnel",
+        "decontaminate",
+        "line_dedup",
+        "pii_redact",
+        "token_budget",
+        "dup_spans",
+        "dup_strip",
+        "retry_backlog",
+        "shard_assignment",
+        "zipnum_summary",
+        "zipnum_pages",
+        "cdx_tld_manifest",
+        "link_directives",
+        "page_directives",
+        "strip_tracking",
+        "charset_sniff",
+        "corpus_report",
+        "retry_after",
+        "script_shares",
+        "declared_lang",
+        "normalize_text",
+        "scope_filter",
+        "weighted_mix",
+        "bm25_topk",
+        "graph_components",
+        "near_dup_clusters",
+        "lm_perplexity",
+        "chunk_documents",
+        "anchor_texts",
+        "img_alt_pairs",
+        "img_captions",
+        "publish_dates",
+        "image_fetch_frontier",
+        "capture_diff",
+        "link_rot",
+        "bm25_indexed",
+        "host_hits",
+        "robots_audit",
+        "adaptive_delays",
+        "jsonld_types",
+        "hreflang_links",
+        "feed_links",
+        "feed_entries",
+        "main_content",
+        "rank_feedback",
+        "crawl_depth",
+        "url_patterns",
+        "circuit_breaker",
+        "redirect_chains",
+        "parked_hosts",
+        "cdx_collapse",
+        "change_rate",
+        "link_farms",
+        "recrawl_priors",
+        "delay_compliance",
+        "sniff_mime",
+        "segment_reassembly",
+        "bitext_candidates",
+        "bitext_align",
+        "ip_queues",
+        "truncation_audit",
+        "compression_ratio",
+        "fetch_fairness",
+        "alias_collapse",
+        "dsir_weights",
+        "ppl_buckets",
+        "sitemap_coverage",
+    ]
+    ordered = {k: d[k] for k in never_sampled}
+    ordered.update((k, v) for k, v in d.items() if k not in ordered)
+    assert len(ordered) == len(d)
+    return ordered
 
 
 # Queries whose semantics aren't DuckDB-expressible (custom hashing, LSH,
