@@ -81,10 +81,29 @@ def test_custom_columns_and_checkpoint_dir(spark, tmp_path):
 
 
 def test_nonconvergence_raises(spark):
+    # local_contraction off: a contracted 63-path collapses inside one
+    # partition and would converge instantly — the guard under test is
+    # the star-round iteration cap
     df = spark.createDataFrame([(i, i + 1) for i in range(63)],
                                ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iterations=1)
+        connected_components(df, max_iterations=1, local_contraction=False)
+
+
+def test_local_contraction_parity(spark):
+    # contraction on (default) == contraction off == union-find oracle,
+    # on random graphs incl. negative ids (hash-derived node ids) and
+    # long chains straddling id blocks
+    rng = random.Random(7)
+    cases = [
+        [(i, i + 1) for i in range(1000, 1090)],           # block-straddling chain
+        [(rng.randrange(-50, 50), rng.randrange(-50, 50)) for _ in range(40)],
+        [(rng.randrange(5000), rng.randrange(5000)) for _ in range(200)],
+    ]
+    for edges in cases:
+        on = _run(spark, edges)
+        off = _run(spark, edges, local_contraction=False)
+        assert on == off == _uf_components(edges)
 
 
 def test_dup_clusters_transitive(spark):

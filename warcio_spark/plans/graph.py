@@ -284,6 +284,73 @@ def host_hits(edges: DataFrame, iterations: int = 3,
 # ---------------------------------------------------------------------------
 
 
+def _contract_partitions(edges: DataFrame, block_bits: int = 10) -> DataFrame:
+    """Partition-local contraction: one id-block co-locating exchange, then
+    each partition's edge set is collapsed IN MEMORY to an equivalent star
+    forest (node -> that partition's component-minimum node). Connectivity
+    is preserved partition-by-partition (a connected subgraph and its star
+    have the same closure over the same node set), so the distributed star
+    rounds that follow see the same global components — but through far
+    fewer and far shallower edges. For chain-shaped pair relations (the
+    consecutive-id near-dup candidate graphs), a chain is almost always
+    inside one id block, so all that survives contraction is one crossing
+    edge per block boundary and the O(log chain-length) distributed round
+    depth collapses to 1–2 rounds of a few edges.
+
+    The in-memory pass is vectorized numpy (no per-edge Python loop):
+    min-label hooking over the edge list + full pointer-jump shortcutting
+    per pass, O(log n) passes of C-speed array ops. Labels decrease
+    monotonically, so the loop terminates; at the fixed point every edge's
+    endpoints share a label and labels only ever travel along edges from
+    the initial ``label[i] = i``, so the shared label IS the partition-local
+    component minimum. Output per partition is one row per non-minimum
+    node — duplicate-free by construction, which is why the caller can skip
+    the pre-round ``distinct()`` exchange entirely.
+
+    Scale: the exchange is keyed on ``src >> block_bits`` (id blocks of
+    2^block_bits), never a constant partition count — AQE sizes/coalesces
+    the shuffle; a partition's working set is its edge rows as two int64
+    arrays plus a label array over its distinct nodes."""
+    import numpy as np
+    import pandas as pd
+
+    def contract(batches):
+        srcs, dsts = [], []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy(np.int64))
+            dsts.append(pdf["dst"].to_numpy(np.int64))
+        if not srcs:
+            return
+        s = np.concatenate(srcs)
+        d = np.concatenate(dsts)
+        if not len(s):
+            return
+        nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+        u, v = inv[: len(s)], inv[len(s):]
+        lab = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            m = np.minimum(lab[u], lab[v])
+            nxt = lab.copy()
+            np.minimum.at(nxt, u, m)
+            np.minimum.at(nxt, v, m)
+            while True:  # full shortcut: chase labels to their roots
+                j = nxt[nxt]
+                if np.array_equal(j, nxt):
+                    break
+                nxt = j
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        keep = lab != np.arange(len(nodes), dtype=np.int64)
+        yield pd.DataFrame(
+            {"src": nodes[keep], "dst": nodes[lab[keep]]}
+        )
+
+    return edges.repartition(
+        F.shiftright(F.col("src"), block_bits)
+    ).mapInPandas(contract, "src long, dst long")
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round: every node u connects each strictly-larger
     neighbor to m(u) = min(N(u) ∪ {u})."""
@@ -327,6 +394,7 @@ def connected_components(
     dst_col: str = "dst",
     max_iterations: int = 25,
     checkpoint_dir: str | None = None,
+    local_contraction: bool = True,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; ``component`` is
     the minimum node id of its connected component.
@@ -354,6 +422,12 @@ def connected_components(
     exactly ONE Spark action — at toy scale the round cost is pure job
     latency, and halving the action count halves it.
 
+    ``local_contraction`` (default on): collapse each partition's edges to
+    an equivalent local star forest first (``_contract_partitions``) — same
+    final components for any partitioning, but chain-shaped inputs lose
+    most of their distributed round depth before the first star round, and
+    the contraction exchange replaces the pre-round ``distinct()``.
+
     Raises ``RuntimeError`` if not converged after ``max_iterations`` —
     a wrong clustering is never returned silently.
     """
@@ -377,7 +451,12 @@ def connected_components(
         e0.select("src").union(e0.select("dst")).distinct()
         .withColumnRenamed("src", "node")
     )
-    cur = e0.filter(F.col("src") != F.col("dst")).distinct()
+    cur = e0.filter(F.col("src") != F.col("dst"))
+    # _contract_partitions replaces the pre-round distinct(): its output is
+    # per-partition duplicate-free and connectivity-equivalent, so the star
+    # rounds start from a contracted graph (fewer edges, shallower chains)
+    # for the same one-exchange price the distinct() was already paying.
+    cur = _contract_partitions(cur) if local_contraction else cur.distinct()
 
     def _materialize(df: DataFrame) -> tuple[DataFrame, tuple]:
         obs = Observation()
