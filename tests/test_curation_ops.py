@@ -261,6 +261,20 @@ def test_trust_rank_no_seeds_in_graph(spark):
     assert {r.trust for r in t} == {0.0}
 
 
+def test_rank_family_empty_graph(spark):
+    # the N/|S|/norm scalars now ride 1-row broadcast cross-joins instead
+    # of driver count()/first() actions; an empty graph must still yield
+    # an empty (not failing) result, as the old early returns did
+    from warcio_spark.plans.graph import host_hits, host_rank, trust_rank
+
+    empty = spark.createDataFrame(
+        [], "src_host string, dst_host string, n_links long")
+    seeds = spark.createDataFrame([("a.com",)], "host string")
+    assert host_rank(empty).collect() == []
+    assert trust_rank(empty, seeds).collect() == []
+    assert host_hits(empty).collect() == []
+
+
 # ---------------------------------------------------------------------------
 # incremental MinHash dedup (batch probes a persistent band index)
 
