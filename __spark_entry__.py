@@ -1587,7 +1587,11 @@ def q_fetch_fairness(spark, sf):
     replays the closed forms."""
     from warcio_spark.plans.fairness import fetch_fairness
 
-    docs = _tp(spark, sf, "documents").select("doc_id")
+    # plain scan on purpose: the per-row work is a concat+modulo and
+    # parallelism recovers at the host agg's exchange — the round-6 A/B
+    # (interleaved, clean window) put the repartition at 1.04 s vs 0.70 s
+    # plain at sf0.1, and the r5-vs-r6 driver records agreed at sf1.0
+    docs = _t(spark, sf, "documents").select("doc_id")
     d = F.col("doc_id")
     log = docs.select(
         F.concat(
@@ -3751,7 +3755,11 @@ def q_centroid_outliers(spark, sf):
     centroid in DuckDB via unnest/generate_subscripts."""
     from warcio_spark.operators.similarity import centroid_outliers
 
-    return centroid_outliers(_tp(spark, sf, "embeddings"), k=10)
+    # plain scan on purpose: the centroid posexplode re-parallelizes at its
+    # partial-agg exchange, so the up-front repartition only adds a pass —
+    # round-6 interleaved A/B: 0.87 s repartitioned vs 0.67 s plain at
+    # sf0.1; the r5-vs-r6 sf1.0 records agreed (+0.085 s with repartition)
+    return centroid_outliers(_t(spark, sf, "embeddings"), k=10)
 
 
 def q_stratified_quota(spark, sf):
